@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (multi-horizon per-entity feature frame)
+on sf0.001. ``queries()`` — the full catalog from
+streaming_feature_store_spark.plans.queries (one entry per SURVEY.md §2
+operator family). ``oracle_sql()`` — DuckDB twins for the correctness gate.
 """
 
 from __future__ import annotations
@@ -14,25 +13,24 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _catalog():
+    from streaming_feature_store_spark.plans.queries import ORACLES, QUERIES
+
+    return QUERIES, ORACLES
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-event multi-horizon (5m/30m/24h) feature frame — the
+    heart of the feature-store engine (SURVEY.md §2.3 A10, fixed)."""
+    qs, _ = _catalog()
+    return qs["q05_multi_horizon"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    qs, _ = _catalog()
+    return dict(qs)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _, oracles = _catalog()
+    return dict(oracles)

@@ -1,0 +1,172 @@
+"""Per-entity windowed feature aggregation — the heart of the engine.
+
+Reference parity: the reference buffers events per key in a deque and
+recomputes ~35 features over the buffer on every event
+(streaming/core/utils/windowing.py:11-54, streaming/core/processors/
+transaction.py:33-207). Here the same feature families are declarative
+aggregations, so Spark gives partial (map-side) aggregation, whole-stage
+codegen and — in streaming mode — incremental state maintenance for free
+(SURVEY.md §4).
+
+Scale notes:
+- ``tumbling/sliding`` use ``groupBy(entity, F.window(...))`` → ONE shuffle
+  hash-partitioned by (entity, window); partial aggs run map-side so the
+  shuffle carries pre-aggregated rows, not events.
+- ``multi_horizon`` uses three range frames over a SINGLE window spec family
+  (same partitioning + ordering), so Catalyst plans one sort + one shuffle
+  for all horizons — this fixes the reference's 30 m/24 h-capped-at-5 m bug
+  (transaction.py:105-109, SURVEY.md §2.3 A10) without tripling the cost.
+- All aggregates are built-in JVM expressions; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from streaming_feature_store_spark.functions.exprs import dsum
+
+MICROS = {"5m": 300_000_000, "30m": 1_800_000_000, "24h": 86_400_000_000}
+
+
+def with_event_micros(df: DataFrame, ts_col: str = "ts", out: str = "us") -> DataFrame:
+    """Attach exact integer event-time micros — the ordering/range key used by
+    every frame-based operator (exact integer arithmetic, no FP drift)."""
+    return df.withColumn(out, F.unix_micros(F.col(ts_col)))
+
+
+def tumbling_stats(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "5 minutes",
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """COUNT/SUM/AVG/MIN/MAX + distinct over fixed (epoch-aligned) windows.
+
+    Mirrors A1-A5 of SURVEY.md §2.3 (transaction.py:51-62). Window start is
+    emitted as epoch seconds (windows are minute-aligned) for stable,
+    engine-independent comparison.
+    """
+    aggs = [
+        F.count("*").alias("event_count"),
+        dsum(value_col).alias("value_sum"),
+        (dsum(value_col) / F.count(value_col)).alias("value_avg"),
+        F.min(value_col).alias("value_min"),
+        F.max(value_col).alias("value_max"),
+    ] + (extra_aggs or [])
+    return (
+        df.groupBy(F.col(entity_col), F.window(ts_col, window).alias("w"))
+        .agg(*aggs)
+        .withColumn("window_start_s", F.col("w.start").cast("long"))
+        .drop("w")
+    )
+
+
+def sliding_stats(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "5 minutes",
+    slide: str = "1 minute",
+) -> DataFrame:
+    """Sliding-window stats (reference default: 5 m window / 1 m slide —
+    streaming/core/models/config.py:27-28; Flink SlidingEventTimeWindows at
+    feature_job.py:477). Spark materializes window-copies of each row
+    (window/slide of them) before the partial agg — same cost model as
+    Flink's sliding panes."""
+    return (
+        df.groupBy(F.col(entity_col), F.window(ts_col, window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("event_count"),
+            dsum(value_col).alias("value_sum"),
+            F.max(value_col).alias("value_max"),
+        )
+        .withColumn("window_start_s", F.col("w.start").cast("long"))
+        .drop("w")
+    )
+
+
+def multi_horizon_counts(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-event trailing 5 m / 30 m / 24 h counts + sums ("window ending at
+    this event" semantics — exactly the reference's per-event emission model,
+    windowing.py:31-35, with the multi-horizon fix for A10).
+
+    One shuffle (partition by entity), one sort (by event-time micros); the
+    three horizons are just different range frames over that sort.
+    """
+    df = with_event_micros(df, ts_col)
+    base = Window.partitionBy(entity_col).orderBy("us")
+    out = df
+    for tag, micros in MICROS.items():
+        w = base.rangeBetween(-micros, 0)
+        out = out.withColumn(f"cnt_{tag}", F.count("*").over(w)).withColumn(
+            f"sum_{tag}",
+            F.sum(F.col(value_col).cast("decimal(18,4)")).over(w).cast("double"),
+        )
+    return out
+
+
+def time_since_last(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """LAG-based inter-event gap in micros (A7 — transaction.py:65-69 computes
+    time_since_last_txn_min from sorted buffer timestamps). Null for the
+    entity's first event, as in the reference."""
+    df = with_event_micros(df, ts_col)
+    w = Window.partitionBy(entity_col).orderBy("us", order_tiebreak)
+    return df.withColumn("delta_us", F.col("us") - F.lag("us").over(w))
+
+
+def rolling_last_n(
+    df: DataFrame,
+    entity_col: str,
+    n: int = 100,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Rolling mean over the last N rows per entity (A17 — the reference's
+    bounded-list fraud-rate tracker, streaming/core/fraud_detector.py:241-265).
+    rowsBetween(-(n-1), 0) over one sort; deterministic via decimal sum."""
+    df = with_event_micros(df, ts_col)
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy("us", order_tiebreak)
+        .rowsBetween(-(n - 1), 0)
+    )
+    return df.withColumn(
+        "rolling_avg",
+        (
+            F.sum(F.col(value_col).cast("decimal(18,4)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ),
+    ).withColumn("rolling_n", F.count("*").over(w))
+
+
+def zscore_vs_entity(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-event z-score against the entity's distribution (A11 —
+    transaction.py:123-125 computes |amount−μ|/σ against the window buffer).
+    Sample stddev per SURVEY.md §4 delta 3 (the documented semantics)."""
+    w = Window.partitionBy(entity_col)
+    mu = (
+        F.sum(F.col(value_col).cast("decimal(18,4)")).over(w).cast("double")
+        / F.count(value_col).over(w)
+    )
+    sd = F.stddev_samp(value_col).over(w)
+    return df.withColumn("zscore", (F.col(value_col) - mu) / sd)

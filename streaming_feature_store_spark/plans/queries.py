@@ -1,0 +1,614 @@
+"""Named query catalog — every operator family from SURVEY.md §2 as a
+(PySpark query, DuckDB oracle SQL) pair.
+
+Each entry is registered with ``@query(name, sql=...)``; the Spark side and
+the SQL side alias every computed column identically so the driver's
+order-insensitive value-hash comparison holds.
+
+Determinism rules used throughout (see functions/exprs.py):
+- double SUM/AVG → exact decimal accumulation, cast back to double;
+- MIN/MAX/COUNT/COUNT DISTINCT → naturally order-independent;
+- ratios/scores → double arithmetic over deterministic inputs (+ ROUND at
+  the presentation edge, mirroring the reference's 2-3 dp rounding);
+- orderings always carry a unique integer tiebreak (event_id / orderkey);
+- event-time comparisons in exact integer micros (``epoch_us`` ≡
+  ``unix_micros``), never FP seconds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from streaming_feature_store_spark.functions.exprs import dsum
+from streaming_feature_store_spark.operators.asof import asof_join
+from streaming_feature_store_spark.operators.sessions import funnel_features
+from streaming_feature_store_spark.operators.windows import (
+    multi_horizon_counts,
+    rolling_last_n,
+    sliding_stats,
+    time_since_last,
+    tumbling_stats,
+    with_event_micros,
+    zscore_vs_entity,
+)
+from streaming_feature_store_spark.sources.file import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# Decimal-exact SUM in DuckDB SQL, mirroring exprs.dsum
+_DSUM = "CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE)"
+_DSUM6 = "CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Analytics spine (scan → filter → agg; TPC-H-style) — SURVEY §2.2-2.3
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+      {_DSUM.format(c='l_quantity')} AS sum_qty,
+      {_DSUM.format(c='l_extendedprice')} AS sum_base_price,
+      {_DSUM6.format(c='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+      {_DSUM6.format(c='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+      {_DSUM.format(c='l_quantity')} / COUNT(*) AS avg_qty,
+      {_DSUM.format(c='l_extendedprice')} / COUNT(*) AS avg_price,
+      {_DSUM6.format(c='l_discount')} / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary scan→filter→agg (A2-A3 at analytic scale). The filter
+    pushes to the parquet scan; partial aggs run map-side; at 100 TB this is
+    a single shuffle of ~6 grouped rows per task."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc, 6).alias("sum_disc_price"),
+        dsum(charge, 6).alias("sum_charge"),
+        (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+        (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+        (dsum("l_discount", 6) / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q06_top_customers",
+    sql=f"""
+    SELECT c_custkey, c_name,
+      {_DSUM.format(c='o_totalprice')} AS revenue,
+      COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q06_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k pattern (A13's rank shape): join + agg + deterministic order +
+    limit. Customer is the broadcast side — at 100 TB orders dwarfs the
+    customer dim, so no shuffle of the big side for the join."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q15_revenue_by_nation",
+    sql=f"""
+    SELECT n_name,
+      {_DSUM6.format(c='l_extendedprice * (1 - l_discount)')} AS revenue,
+      COUNT(*) AS n_lineitems,
+      COUNT(DISTINCT c_custkey) AS n_customers
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q15_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query (J5 shape). nation/customer broadcast; the
+    lineitem⋈orders join is the only real shuffle and AQE can pick
+    shuffled-hash vs SMJ from runtime sizes."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(rev, 6).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "q17_market_segment_stats",
+    sql=f"""
+    SELECT c_mktsegment,
+      COUNT(*) AS n_customers,
+      {_DSUM.format(c='c_acctbal')} AS acctbal_sum,
+      {_DSUM.format(c='c_acctbal')} / COUNT(*) AS acctbal_avg,
+      MIN(c_acctbal) AS acctbal_min,
+      MAX(c_acctbal) AS acctbal_max
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q17_market_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal").alias("acctbal_sum"),
+        (dsum("c_acctbal") / F.count("*")).alias("acctbal_avg"),
+        F.min("c_acctbal").alias("acctbal_min"),
+        F.max("c_acctbal").alias("acctbal_max"),
+    )
+
+
+@query(
+    "q18_order_priority",
+    sql=f"""
+    SELECT o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      {_DSUM.format(c='o_totalprice')} AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q18_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count aggregation (A6 shape on the orders table)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream feature queries (entity = user_id) — SURVEY §2.3
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q02_user_window_stats_5m",
+    sql=f"""
+    SELECT user_id,
+      (epoch_us(ts) // 300000000) * 300 AS window_start_s,
+      COUNT(*) AS event_count,
+      {_DSUM.format(c='value')} AS value_sum,
+      {_DSUM.format(c='value')} / COUNT(value) AS value_avg,
+      MIN(value) AS value_min,
+      MAX(value) AS value_max,
+      COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id, window_start_s
+    """,
+)
+def q02_user_window_stats_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A5: tumbling 5-minute per-entity stats (transaction.py:51-62)."""
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_stats(
+        ev,
+        "user_id",
+        extra_aggs=[F.countDistinct("event_type").alias("n_types")],
+    )
+
+
+@query(
+    "q03_user_sliding_5m_1m",
+    sql=f"""
+    SELECT user_id,
+      (epoch_us(ts) // 60000000) * 60 - 60 * g AS window_start_s,
+      COUNT(*) AS event_count,
+      {_DSUM.format(c='value')} AS value_sum,
+      MAX(value) AS value_max
+    FROM events CROSS JOIN generate_series(0, 4) AS t(g)
+    GROUP BY user_id, window_start_s
+    """,
+)
+def q03_user_sliding_5m_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 5 m/1 m window — the reference's default window geometry
+    (config.py:27-28). Oracle replicates Spark's slide expansion: each event
+    belongs to exactly window/slide = 5 epoch-aligned windows."""
+    ev = _t(spark, sf_dir, "events")
+    return sliding_stats(ev, "user_id")
+
+
+@query(
+    "q04_time_since_last",
+    sql="""
+    SELECT event_id, user_id, epoch_us(ts) AS us,
+      epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta_us
+    FROM events
+    """,
+)
+def q04_time_since_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: per-event time-since-last (transaction.py:65-69)."""
+    ev = _t(spark, sf_dir, "events")
+    return time_since_last(ev, "user_id").select("event_id", "user_id", "us", "delta_us")
+
+
+@query(
+    "q05_multi_horizon",
+    sql="""
+    SELECT event_id, user_id, epoch_us(ts) AS us,
+      COUNT(*) OVER w5  AS cnt_5m,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w5  AS DOUBLE) AS sum_5m,
+      COUNT(*) OVER w30 AS cnt_30m,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w30 AS DOUBLE) AS sum_30m,
+      COUNT(*) OVER w24 AS cnt_24h,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w24 AS DOUBLE) AS sum_24h
+    FROM events
+    WINDOW
+      w5  AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW),
+      w30 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW),
+      w24 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q05_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 fixed: true per-event trailing 5 m/30 m/24 h horizons (the
+    reference's were capped at the 5 m buffer — transaction.py:105-109)."""
+    ev = _t(spark, sf_dir, "events")
+    return multi_horizon_counts(ev, "user_id").select(
+        "event_id", "user_id", "us",
+        "cnt_5m", "sum_5m", "cnt_30m", "sum_30m", "cnt_24h", "sum_24h",
+    )
+
+
+@query(
+    "q07_event_type_mode",
+    sql="""
+    SELECT user_id, event_type AS top_event_type, cnt AS type_count
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS cnt,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def q07_event_type_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: mode/arg-max via groupBy + row_number with a deterministic
+    lexicographic tiebreak (the reference's `max(dist, key=...)` at
+    transaction.py:269-280 inherits dict order — we pin it down)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("top_event_type"),
+            F.col("cnt").alias("type_count"),
+        )
+    )
+
+
+@query(
+    "q08_user_sessions",
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w >= 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+      COUNT(*) AS n_events,
+      MIN(us) AS session_start_us,
+      MAX(us) AS session_end_us,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+      {_DSUM.format(c='value')} AS value_sum,
+      ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+            / GREATEST(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT), 1), 6)
+        AS conversion_rate,
+      ROUND((MAX(us) - MIN(us)) / 6.0e7, 4) AS session_minutes
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q08_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/A16: 30-minute-gap sessions + funnel ratios via F.session_window
+    (clickstream.py:31-65,96-97). Oracle is the classic gaps-and-islands."""
+    ev = _t(spark, sf_dir, "events")
+    return funnel_features(ev, "user_id")
+
+
+@query(
+    "q09_user_type_ratios",
+    sql=f"""
+    SELECT user_id,
+      COUNT(*) AS n_events,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+      ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS purchase_ratio,
+      ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS error_ratio,
+      CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,4))) AS DOUBLE)
+        AS purchase_value_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def q09_user_type_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: conditional counts → ratios (high-risk MCC ratio shape,
+    transaction.py:78-83,115-120)."""
+    ev = _t(spark, sf_dir, "events")
+    p = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    e = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            p.alias("purchases"),
+            e.alias("errors"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("purchase_value_sum"),
+        )
+        .withColumn(
+            "purchase_ratio",
+            F.round(F.col("purchases") / F.col("n_events").cast("double"), 6),
+        )
+        .withColumn(
+            "error_ratio",
+            F.round(F.col("errors") / F.col("n_events").cast("double"), 6),
+        )
+    )
+
+
+@query(
+    "q10_value_zscore",
+    sql="""
+    SELECT event_id, user_id,
+      ROUND((value - CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                     / COUNT(value) OVER w)
+            / STDDEV_SAMP(value) OVER w, 4) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def q10_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: per-event z-score vs the entity distribution
+    (transaction.py:123-125), sample stddev per SURVEY §4 delta 3."""
+    ev = _t(spark, sf_dir, "events")
+    return zscore_vs_entity(ev, "user_id").select(
+        "event_id", "user_id", F.round(F.col("zscore"), 4).alias("zscore")
+    )
+
+
+@query(
+    "q11_rolling_last_100",
+    sql="""
+    SELECT event_id, user_id,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+            / COUNT(*) OVER w, 6) AS rolling_avg,
+      COUNT(*) OVER w AS rolling_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q11_rolling_last_100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: rolling mean over the last 100 events per entity — the
+    fraud-rate-over-last-100 tracker (fraud_detector.py:241-265)."""
+    ev = _t(spark, sf_dir, "events")
+    return rolling_last_n(ev, "user_id", 100).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("rolling_avg"), 6).alias("rolling_avg"),
+        "rolling_n",
+    )
+
+
+@query(
+    "q12_engagement_score",
+    sql="""
+    SELECT user_id, CAST(ts AS DATE) AS day,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+      ROUND(0.3 * LEAST(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) / 10.0, 1.0)
+          + 0.3 * LEAST(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) / 10.0, 1.0)
+          + 0.4 * LEAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) / 5.0, 1.0),
+          6) AS engagement_score
+    FROM events GROUP BY user_id, day
+    """,
+)
+def q12_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: weighted clamped engagement score (clickstream.py:100-104),
+    per user-day."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+    g = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        cnt("view").alias("views"),
+        cnt("click").alias("clicks"),
+        cnt("purchase").alias("purchases"),
+    )
+    score = (
+        0.3 * F.least(F.col("views") / 10.0, F.lit(1.0))
+        + 0.3 * F.least(F.col("clicks") / 10.0, F.lit(1.0))
+        + 0.4 * F.least(F.col("purchases") / 5.0, F.lit(1.0))
+    )
+    return g.withColumn("engagement_score", F.round(score, 6))
+
+
+@query(
+    "q13_event_flags",
+    sql="""
+    SELECT event_id, user_id, value, event_type,
+      value > 100 AS is_high_value,
+      value % 50 = 0 AND value >= 50 AS is_round_amount,
+      event_type = 'error' AS is_error,
+      CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+      dayofweek(ts) IN (0, 6) AS is_weekend,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def q13_event_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3-P6, P10: scalar predicate/extraction features — set membership,
+    round-amount modulo (transaction.py:115-120), weekend/hour extraction
+    (transaction.py:100-103), JSON field extraction (metadata map shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        "event_type",
+        (F.col("value") > 100).alias("is_high_value"),
+        ((F.col("value") % 50 == 0) & (F.col("value") >= 50)).alias("is_round_amount"),
+        (F.col("event_type") == "error").alias("is_error"),
+        F.hour("ts").alias("hour_of_day"),
+        F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins & union — SURVEY §2.4
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_asof_purchase_features",
+    sql="""
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS us, 0 AS src, event_id, value AS fval
+      FROM events WHERE event_type <> 'purchase'
+      UNION ALL
+      SELECT user_id, epoch_us(ts), 1, event_id, NULL
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT *, LAST_VALUE(fval IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY us, src, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+      FROM u
+    )
+    SELECT user_id, us AS label_ts_us, event_id AS label_key, asof_value
+    FROM c WHERE src = 1
+    """,
+)
+def q14_asof_purchase_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: point-in-time join. For every purchase, the latest preceding
+    non-purchase event value (feast/feature_utils.py:151-232 semantics),
+    via the linear union+last_value pattern — no join explosion at scale."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    labels = ev.filter(F.col("event_type") == "purchase")
+    feats = ev.filter(F.col("event_type") != "purchase").withColumnRenamed(
+        "value", "fval"
+    )
+    return asof_join(
+        labels,
+        feats,
+        entity_col="user_id",
+        label_ts_us="us",
+        feature_ts_us="us",
+        feature_cols=["fval"],
+        label_cols=[],
+        tiebreak_col="event_id",
+    ).select(
+        "user_id", "label_ts_us", "label_key", F.col("asof_fval").alias("asof_value")
+    )
+
+
+@query(
+    "q16_union_activity",
+    sql=f"""
+    WITH u AS (
+      SELECT user_id AS entity_id, epoch_us(ts) AS ts_us, 'event' AS kind, value AS amount
+      FROM events
+      UNION ALL
+      SELECT o_custkey, epoch_us(o_orderdate), 'order', o_totalprice FROM orders
+    )
+    SELECT kind, COUNT(*) AS n, {_DSUM.format(c='amount')} AS amount_sum,
+      MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
+    FROM u GROUP BY kind
+    """,
+)
+def q16_union_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: stream-union shape (feature_job.py:489 unions the two feature
+    streams before the sink) — unionByName over conformed projections."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit("event").alias("kind"),
+        F.col("value").alias("amount"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.unix_micros("o_orderdate").alias("ts_us"),
+        F.lit("order").alias("kind"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    return (
+        ev.unionByName(orders)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("amount").alias("amount_sum"),
+            F.min("ts_us").alias("min_ts_us"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+    )

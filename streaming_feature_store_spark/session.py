@@ -1,0 +1,79 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads); the same
+configs are what we would ship to a 1000-executor cluster, where only
+``spark.sql.shuffle.partitions`` (≈ 2-3× total cores) and memory sizing change.
+
+Key choices (and why they survive a 100 TB scale-up):
+
+- **AQE on** — runtime partition coalescing, skew-join splitting and
+  broadcast-join demotion/promotion based on observed sizes. At 100 TB the
+  planner's static stats are wrong often enough that AQE is non-negotiable.
+- **UTC session timezone** — event-time windows must be deterministic and
+  engine-independent (the DuckDB oracle operates on naive timestamps).
+- **Arrow enabled** — the few pandas-UDF paths (drift KS, multimodal decode)
+  move columnar batches, never rows.
+- **Explicit broadcast hints** for genuinely-small dimensions only; we do NOT
+  crank ``autoBroadcastJoinThreshold`` because at 100 TB a "small" side
+  estimated from stale stats can OOM an executor — AQE's runtime sizes are
+  the safer signal.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "streaming-feature-store-spark"
+
+
+def default_cpus() -> int:
+    """Parallelism used for local runs; the driver exports SPARK_GRAFT_CPUS."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    configs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``shuffle_partitions`` defaults to the local cpu count; on a real cluster
+    pass ≈ 2-3× total executor cores (or leave AQE to coalesce down from a
+    higher number — coalescing is cheap, splitting is not).
+    """
+    cpus = default_cpus()
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", str(cpus))
+    )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # The test corpus is written with nanosecond parquet timestamps
+        # (TIMESTAMP(NANOS)), which vanilla Spark refuses; read them as long
+        # nanos and convert in the source layer (sources/file.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # 128 MB input splits: at 100 TB that is ~800k tasks — fine for a big
+        # cluster; AQE coalesces the small tail.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (configs or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
