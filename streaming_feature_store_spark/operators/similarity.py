@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface (BASELINE.json north star):
+
+- **brute-force cosine top-k** — the exact baseline: broadcast the query
+  set, one pass over the corpus, per-query top-k via window rank. Cost is
+  O(corpus × queries); correct at any scale where queries are few.
+- **LSH-bucketed top-k** — random-hyperplane (sign) LSH with deterministic
+  planes derived from xxhash64, so the index is reproducible with no stored
+  state. Candidates = same bucket (multi-probe: Hamming-1 neighbors), then
+  exact cosine on candidates only. This is the 100 TB path: the corpus is
+  bucketed once (narrow projection), and each query touches ~corpus/2^bits.
+
+Dot products use double-precision sequential folds over the array columns
+(higher-order functions, JVM codegen) — deterministic and UDF-free.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def as_double_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """float32 → float64 once at the edge so all arithmetic is double."""
+    return df.withColumn(col, F.transform(F.col(col), lambda x: x.cast("double")))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Queries are broadcast (small side); rank window partitions by query id —
+    the only shuffle is the top-k rank, sized |corpus|·|queries|.
+    """
+    c = as_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cvec")
+    )
+    q = as_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("cvec"), F.col("qvec"))
+                / (_norm(F.col("cvec")) * _norm(F.col("qvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d of plane p is a
+    zero-centered value derived from xxhash64(p, d). Stateless — every
+    executor regenerates the same planes from constants."""
+    comps = [
+        (
+            (F.xxhash64(F.lit(f"plane{plane}"), F.lit(d)) % 2001).cast("double")
+            / 1000.0
+        )
+        for d in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucket id per vector (bits hyperplanes → int bucket)."""
+    d = as_double_vec(df, vec_col)
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        s = _dot(F.col(vec_col), _hyperplane(dim, b))
+        bucket = bucket + F.when(s > 0, F.lit(1).cast("long") << b).otherwise(0)
+    return d.withColumn("bucket", bucket)
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket (plus
+    Hamming-1 probes), exact cosine on candidates only."""
+    c = lsh_buckets(corpus, dim, bits, id_col, vec_col).select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cvec"), "bucket"
+    )
+    q = lsh_buckets(queries, dim, bits, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    # multi-probe: query bucket + all Hamming-1 variants
+    probes = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1).cast("long") << b) for b in range(bits)],
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        c.join(broadcast(probes), "bucket")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("cvec"), F.col("qvec"))
+                / (_norm(F.col("cvec")) * _norm(F.col("qvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

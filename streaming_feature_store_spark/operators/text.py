@@ -1,0 +1,130 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language-ID heuristic,
+quality scoring, token counting, document fingerprinting — all as native
+Spark SQL expressions (split/array higher-order functions run inside
+whole-stage codegen; there is no Python in any of these paths, so the same
+column expressions stream through 100 TB of documents with only scan +
+project).
+
+The corpus is whitespace-tokenized lowercase text (documents.text); the
+operators parameterize the separator/marker sets so real corpora slot in.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Deterministic per-language marker-word profiles (tiny stopword sets — the
+# n-gram/stopword-profile heuristic family; real deployments would load
+# fastText-style profiles, same plumbing).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a"),
+    "de": ("window", "batch"),
+    "es": ("data", "query"),
+    "fr": ("stream", "vector"),
+    "zh": ("spark", "hash"),
+}
+
+STOPWORDS = ("the", "a")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", sep: str = " ") -> DataFrame:
+    return df.withColumn("tokens", F.split(F.col(text_col), sep))
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    # OR-chain membership (isin is not usable inside higher-order lambdas)
+    def member(x: Column) -> Column:
+        out = x == F.lit(words[0])
+        for w in words[1:]:
+            out = out | (x == F.lit(w))
+        return out
+
+    return F.size(F.filter(tokens, member))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: total / distinct tokens, char count, mean token length.
+
+    avg_token_len uses the exact identity chars = Σlen(tok) + (n-1) for a
+    single-space-joined corpus — pure integer arithmetic, no FP drift.
+    """
+    d = with_tokens(df, text_col)
+    n = F.size(F.col("tokens"))
+    return (
+        d.withColumn("n_tokens", n)
+        .withColumn("n_unique_tokens", F.size(F.array_distinct(F.col("tokens"))))
+        .withColumn("n_chars_calc", F.length(F.col(text_col)))
+        .withColumn(
+            "avg_token_len",
+            F.round((F.length(F.col(text_col)) - (n - 1)) / n.cast("double"), 6),
+        )
+        .drop("tokens")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: stopword ratio, lexical diversity, length flags
+    (the length/punct/stopword-ratio family)."""
+    d = with_tokens(df, text_col)
+    n = F.size(F.col("tokens"))
+    sw = _count_in(F.col("tokens"), STOPWORDS)
+    uniq = F.size(F.array_distinct(F.col("tokens")))
+    return (
+        d.withColumn("n_tokens", n)
+        .withColumn("stopword_ratio", F.round(sw / n.cast("double"), 6))
+        .withColumn("lexical_diversity", F.round(uniq / n.cast("double"), 6))
+        .withColumn(
+            "is_quality",
+            (n >= 10) & (n <= 1000) & (sw / n.cast("double") < F.lit(0.5)),
+        )
+        .drop("tokens")
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic marker-profile language ID: argmax of per-language marker
+    counts with lexicographic tiebreak. Pure expression — scores computed in
+    one projection, argmax via greatest/when chain (no shuffle at all)."""
+    d = with_tokens(df, text_col)
+    scores = {
+        lang: _count_in(F.col("tokens"), words) for lang, words in LANG_MARKERS.items()
+    }
+    d = d.select(
+        "*", *[s.alias(f"score_{lang}") for lang, s in scores.items()]
+    ).drop("tokens")
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit(None).cast("string")
+    # first lexicographic language reaching the max wins (deterministic)
+    for lang in sorted(LANG_MARKERS):
+        pred = F.when(
+            pred.isNull() & (F.col(f"score_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return d.withColumn("predicted_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting via md5 over the raw text (exact-dup key).
+    At 100 TB the 32-hex key is what you shuffle, not the document."""
+    return df.withColumn("fingerprint", F.md5(F.col(text_col).cast("binary")))
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document (basis for Jaccard/MinHash
+    near-dup). Guarded so docs shorter than n tokens yield an empty array
+    (Spark's sequence() would otherwise count backwards)."""
+    d = with_tokens(df, text_col)
+    toks = F.col("tokens")
+    cnt = F.size(toks)
+    sh = F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda j: F.concat_ws(
+                " ", *[F.element_at(toks, j + i) for i in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.withColumn("shingles", F.array_distinct(sh)).drop("tokens")

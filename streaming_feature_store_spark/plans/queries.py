@@ -612,3 +612,424 @@ def q16_union_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts_us").alias("max_ts_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis & dedup over documents — beyond-reference operators
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = """
+      list_distinct(CASE WHEN len(l) >= 3
+        THEN list_transform(generate_series(1, len(l) - 2),
+                            j -> l[j] || ' ' || l[j+1] || ' ' || l[j+2])
+        ELSE CAST([] AS VARCHAR[]) END)
+"""
+
+
+@query(
+    "q19_doc_token_stats",
+    sql="""
+    SELECT doc_id, lang, source,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars_calc,
+      ROUND((length(text) - (len(string_split(text, ' ')) - 1))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def q19_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over the documents table (text-analysis family)."""
+    from streaming_feature_store_spark.operators.text import token_stats
+
+    d = token_stats(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("long").alias("n_unique_tokens"),
+        F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
+        "avg_token_len",
+    )
+
+
+@query(
+    "q20_doc_quality",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(l) AS BIGINT) AS n_tokens,
+      ROUND(len(list_filter(l, x -> x = 'the' OR x = 'a'))
+            / CAST(len(l) AS DOUBLE), 6) AS stopword_ratio,
+      ROUND(len(list_distinct(l)) / CAST(len(l) AS DOUBLE), 6) AS lexical_diversity,
+      len(l) >= 10 AND len(l) <= 1000
+        AND len(list_filter(l, x -> x = 'the' OR x = 'a')) / CAST(len(l) AS DOUBLE) < 0.5
+        AS is_quality
+    FROM t
+    """,
+)
+def q20_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, lexical diversity, length gates."""
+    from streaming_feature_store_spark.operators.text import quality_features
+
+    d = quality_features(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio",
+        "lexical_diversity",
+        "is_quality",
+    )
+
+
+@query(
+    "q21_exact_dup_groups",
+    sql="""
+    SELECT md5(text) AS fingerprint, COUNT(*) AS dup_count, MIN(doc_id) AS first_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q21_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint → group (dedup family, hash-groupBy)."""
+    from streaming_feature_store_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q22_jaccard_near_dups",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), shx AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tok
+    ), sh AS (
+      SELECT doc_id, unnest(sh) AS s FROM shx
+    ), sizes AS (
+      SELECT doc_id, CAST(len(sh) AS INTEGER) AS nsh FROM shx
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+      ROUND(n_common / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def q22_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (3-shingle) Jaccard near-dup pairs via the inverted-index
+    self-join plan (dedup family)."""
+    from streaming_feature_store_spark.operators.dedup import jaccard_pairs
+
+    p = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return p.filter(F.col("jaccard") >= 0.5)
+
+
+@query(
+    "q23_lang_source_stats",
+    sql="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+      ROUND(CAST(SUM(n_chars) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4) AS chars_avg
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q23_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars_sum"))
+        .withColumn(
+            "chars_avg",
+            F.round(F.col("chars_sum") / F.col("n_docs").cast("double"), 4),
+        )
+    )
+
+
+@query(
+    "q24_lang_id",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(l, x -> x = 'the' OR x = 'a')) AS BIGINT) AS score_en,
+        CAST(len(list_filter(l, x -> x = 'window' OR x = 'batch')) AS BIGINT) AS score_de,
+        CAST(len(list_filter(l, x -> x = 'data' OR x = 'query')) AS BIGINT) AS score_es,
+        CAST(len(list_filter(l, x -> x = 'stream' OR x = 'vector')) AS BIGINT) AS score_fr,
+        CAST(len(list_filter(l, x -> x = 'spark' OR x = 'hash')) AS BIGINT) AS score_zh
+      FROM t
+    )
+    SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+      CASE
+        WHEN score_de = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+        WHEN score_en = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+        WHEN score_es = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+        WHEN score_fr = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+        ELSE 'zh' END AS predicted_lang
+    FROM s
+    """,
+)
+def q24_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic marker-profile language ID (text-analysis family)."""
+    from streaming_feature_store_spark.operators.text import LANG_MARKERS, lang_id
+
+    d = lang_id(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"score_{l}").cast("long").alias(f"score_{l}") for l in LANG_MARKERS],
+        "predicted_lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings — beyond-reference operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25_cosine_topk",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+    ), scored AS (
+      SELECT query_id, e.vec_id AS nbr_id,
+        ROUND(list_dot_product(e.v, qv)
+              / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))),
+              6) AS cosine
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> query_id
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for the first 10 vectors
+    (similarity-search baseline; LSH variant is q33)."""
+    from streaming_feature_store_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Drift detection — SURVEY §2.7 M10-M13
+# ---------------------------------------------------------------------------
+
+_DRIFT_CUT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+@query(
+    "q26_psi_drift",
+    sql=f"""
+    WITH d AS (
+      SELECT value, ts >= {_DRIFT_CUT} AS grp FROM events
+    ), b AS (
+      SELECT CASE WHEN value >= 200 THEN 5 WHEN value >= 100 THEN 4
+                  WHEN value >= 50 THEN 3 WHEN value >= 25 THEN 2
+                  WHEN value >= 10 THEN 1 ELSE 0 END AS bucket, grp
+      FROM d
+    ), c AS (
+      SELECT bucket,
+        SUM(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS ne,
+        SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS na
+      FROM b GROUP BY bucket
+    ), t AS (SELECT SUM(ne) AS te, SUM(na) AS ta FROM c)
+    SELECT ROUND(SUM(
+        ((na / CAST(ta AS DOUBLE) + 1e-6) - (ne / CAST(te AS DOUBLE) + 1e-6))
+        * ln((na / CAST(ta AS DOUBLE) + 1e-6) / (ne / CAST(te AS DOUBLE) + 1e-6))
+      ), 6) AS psi
+    FROM c CROSS JOIN t
+    """,
+)
+def q26_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: PSI between first/second half of the event stream over fixed
+    value buckets (drift_check.py:138-169)."""
+    from streaming_feature_store_spark.operators.drift import psi
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "grp", F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")
+    )
+    return psi(ev, "value", "grp", edges=[10.0, 25.0, 50.0, 100.0, 200.0])
+
+
+@query(
+    "q27_ks_drift",
+    sql=f"""
+    WITH d AS (
+      SELECT value, ts >= {_DRIFT_CUT} AS grp FROM events
+    ), c AS (
+      SELECT ABS(
+          SUM(CASE WHEN grp THEN 1 ELSE 0 END) OVER w
+            / CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) OVER () AS DOUBLE)
+          - SUM(CASE WHEN NOT grp THEN 1 ELSE 0 END) OVER w
+            / CAST(SUM(CASE WHEN NOT grp THEN 1 ELSE 0 END) OVER () AS DOUBLE)
+        ) AS dd
+      FROM d
+      WINDOW w AS (ORDER BY value RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT ROUND(MAX(dd), 6) AS ks_stat FROM c
+    """,
+)
+def q27_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: two-sample KS statistic between stream halves
+    (drift_check.py:50-136), via cumulative conditional counts."""
+    from streaming_feature_store_spark.operators.drift import ks_statistic
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "grp", F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")
+    )
+    return ks_statistic(ev, "value", "grp")
+
+
+@query(
+    "q28_chi2_drift",
+    sql=f"""
+    WITH d AS (
+      SELECT event_type, ts >= {_DRIFT_CUT} AS grp FROM events
+    ), cells AS (
+      SELECT event_type, grp, COUNT(*) AS o FROM d GROUP BY 1, 2
+    ), x AS (
+      SELECT *, SUM(o) OVER (PARTITION BY event_type) AS rt,
+             SUM(o) OVER (PARTITION BY grp) AS ct,
+             SUM(o) OVER () AS n
+      FROM cells
+    )
+    SELECT
+      ROUND(SUM((o - rt * ct / CAST(n AS DOUBLE)) * (o - rt * ct / CAST(n AS DOUBLE))
+                / (rt * ct / CAST(n AS DOUBLE))), 6) AS chi2,
+      CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT grp) - 1) AS BIGINT) AS dof
+    FROM x
+    """,
+)
+def q28_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: chi-square categorical drift (event_type × stream half,
+    drift_check.py:85-97)."""
+    from streaming_feature_store_spark.operators.drift import chi_square
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "grp", F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")
+    )
+    return chi_square(ev, "event_type", "grp")
+
+
+# ---------------------------------------------------------------------------
+# Daily rollups + cross-table point-in-time enrichment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q29_daily_rollup",
+    sql=f"""
+    SELECT CAST(ts AS DATE) AS day,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS active_users,
+      {_DSUM.format(c='value')} AS value_sum,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+      ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS error_rate
+    FROM events GROUP BY day
+    """,
+)
+def q29_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity rollup: DAU, volumes, error rate (freshness/metrics
+    family, SURVEY §2.6 T9-T10 batch analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("active_users"),
+            dsum("value").alias("value_sum"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "errors"
+            ),
+        )
+        .withColumn(
+            "error_rate",
+            F.round(F.col("errors") / F.col("n_events").cast("double"), 6),
+        )
+    )
+
+
+@query(
+    "q30_hourly_histogram",
+    sql=f"""
+    SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+      COUNT(*) AS n_events,
+      {_DSUM.format(c='value')} AS value_sum
+    FROM events GROUP BY hour_of_day
+    """,
+)
+def q30_hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day histogram (most_active_hour input — A13,
+    transaction.py:269-280)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.hour("ts").alias("hour_of_day")).agg(
+        F.count("*").alias("n_events"), dsum("value").alias("value_sum")
+    )
+
+
+@query(
+    "q31_asof_order_enrichment",
+    sql="""
+    WITH u AS (
+      SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS us, 0 AS src,
+             o_orderkey AS tb, o_totalprice AS fval
+      FROM orders
+      UNION ALL
+      SELECT user_id, epoch_us(ts), 1, event_id, NULL
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT *, LAST_VALUE(fval IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY us, src, tb
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_order_value
+      FROM u
+    )
+    SELECT user_id, us AS label_ts_us, tb AS label_key, asof_order_value
+    FROM c WHERE src = 1
+    """,
+)
+def q31_asof_order_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 across tables: enrich purchase events with the customer's latest
+    order value as of the event time (training-set PIT assembly shape)."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    labels = ev.filter(F.col("event_type") == "purchase")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_micros("o_orderdate").alias("us"),
+            F.col("o_orderkey").alias("event_id"),
+            F.col("o_totalprice").alias("order_value"),
+        )
+    )
+    return asof_join(
+        labels,
+        orders,
+        entity_col="user_id",
+        label_ts_us="us",
+        feature_ts_us="us",
+        feature_cols=["order_value"],
+        label_cols=[],
+        tiebreak_col="event_id",
+    ).select(
+        "user_id",
+        "label_ts_us",
+        "label_key",
+        F.col("asof_order_value").alias("asof_order_value"),
+    )
