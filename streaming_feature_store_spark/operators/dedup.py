@@ -53,8 +53,37 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return shingles(df, text_col, n).select(
-        F.col(id_col), F.explode("shingles").alias("sh")
+    """Distinct (doc, shingle-hash) inverted index.
+
+    Plan: posexplode tokens → window lead(n-1) per doc → concat → xxhash64 →
+    relation-level distinct. Three deliberate choices, each measured:
+
+    - posexplode+lead instead of exploding a transform()-built array —
+      Generate over a higher-order-function child re-evaluates the lambda
+      per output row and falls out of codegen (~10× slower);
+    - shingle de-dup at relation level (hash distinct, linear) rather than
+      per-row ``array_distinct`` (quadratic in shingles/doc);
+    - xxhash64-compressed keys so the self-join shuffles 8-byte longs, not
+      ~25-char strings (64-bit collision odds ~1e-7 at millions of
+      shingles).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " "))
+    ).toDF(id_col, "pos", "w")
+    win = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    return (
+        toks.select(F.col(id_col), *[p.alias(f"w{i}") for i, p in enumerate(parts)])
+        .filter(F.col(f"w{n-1}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.xxhash64(F.concat_ws(" ", *[F.col(f"w{i}") for i in range(n)])).alias(
+                "sh"
+            ),
+        )
+        .distinct()
     )
 
 
@@ -70,11 +99,17 @@ def jaccard_pairs(
     Inverted-index plan: explode distinct shingles, self-join on shingle
     (only co-occurring pairs appear), count intersections, then join the two
     per-doc shingle counts to close the |A∪B| = |A|+|B|−|A∩B| identity.
+
+    The index is persisted (memory-and-disk) because the plan consumes it
+    three times (both join branches + sizes); without it Spark re-parses and
+    re-shingles the corpus per branch.
     """
-    idx = _shingle_index(df, text_col, id_col, n)
-    sizes = shingles(df, text_col, n).select(
-        F.col(id_col), F.size("shingles").alias("nsh")
+    from pyspark import StorageLevel
+
+    idx = _shingle_index(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    sizes = idx.groupBy(id_col).agg(F.count("*").alias("nsh"))
     a = idx.select(F.col(id_col).alias("doc_a"), "sh")
     b = idx.select(F.col(id_col).alias("doc_b"), "sh")
     inter = (
@@ -114,8 +149,10 @@ def minhash_signatures(
     k: int = 16,
 ) -> DataFrame:
     """k-row MinHash signature per doc: min over shingles of
-    xxhash64(salt_i ‖ shingle). Deterministic (fixed salts), fully JVM-side."""
-    d = shingles(df, text_col, n)
+    xxhash64(salt_i ‖ shingle). Deterministic (fixed salts), fully JVM-side.
+    Duplicate shingles can't change a min, so the quadratic per-row
+    array_distinct is skipped."""
+    d = shingles(df, text_col, n, distinct=False)
     sig = F.array(
         *[
             F.array_min(

@@ -111,10 +111,16 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(F.col(text_col).cast("binary")))
 
 
-def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct n-word shingles per document (basis for Jaccard/MinHash
-    near-dup). Guarded so docs shorter than n tokens yield an empty array
-    (Spark's sequence() would otherwise count backwards)."""
+def shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """n-word shingles per document (basis for Jaccard/MinHash near-dup).
+    Guarded so docs shorter than n tokens yield an empty array (Spark's
+    sequence() would otherwise count backwards).
+
+    ``distinct=False`` skips the per-row ``array_distinct`` — that function is
+    O(shingles²) per document; callers that explode anyway should dedup at
+    relation level instead (see dedup._shingle_index)."""
     d = with_tokens(df, text_col)
     toks = F.col("tokens")
     cnt = F.size(toks)
@@ -127,4 +133,6 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return d.withColumn("shingles", F.array_distinct(sh)).drop("tokens")
+    if distinct:
+        sh = F.array_distinct(sh)
+    return d.withColumn("shingles", sh).drop("tokens")
