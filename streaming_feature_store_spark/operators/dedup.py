@@ -218,14 +218,14 @@ def simhash64(
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1).cast("long") << i) != 0, 1).otherwise(-1)
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(63)  # bit 63 is the sign bit; skip to keep result positive
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
     sim = None
     for i in range(63):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") << i).otherwise(
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sim = term if sim is None else sim + term

@@ -103,7 +103,7 @@ def lsh_buckets(
     bucket = F.lit(0).cast("long")
     for b in range(bits):
         s = _dot(F.col(vec_col), _hyperplane(dim, b))
-        bucket = bucket + F.when(s > 0, F.lit(1).cast("long") << b).otherwise(0)
+        bucket = bucket + F.when(s > 0, F.lit(1 << b).cast("long")).otherwise(0)
     return d.withColumn("bucket", bucket)
 
 
@@ -131,7 +131,7 @@ def lsh_cosine_topk(
         F.explode(
             F.array(
                 F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1).cast("long") << b) for b in range(bits)],
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(bits)],
             )
         ).alias("bucket"),
     )

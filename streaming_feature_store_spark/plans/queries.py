@@ -339,7 +339,7 @@ def q07_event_type_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events
     ), flagged AS (
       SELECT *, CASE WHEN LAG(us) OVER w IS NULL
-                       OR us - LAG(us) OVER w >= 1800000000
+                       OR us - LAG(us) OVER w > 1800000000
                      THEN 1 ELSE 0 END AS new_sess
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
     ), sess AS (

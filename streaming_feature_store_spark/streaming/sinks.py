@@ -1,0 +1,103 @@
+"""Feature-store sinks: latest view (upsert), append-only feature log, DLQ.
+
+Reference parity: the Redis sink writes three structures per feature record —
+hash (current features), latest-JSON, and a time-series zset, all with 24 h
+TTL (streaming/core/sinks/redis_sink.py:96-168). Here:
+
+- **latest view** = one row per entity key, newest event-time wins. Written
+  idempotently per micro-batch from ``foreachBatch`` — re-processing a batch
+  after restart converges to the same table (effectively-once on top of
+  Spark's checkpointing, SURVEY §2.6 T5). On parquet we rewrite the (small,
+  one-row-per-entity) table; on Delta/Iceberg this same function becomes a
+  keyed MERGE — the call-site contract is identical.
+- **feature log** = append-only, date-partitioned; this is the replay/
+  backfill source (DesignDoc.md:129-131) and the offline training store.
+- **TTL** = retention delete: drop log partitions / latest rows older than
+  the retention horizon (redis TTL 24 h → `retention_delete`).
+- **DLQ** = malformed records appended to a quarantine table
+  (config.py:56-59 declares per-topic DLQs; the reference never wired them —
+  feature_job.py:96-105 counts and TODOs).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+
+def upsert_latest(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    ts_col: str = "window_start_s",
+) -> None:
+    """Merge a feature micro-batch into the latest-view table at ``path``.
+
+    Newest ``ts_col`` per key wins; ties broken by preferring the incoming
+    row (the reference's Redis HSET overwrite semantics). Idempotent: the
+    same batch applied twice yields the same table.
+    """
+    batch_df = batch_df.withColumn("_src", F.lit(1))
+    if os.path.exists(path):
+        current = spark.read.parquet(path).withColumn("_src", F.lit(0))
+        merged = current.unionByName(batch_df, allowMissingColumns=True)
+    else:
+        merged = batch_df
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(ts_col), F.desc("_src")
+    )
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    tmp = path + ".tmp"
+    latest.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def append_log(batch_df: DataFrame, path: str, ts_col: str = "window_start_s") -> None:
+    """Append the batch to the date-partitioned feature log (offline store).
+    Partitioning by date keeps retention deletes and time-range training
+    reads to partition-pruned scans at 100 TB."""
+    (
+        batch_df.withColumn(
+            "_date", F.to_date(F.timestamp_seconds(F.col(ts_col)))
+        )
+        .write.mode("append")
+        .partitionBy("_date")
+        .parquet(path)
+    )
+
+
+def retention_delete(
+    spark: SparkSession, path: str, ts_col: str, horizon_s: int, now_s: int
+) -> None:
+    """TTL semantics (Redis 24 h TTL → retention job): rewrite the table
+    without rows older than the horizon. On Delta this is a metadata-only
+    partition drop."""
+    df = spark.read.parquet(path)
+    kept = df.filter(F.col(ts_col) >= F.lit(now_s - horizon_s))
+    tmp = path + ".tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def route_dlq(
+    parsed: DataFrame, dlq_path: str | None, corrupt_col: str = "_corrupt"
+) -> DataFrame:
+    """Split malformed rows to the DLQ (T8); returns the clean rows."""
+    if corrupt_col not in parsed.columns:
+        return parsed
+    if dlq_path is not None:
+        parsed.filter(F.col(corrupt_col).isNotNull()).write.mode("append").parquet(
+            dlq_path
+        )
+    return parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)

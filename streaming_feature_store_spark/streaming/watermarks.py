@@ -1,0 +1,82 @@
+"""Watermark policy + streaming metrics.
+
+Reference parity (SURVEY.md §2.6):
+- T1 bounded out-of-orderness: wm = max_seen − bound
+  (streaming/core/utils/watermarks.py:67-105; 5 s default, config.py:29).
+- T2 allowed lateness: the reference buffers events that are late-but-within
+  60 s and drops beyond (watermarks.py:151-208). Spark's watermark is a
+  single drop threshold, so the combined policy is watermark = out-of-order
+  bound + allowed lateness (5 s + 60 s → 65 s): everything the reference
+  would buffer-then-apply is simply still-on-time for Spark; everything the
+  reference drops, Spark drops. Same acceptance set, one mechanism.
+- T3/T9 metrics: out-of-order rates via lag comparison in batch; in
+  streaming, rows dropped by watermark + per-trigger throughput come from
+  StreamingQueryProgress (see MetricsListener).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class WatermarkPolicy:
+    """max_out_of_orderness + allowed_lateness → single Spark watermark."""
+
+    max_out_of_orderness_s: int = 5
+    allowed_lateness_s: int = 60
+
+    @property
+    def delay(self) -> str:
+        return f"{self.max_out_of_orderness_s + self.allowed_lateness_s} seconds"
+
+    def apply(self, df: DataFrame, ts_col: str = "ts") -> DataFrame:
+        return df.withWatermark(ts_col, self.delay)
+
+
+class MetricsListener:
+    """StreamingQueryListener surfacing the reference's metrics set
+    (throughput, watermark, late-drop counts — stream_processor.py:105-150,
+    feature_job.py:335-403) from Spark's progress events.
+
+    Import-guarded so batch-only deployments never touch streaming internals.
+    """
+
+    def __new__(cls):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _L(StreamingQueryListener):
+            def __init__(self):
+                self.progress = []
+
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                dropped = 0
+                for op in p.stateOperators or []:
+                    try:
+                        dropped += op.numRowsDroppedByWatermark
+                    except AttributeError:
+                        pass
+                self.progress.append(
+                    {
+                        "batchId": p.batchId,
+                        "inputRowsPerSecond": p.inputRowsPerSecond,
+                        "processedRowsPerSecond": p.processedRowsPerSecond,
+                        "numInputRows": p.numInputRows,
+                        "watermark": (p.eventTime or {}).get("watermark"),
+                        "rowsDroppedByWatermark": dropped,
+                    }
+                )
+
+            def onQueryTerminated(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+        return _L()

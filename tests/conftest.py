@@ -1,0 +1,15 @@
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from streaming_feature_store_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()

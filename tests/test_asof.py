@@ -1,0 +1,32 @@
+"""As-of (point-in-time) join semantics: inclusive at equal timestamps,
+null when nothing precedes, latest-wins among candidates
+(feast/feature_utils.py:151-232 semantics)."""
+
+from streaming_feature_store_spark.operators.asof import asof_join
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_basic(spark):
+    feats = _df(
+        spark,
+        [(1, 100, 10, 1.0), (1, 200, 11, 2.0), (2, 150, 12, 9.0)],
+        "user_id long, us long, event_id long, fval double",
+    )
+    labels = _df(
+        spark,
+        [(1, 150, 90), (1, 200, 91), (1, 50, 92), (3, 500, 93)],
+        "user_id long, us long, event_id long",
+    )
+    out = {
+        r["label_key"]: r
+        for r in asof_join(
+            labels, feats, "user_id", "us", "us", ["fval"], [], "event_id"
+        ).collect()
+    }
+    assert out[90]["asof_fval"] == 1.0   # latest at/before 150
+    assert out[91]["asof_fval"] == 2.0   # inclusive: feature AT label ts wins
+    assert out[92]["asof_fval"] is None  # nothing precedes
+    assert out[93]["asof_fval"] is None  # unseen entity

@@ -1,0 +1,61 @@
+"""Dedup operator tests: exact groups, Jaccard pairs, MinHash-LSH recall on
+an obvious near-dup, SimHash determinism + locality."""
+
+import pyspark.sql.functions as F
+
+from streaming_feature_store_spark.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_near_dups,
+    simhash64,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),   # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat again and again"),   # near dup of 1
+    (4, "completely different words about spark engines and shuffles here"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark):
+    out = {r["first_doc_id"]: r for r in exact_dup_groups(_docs(spark)).collect()}
+    assert out[1]["dup_count"] == 2
+    assert out[3]["dup_count"] == 1
+    kept = sorted(r["doc_id"] for r in dedup_exact(_docs(spark)).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_jaccard_pairs(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(_docs(spark), threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dups(_docs(spark), threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide in every band
+
+
+def test_simhash_deterministic_and_local(spark):
+    a = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
+    assert a == b
+    assert a[1] == a[2]  # identical text → identical signature
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    assert ham(a[1], a[3]) < ham(a[1], a[4])  # near-dup closer than unrelated

@@ -1,0 +1,116 @@
+"""Structured-Streaming pipeline tests: file source → watermarked sliding
+windows → foreachBatch (latest view + feature log); late-data drop across
+restarts; type fidelity through the sink (FIXTURES.md §4.4 — the reference's
+Redis sink stringified everything; ours must keep native types)."""
+
+import datetime as dt
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from streaming_feature_store_spark.streaming.pipeline import (
+    read_file_stream,
+    start_feature_pipeline,
+)
+from streaming_feature_store_spark.streaming.watermarks import WatermarkPolicy
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run(spark, src, latest, log, ckpt):
+    stream = read_file_stream(spark, src, SCHEMA)
+    q = start_feature_pipeline(
+        spark, stream, latest, log, entity_col="user_id", checkpoint=ckpt
+    )
+    q.awaitTermination(120)
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    latest = str(tmp_path / "latest")
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, 7, BASE + dt.timedelta(seconds=1), 50.0, "view"),
+            (2, 7, BASE + dt.timedelta(seconds=2), 150.0, "view"),
+            (3, 8, BASE + dt.timedelta(seconds=3), 25.0, "view"),
+        ],
+    )
+    _run(spark, src, latest, log, ckpt)
+
+    lv = spark.read.parquet(latest)
+    rows = {r["user_id"]: r for r in lv.collect()}
+    assert set(rows) == {7, 8}
+    # user 7's newest sliding window contains both events
+    assert rows[7]["event_count"] == 2
+    assert rows[7]["value_sum"] == 200.0
+    # type fidelity through the sink (reference stringified; we must not)
+    types = dict(lv.dtypes)
+    assert types["value_sum"] == "double"
+    assert types["event_count"] == "bigint"
+    assert os.path.exists(log)
+
+    # incremental batch: same user, later window → latest view advances
+    _write_batch(
+        spark,
+        src,
+        [(4, 7, BASE + dt.timedelta(minutes=30), 75.0, "view")],
+    )
+    _run(spark, src, latest, log, ckpt)
+    rows2 = {r["user_id"]: r for r in spark.read.parquet(latest).collect()}
+    assert rows2[7]["window_start_s"] > rows[7]["window_start_s"]
+    assert rows2[7]["value_max"] == 75.0
+    # user 8 untouched by the second batch — upsert preserved it
+    assert rows2[8]["event_count"] == 1
+
+
+def test_watermark_drops_very_late_events(spark, tmp_path):
+    src = str(tmp_path / "src")
+    latest = str(tmp_path / "latest")
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    # batch 1 advances event time far ahead
+    _write_batch(spark, src, [(1, 1, BASE + dt.timedelta(hours=2), 1.0, "view")])
+    _run(spark, src, latest, log, ckpt)
+    # batch 2: an event 2h older than max seen — far beyond the 65 s
+    # combined watermark (T1+T2) → state for its window was finalized/evicted
+    _write_batch(spark, src, [(2, 1, BASE, 99.0, "view")])
+    _run(spark, src, latest, log, ckpt)
+
+    rows = {r["user_id"]: r for r in spark.read.parquet(latest).collect()}
+    # the late event must NOT have produced/updated a window in the latest view
+    assert rows[1]["value_max"] == 1.0
+
+
+def test_watermark_policy_composition():
+    p = WatermarkPolicy(max_out_of_orderness_s=5, allowed_lateness_s=60)
+    assert p.delay == "65 seconds"
