@@ -1,0 +1,104 @@
+"""JSON decode + DLQ routing (S5/T8) and the stream-stream device
+enrichment join (J2 — the reference declared it, we implement it)."""
+
+import datetime as dt
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from streaming_feature_store_spark.operators.enrich import enrich_with_devices_stream
+from streaming_feature_store_spark.sources.kafka import decode_json
+from streaming_feature_store_spark.streaming.sinks import route_dlq
+
+BASE = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+EVENT_SCHEMA = StructType(
+    [StructField("user_id", LongType()), StructField("amount", DoubleType())]
+)
+
+
+def test_decode_json_with_dlq(spark, tmp_path):
+    raw = spark.createDataFrame(
+        [('{"user_id": 1, "amount": 9.5}',), ("not json at all",), ('{"user_id": 2}',)],
+        "value string",
+    )
+    parsed = decode_json(raw, EVENT_SCHEMA)
+    dlq = str(tmp_path / "dlq")
+    clean = route_dlq(parsed, dlq)
+    rows = clean.orderBy("user_id").collect()
+    assert [r["user_id"] for r in rows] == [1, 2]
+    assert rows[1]["amount"] is None  # missing optional field → null, not DLQ
+    assert spark.read.parquet(dlq).count() == 1  # the garbage row
+
+
+def test_device_stream_join(spark, tmp_path):
+    tx_schema = StructType(
+        [
+            StructField("txn_id", StringType()),
+            StructField("device_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("amount", DoubleType()),
+        ]
+    )
+    dev_schema = StructType(
+        [
+            StructField("device_id", StringType()),
+            StructField("dev_ts", TimestampType()),
+            StructField("is_proxy", BooleanType()),
+            StructField("is_tor", BooleanType()),
+            StructField("risk_score", DoubleType()),
+            StructField("geo_country", StringType()),
+        ]
+    )
+    tx_dir, dev_dir = str(tmp_path / "tx"), str(tmp_path / "dev")
+    spark.createDataFrame(
+        [
+            ("t1", "d1", BASE, 10.0),
+            ("t2", "d2", BASE + dt.timedelta(seconds=5), 20.0),  # no device record
+        ],
+        tx_schema,
+    ).write.mode("append").parquet(tx_dir)
+    spark.createDataFrame(
+        [("d1", BASE - dt.timedelta(hours=1), True, False, 0.9, "US")], dev_schema
+    ).write.mode("append").parquet(dev_dir)
+
+    out_dir = str(tmp_path / "out")
+
+    def run(name):
+        tx_stream = spark.readStream.schema(tx_schema).parquet(tx_dir)
+        dev_stream = spark.readStream.schema(dev_schema).parquet(dev_dir)
+        joined = enrich_with_devices_stream(tx_stream, dev_stream)
+        q = (
+            joined.writeStream.format("parquet")
+            .queryName(name)
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["txn_id"]: r for r in spark.read.parquet(out_dir).collect()}
+
+    out = run("devjoin1")
+    # matched row emits immediately
+    assert out["t1"]["is_proxy"] is True and out["t1"]["device_risk_score"] == 0.9
+    # unmatched left rows are held in state until the watermark proves no
+    # match can still arrive — push event time far ahead and rerun
+    spark.createDataFrame(
+        [("t9", "d9", BASE + dt.timedelta(hours=2), 1.0)], tx_schema
+    ).write.mode("append").parquet(tx_dir)
+    spark.createDataFrame(
+        [("d9", BASE + dt.timedelta(hours=2), False, False, 0.1, "GB")], dev_schema
+    ).write.mode("append").parquet(dev_dir)
+    out2 = run("devjoin2")
+    assert out2["t2"]["device_risk_score"] is None  # left outer: kept, unenriched

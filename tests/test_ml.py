@@ -1,0 +1,85 @@
+"""ML pipeline tests (training/test_ml_pipeline.py analog): synthetic
+dataset → impute/outlier/split/pipeline/train/evaluate/score across
+algorithms; interpretation ladders (inference/test_inference.py:212-218)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from streaming_feature_store_spark.functions.interpret import (
+    fill_defaults,
+    interpret_fraud,
+    interpret_user,
+)
+from streaming_feature_store_spark.ml.training import (
+    TrainConfig,
+    build_pipeline,
+    evaluate,
+    impute_median,
+    remove_outliers,
+    score,
+    stratified_split,
+)
+
+
+def _dataset(spark, n=2000):
+    # separable synthetic task: label depends on f1 + noise
+    return spark.range(n).select(
+        F.col("id"),
+        (F.rand(1) * 10).alias("f1"),
+        (F.rand(2) * 5).alias("f2"),
+        F.when(F.rand(3) < 0.05, None).otherwise(F.rand(4)).alias("f3"),
+    ).withColumn("label", (F.col("f1") + F.rand(5) > 6).cast("int"))
+
+
+def test_impute_and_outliers(spark):
+    df = _dataset(spark)
+    imp = impute_median(df, ["f3"])
+    assert imp.filter(F.col("f3").isNull()).count() == 0
+    filtered = remove_outliers(imp, ["f1"], label_col="label", k=3.0)
+    assert filtered.count() <= imp.count()
+
+
+def test_stratified_split_deterministic(spark):
+    df = _dataset(spark)
+    a = [d.count() for d in stratified_split(df, "label")]
+    b = [d.count() for d in stratified_split(df, "label")]
+    assert a == b and sum(a) == df.count()
+    assert a[0] > a[1] and a[0] > a[2]
+
+
+@pytest.mark.parametrize("algo", ["lr", "rf", "gbt"])
+def test_train_evaluate_score(spark, algo):
+    df = impute_median(_dataset(spark), ["f3"])
+    cfg = TrainConfig(feature_cols=["f1", "f2", "f3"], algorithm=algo)
+    train, val, test = stratified_split(df, "label")
+    model = build_pipeline(cfg).fit(train)
+    metrics = evaluate(model, test)
+    assert 0.8 < metrics["auc"] <= 1.0       # separable task → strong AUC
+    scored = score(model, test)
+    r = scored.agg(F.min("score"), F.max("score"), F.min("confidence")).collect()[0]
+    assert 0.0 <= r[0] and r[1] <= 1.0 and r[2] >= 0.0
+
+
+def test_interpretation_ladders(spark):
+    df = spark.createDataFrame(
+        [(0.8,), (0.5,), (0.2,), (0.05,)], "score double"
+    ).withColumn("is_high_value", F.lit(False))
+    out = {r["score"]: r for r in interpret_fraud(df).collect()}
+    assert out[0.8]["risk_level"] == "critical" and out[0.8]["action"] == "block"
+    assert out[0.5]["risk_level"] == "high" and out[0.5]["action"] == "review"
+    assert out[0.2]["risk_level"] == "medium"
+    assert out[0.05]["risk_level"] == "low" and out[0.05]["action"] == "allow"
+
+    seg = interpret_user(
+        spark.createDataFrame([(0.9,), (0.1,)], "engagement_score double")
+    ).collect()
+    assert {r["segment"] for r in seg} == {"power_user", "dormant"}
+
+
+def test_fill_defaults(spark):
+    df = spark.createDataFrame(
+        [(None, float("nan")), (1.0, 2.0)], "a double, b double"
+    )
+    out = fill_defaults(df, {"a": 0.0, "b": -1.0, "c": 9.9}).collect()
+    vals = {(r["a"], r["b"], r["c"]) for r in out}
+    assert (0.0, -1.0, 9.9) in vals and (1.0, 2.0, 9.9) in vals
