@@ -148,3 +148,39 @@ def score(model, df: DataFrame) -> DataFrame:
     return pred.withColumn("score", p1).withColumn(
         "confidence", F.abs(p1 - 0.5) * 2
     )
+
+
+def cross_validate(
+    df: DataFrame, cfg: TrainConfig, num_folds: int = 3, parallelism: int = 4
+) -> dict:
+    """M7: k-fold CV over the pipeline (StratifiedKFold analog —
+    models.py:139-156). Returns mean AUC across folds; folds run in
+    parallel on the cluster via CrossValidator's parallelism knob."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    pipeline = build_pipeline(cfg)
+    cv = CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=ParamGridBuilder().build(),
+        evaluator=BinaryClassificationEvaluator(
+            labelCol=cfg.label_col, metricName="areaUnderROC"
+        ),
+        numFolds=num_folds,
+        parallelism=parallelism,
+        seed=cfg.seed,
+    )
+    model = cv.fit(df)
+    return {"cv_auc": float(model.avgMetrics[0]), "model": model.bestModel}
+
+
+def save_model(model, path: str) -> None:
+    """M9: persist the fitted pipeline (feature order travels inside the
+    assembler stage — no separate feature_names.json needed)."""
+    model.write().overwrite().save(path)
+
+
+def load_model(spark, path: str):
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)

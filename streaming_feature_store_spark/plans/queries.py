@@ -1294,3 +1294,38 @@ def q41_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=3, bits=8)
+
+
+@query(
+    "q42_out_of_order_stats",
+    sql="""
+    WITH x AS (
+      SELECT user_id,
+        CASE WHEN epoch_us(ts) < LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id)
+             THEN 1 ELSE 0 END AS ooo
+      FROM events
+    )
+    SELECT user_id,
+      COUNT(*) AS n_events,
+      CAST(SUM(ooo) AS BIGINT) AS out_of_order,
+      ROUND(CAST(SUM(ooo) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS ooo_rate
+    FROM x GROUP BY user_id
+    """,
+)
+def q42_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: out-of-order detection — events whose event time regresses vs the
+    previous ARRIVAL (arrival order = event_id, the generation sequence),
+    per entity (watermarks.py:108-148's rolling out-of-order rate)."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ooo = F.when(F.col("us") < F.lag("us").over(w), 1).otherwise(0)
+    return (
+        ev.select("user_id", ooo.alias("ooo"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("ooo").alias("out_of_order"),
+            F.round(F.sum("ooo") / F.count("*").cast("double"), 6).alias("ooo_rate"),
+        )
+    )

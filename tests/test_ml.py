@@ -83,3 +83,23 @@ def test_fill_defaults(spark):
     out = fill_defaults(df, {"a": 0.0, "b": -1.0, "c": 9.9}).collect()
     vals = {(r["a"], r["b"], r["c"]) for r in out}
     assert (0.0, -1.0, 9.9) in vals and (1.0, 2.0, 9.9) in vals
+
+
+def test_cross_validate_and_persistence(spark, tmp_path):
+    from streaming_feature_store_spark.ml.training import (
+        cross_validate,
+        load_model,
+        save_model,
+    )
+
+    df = impute_median(_dataset(spark, 1200), ["f3"])
+    cfg = TrainConfig(feature_cols=["f1", "f2", "f3"], algorithm="lr")
+    result = cross_validate(df, cfg, num_folds=3)
+    assert 0.8 < result["cv_auc"] <= 1.0
+
+    path = str(tmp_path / "model")
+    save_model(result["model"], path)
+    reloaded = load_model(spark, path)
+    a = score(result["model"], df).select("score").limit(5).collect()
+    b = score(reloaded, df).select("score").limit(5).collect()
+    assert a == b
