@@ -29,8 +29,19 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on a trivial plan so q01 doesn't absorb startup cost
-    force(spark.range(1_000_000).selectExpr("sum(id) as s"))
+    # JVM/codegen warmup: decimal aggregation + window function + parquet
+    # reader, so the first catalog query doesn't absorb compile cost
+    force(
+        spark.range(1_000_000).selectExpr(
+            "sum(cast(id as decimal(18,4))) as s",
+            "avg(id) as a",
+        )
+    )
+    force(
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).selectExpr(
+            "count(*) as n"
+        )
+    )
 
     sf = None
     try:
@@ -46,6 +57,18 @@ def main() -> None:
         force(fn(spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
 
+    # headline throughput: full sliding-window feature computation over the
+    # events table (the reference's core workload — its simple engine does
+    # ~10k events/s single-core, Flink ~100k events/s; BASELINE.md)
+    from streaming_feature_store_spark.operators.windows import sliding_stats
+    from streaming_feature_store_spark.sources.file import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    t0 = time.time()
+    force(sliding_stats(ev, "user_id"))
+    feat_s = time.time() - t0
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -55,6 +78,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "feature_pipeline_events_per_s": round(n_events / feat_s, 1),
             }
         )
     )

@@ -1329,3 +1329,78 @@ def q42_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("ooo") / F.count("*").cast("double"), 6).alias("ooo_rate"),
         )
     )
+
+
+@query(
+    "q43_supplier_region_stats",
+    sql=f"""
+    SELECT r_name, n_name,
+      COUNT(*) AS n_suppliers,
+      {_DSUM.format(c='s_acctbal')} AS acctbal_sum,
+      MAX(s_acctbal) AS acctbal_max
+    FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q43_supplier_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-chain join (supplier→nation→region) — completes coverage of
+    every corpus table; both dims broadcast."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            dsum("s_acctbal").alias("acctbal_sum"),
+            F.max("s_acctbal").alias("acctbal_max"),
+        )
+    )
+
+
+@query(
+    "q44_timestamp_normalization",
+    sql="""
+    WITH raw AS (
+      SELECT event_id,
+        CASE WHEN event_id % 2 = 0 THEN epoch_us(ts) // 1000000
+             ELSE epoch_us(ts) // 1000 END AS mixed_epoch
+      FROM events
+    )
+    SELECT event_id,
+      CASE WHEN mixed_epoch > 10000000000 THEN mixed_epoch
+           ELSE mixed_epoch * 1000 END AS epoch_ms
+    FROM raw
+    """,
+)
+def q44_timestamp_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: seconds-vs-milliseconds heuristic normalization
+    (streaming/core/utils/watermarks.py:29-64): values ≤ 1e10 are seconds,
+    above are already ms. Mixed-unit input synthesized by event parity."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    mixed = F.when(
+        F.col("event_id") % 2 == 0, F.expr("us DIV 1000000")
+    ).otherwise(F.expr("us DIV 1000"))
+    d = ev.select("event_id", mixed.alias("mixed_epoch"))
+    return d.select(
+        "event_id",
+        F.when(F.col("mixed_epoch") > 10_000_000_000, F.col("mixed_epoch"))
+        .otherwise(F.col("mixed_epoch") * 1000)
+        .alias("epoch_ms"),
+    )
+
+
+@query("q45_approx_distinct")
+def q45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 scale path: HyperLogLog++ approximate distinct counts — the 100 TB
+    substitute for exact COUNT DISTINCT (rows-only: the estimate is
+    engine-specific; tests assert relative error < 5% vs exact)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
