@@ -20,10 +20,11 @@ def _catalog():
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: per-event multi-horizon (5m/30m/24h) feature frame — the
-    heart of the feature-store engine (SURVEY.md §2.3 A10, fixed)."""
+    """Flagship: the wide per-event feature frame — multi-horizon counts,
+    lag, rolling mean, z-score and scalar flags in one windowed pass (the
+    Spark restatement of the reference's per-event feature computation)."""
     qs, _ = _catalog()
-    return qs["q05_multi_horizon"](spark, "/root/testdata/sf0.001")
+    return qs["q46_wide_feature_frame"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1404,3 +1404,71 @@ def q45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "q46_wide_feature_frame",
+    sql="""
+    SELECT event_id, user_id, epoch_us(ts) AS us,
+      COUNT(*) OVER w5 AS cnt_5m,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w5 AS DOUBLE) AS sum_5m,
+      COUNT(*) OVER w30 AS cnt_30m,
+      COUNT(*) OVER w24 AS cnt_24h,
+      epoch_us(ts) - LAG(epoch_us(ts)) OVER wo AS delta_us,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER wr AS DOUBLE)
+            / COUNT(*) OVER wr, 6) AS rolling_avg_100,
+      ROUND((value - CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER wu AS DOUBLE)
+                     / COUNT(value) OVER wu)
+            / STDDEV_SAMP(value) OVER wu, 4) AS zscore,
+      value > 100 AS is_high_value,
+      CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+      dayofweek(ts) IN (0, 6) AS is_weekend
+    FROM events
+    WINDOW
+      w5  AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW),
+      w30 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW),
+      w24 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
+      wo  AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+      wr  AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+              ROWS BETWEEN 99 PRECEDING AND CURRENT ROW),
+      wu  AS (PARTITION BY user_id)
+    """,
+)
+def q46_wide_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: the full per-event feature vector in one pass — the Spark
+    restatement of the reference's ~35-feature per-event computation
+    (transaction.py:33-207). Six window specs share ONE hash partitioning
+    (user_id), so the plan is a single shuffle + a couple of sorts feeding
+    every frame; scalar features ride along in the same projection."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    by_us = Window.partitionBy("user_id").orderBy("us")
+    by_arr = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w5 = by_us.rangeBetween(-300_000_000, 0)
+    w30 = by_us.rangeBetween(-1_800_000_000, 0)
+    w24 = by_us.rangeBetween(-86_400_000_000, 0)
+    wr = by_arr.rowsBetween(-99, 0)
+    wu = Window.partitionBy("user_id")
+    dec = F.col("value").cast("decimal(18,4)")
+    mu = F.sum(dec).over(wu).cast("double") / F.count("value").over(wu)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count("*").over(w5).alias("cnt_5m"),
+        F.sum(dec).over(w5).cast("double").alias("sum_5m"),
+        F.count("*").over(w30).alias("cnt_30m"),
+        F.count("*").over(w24).alias("cnt_24h"),
+        (F.col("us") - F.lag("us").over(by_arr)).alias("delta_us"),
+        F.round(
+            F.sum(dec).over(wr).cast("double") / F.count("*").over(wr), 6
+        ).alias("rolling_avg_100"),
+        F.round((F.col("value") - mu) / F.stddev_samp("value").over(wu), 4).alias(
+            "zscore"
+        ),
+        (F.col("value") > 100).alias("is_high_value"),
+        F.hour("ts").alias("hour_of_day"),
+        F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+    )
