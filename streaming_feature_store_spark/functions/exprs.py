@@ -52,3 +52,27 @@ def clamp01(c: Column) -> Column:
     """min(x, 1.0) normalization used throughout the reference
     (e.g. velocity score — transaction.py:91,161)."""
     return F.least(c, F.lit(1.0))
+
+
+def coerce_typed_strings(df, type_map: dict[str, str]):
+    """P12: stringified-value re-typing (the reference round-trips every
+    feature through Redis strings and try-parses back —
+    inference/features.py:376-403, training/datasets.py:122-148). Our engine
+    keeps native types end-to-end, but ingesting legacy stores needs the
+    cascade once: try_cast per declared type, with 'true'/'false' → boolean
+    handled case-insensitively."""
+    import pyspark.sql.functions as F
+
+    out = df
+    for c, t in type_map.items():
+        col = F.col(c)
+        if t == "boolean":
+            out = out.withColumn(
+                c,
+                F.when(F.lower(col) == "true", F.lit(True))
+                .when(F.lower(col) == "false", F.lit(False))
+                .otherwise(F.lit(None).cast("boolean")),
+            )
+        else:
+            out = out.withColumn(c, col.try_cast(t))
+    return out

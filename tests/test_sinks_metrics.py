@@ -1,0 +1,142 @@
+"""Retention/TTL delete (T10), streaming metrics listener (T9), P12 string
+re-typing, and M16 in-pipeline scoring (model applied inside foreachBatch —
+no HTTP hop, unlike the reference's stream_processor.py:222-246)."""
+
+import datetime as dt
+import os
+
+import pyspark.sql.functions as F
+
+from streaming_feature_store_spark.functions.exprs import coerce_typed_strings
+from streaming_feature_store_spark.streaming.sinks import retention_delete
+from streaming_feature_store_spark.streaming.watermarks import MetricsListener
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_retention_delete(spark, tmp_path):
+    path = str(tmp_path / "log")
+    now_s = 1_000_000
+    spark.createDataFrame(
+        [(1, now_s - 100), (2, now_s - 90_000), (3, now_s - 86_401)],
+        "user_id long, window_start_s long",
+    ).write.parquet(path)
+    retention_delete(spark, path, "window_start_s", horizon_s=86_400, now_s=now_s)
+    kept = sorted(r["user_id"] for r in spark.read.parquet(path).collect())
+    assert kept == [1]  # 24h TTL: only the fresh row survives
+
+
+def test_coerce_typed_strings(spark):
+    df = spark.createDataFrame(
+        [("1.5", "7", "True", "oops"), ("bad", "x", "false", "2")],
+        "a string, b string, c string, d string",
+    )
+    out = coerce_typed_strings(
+        df, {"a": "double", "b": "bigint", "c": "boolean", "d": "int"}
+    ).collect()
+    rows = {tuple(r) for r in out}
+    assert (1.5, 7, True, None) in rows   # 'oops' → null, not an error
+    assert (None, None, False, 2) in rows  # bad numerics → null
+
+
+def test_metrics_listener_captures_progress(spark, tmp_path):
+    from streaming_feature_store_spark.streaming.pipeline import (
+        read_file_stream,
+        start_feature_pipeline,
+    )
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, BASE, 1.0), (2, BASE + dt.timedelta(seconds=5), 2.0)], schema
+    ).write.mode("append").parquet(src)
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = read_file_stream(spark, src, schema)
+        q = start_feature_pipeline(
+            spark,
+            stream,
+            str(tmp_path / "latest"),
+            str(tmp_path / "log"),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.progress, "listener saw no progress events"
+    total_in = sum(p["numInputRows"] for p in listener.progress)
+    assert total_in == 2
+    assert any(p["watermark"] is not None for p in listener.progress)
+
+
+def test_score_inside_foreach_batch(spark, tmp_path):
+    """M16: model inference inside the streaming sink — scores land next to
+    features in the latest view, no external scoring service."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+    from streaming_feature_store_spark.ml.training import (
+        TrainConfig, build_pipeline, score,
+    )
+    from streaming_feature_store_spark.streaming.pipeline import read_file_stream
+
+    # tiny model on synthetic features
+    train = spark.range(500).select(
+        (F.rand(1) * 10).alias("value_sum"),
+        (F.col("id") % 5 + 1).cast("double").alias("event_count"),
+    ).withColumn("label", (F.col("value_sum") > 5).cast("int"))
+    model = build_pipeline(
+        TrainConfig(feature_cols=["value_sum", "event_count"], algorithm="lr")
+    ).fit(train)
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, BASE, 9.0), (2, BASE + dt.timedelta(seconds=3), 1.0)], schema
+    ).write.mode("append").parquet(src)
+
+    out_path = str(tmp_path / "scored")
+
+    def scoring_sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        scored = score(
+            model, batch_df.withColumn("event_count", F.col("event_count").cast("double"))
+        )
+        scored.select("user_id", "window_start_s", "score").write.mode(
+            "append"
+        ).parquet(out_path)
+
+    from streaming_feature_store_spark.streaming.pipeline import windowed_features
+
+    feats = windowed_features(read_file_stream(spark, src, schema))
+    q = (
+        feats.writeStream.outputMode("update")
+        .foreachBatch(scoring_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_path)
+    assert rows.count() > 0
+    assert rows.filter((F.col("score") < 0) | (F.col("score") > 1)).count() == 0
