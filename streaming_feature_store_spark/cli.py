@@ -1,0 +1,109 @@
+"""Command-line entry points — the reference's script surface
+(stream_processor/feature_job/train CLIs) condensed into one tool.
+
+    python -m streaming_feature_store_spark.cli generate --kind transactions --n 100000 --out /tmp/tx
+    python -m streaming_feature_store_spark.cli materialize --events /tmp/events --latest /tmp/latest --log /tmp/log
+    python -m streaming_feature_store_spark.cli stream --src /tmp/incoming --latest /tmp/latest --log /tmp/log --checkpoint /tmp/ckpt
+    python -m streaming_feature_store_spark.cli replay --log /tmp/log --latest /tmp/latest
+    python -m streaming_feature_store_spark.cli query --name q01_pricing_summary --sf-dir /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="streaming_feature_store_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="seeded synthetic event generation (S12)")
+    g.add_argument("--kind", choices=["transactions", "clicks", "devices"], required=True)
+    g.add_argument("--n", type=int, default=100_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--out", required=True)
+
+    m = sub.add_parser("materialize", help="batch: events → latest view + feature log")
+    m.add_argument("--events", required=True)
+    m.add_argument("--latest", required=True)
+    m.add_argument("--log", required=True)
+    m.add_argument("--entity", default="user_id")
+
+    s = sub.add_parser("stream", help="streaming pipeline over a file source")
+    s.add_argument("--src", required=True)
+    s.add_argument("--latest", required=True)
+    s.add_argument("--log", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--entity", default="user_id")
+
+    r = sub.add_parser("replay", help="rebuild latest view from the feature log (T11)")
+    r.add_argument("--log", required=True)
+    r.add_argument("--latest", required=True)
+    r.add_argument("--entity", default="user_id")
+    r.add_argument("--ts-col", default="window_start_s")
+
+    q = sub.add_parser("query", help="run a catalog query and show the result")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+
+    args = p.parse_args(argv)
+
+    from streaming_feature_store_spark.session import get_spark
+
+    spark = get_spark(f"cli-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "generate":
+            from streaming_feature_store_spark.sources import generators as gen
+
+            fn = {
+                "transactions": gen.generate_transactions,
+                "clicks": gen.generate_clicks,
+                "devices": gen.generate_devices,
+            }[args.kind]
+            df = fn(spark, args.n, seed=args.seed)
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.n} {args.kind} to {args.out}")
+        elif args.cmd == "materialize":
+            from streaming_feature_store_spark.registry import default_registry
+            from streaming_feature_store_spark.store import materialize
+
+            events = spark.read.parquet(args.events)
+            view = default_registry().views["transaction_stats_5m"]
+            feats = materialize(spark, view, events, args.latest, args.log)
+            print(f"materialized {feats.count()} feature rows")
+        elif args.cmd == "stream":
+            from streaming_feature_store_spark.streaming.pipeline import (
+                read_file_stream,
+                start_feature_pipeline,
+            )
+
+            schema = spark.read.parquet(args.src).schema
+            stream = read_file_stream(spark, args.src, schema)
+            q_ = start_feature_pipeline(
+                spark, stream, args.latest, args.log,
+                entity_col=args.entity, checkpoint=args.checkpoint,
+            )
+            q_.awaitTermination()
+            print("stream drained (availableNow)")
+        elif args.cmd == "replay":
+            from streaming_feature_store_spark.store import replay
+
+            replay(spark, args.log, args.latest, args.entity, args.ts_col)
+            print(f"latest view rebuilt at {args.latest}")
+        elif args.cmd == "query":
+            from streaming_feature_store_spark.plans.queries import QUERIES
+
+            if args.name not in QUERIES:
+                print(f"unknown query {args.name}; available: {sorted(QUERIES)}")
+                return 2
+            QUERIES[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

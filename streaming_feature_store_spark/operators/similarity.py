@@ -51,11 +51,18 @@ def cosine_topk(
     Queries are broadcast (small side); rank window partitions by query id —
     the only shuffle is the top-k rank, sized |corpus|·|queries|.
     """
+    # norms hoisted to one projection per side — computing them inside the
+    # pair expression re-evaluates each corpus norm |queries| times and each
+    # query norm |corpus| times
     c = as_double_vec(corpus, vec_col).select(
-        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     q = as_double_vec(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     scored = (
         c.crossJoin(broadcast(q))
@@ -63,9 +70,7 @@ def cosine_topk(
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("cvec"), F.col("qvec"))
-                / (_norm(F.col("cvec")) * _norm(F.col("qvec"))),
-                6,
+                _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn")), 6
             ),
         )
     )
@@ -122,15 +127,22 @@ def lsh_cosine_topk(
     """Approximate top-k: candidates share the query's LSH bucket (plus
     Hamming-1 probes), exact cosine on candidates only."""
     c = lsh_buckets(corpus, dim, bits, id_col, vec_col).select(
-        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cvec"), "bucket"
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
+        "bucket",
     )
     q = lsh_buckets(queries, dim, bits, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
+        "bucket",
     )
     # multi-probe: query bucket + all Hamming-1 variants
     probes = q.select(
         "query_id",
         "qvec",
+        "qn",
         F.explode(
             F.array(
                 F.col("bucket"),
@@ -144,9 +156,7 @@ def lsh_cosine_topk(
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("cvec"), F.col("qvec"))
-                / (_norm(F.col("cvec")) * _norm(F.col("qvec"))),
-                6,
+                _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn")), 6
             ),
         )
     )
