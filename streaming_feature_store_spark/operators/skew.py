@@ -1,0 +1,68 @@
+"""Skew mitigation: salted two-phase aggregation.
+
+Entity-keyed workloads are Zipf-skewed in practice (the reference's fraud
+generator deliberately concentrates 30 % of fraud on ~200 hot cards —
+generators/txgen.py:117-123). A single hot key turns `groupBy(entity)` into
+one straggler task at 100 TB.
+
+``salted_agg`` runs algebraic aggregates in two phases:
+
+    phase 1: groupBy(entity, salt) — the hot key's rows spread over
+             ``salt_buckets`` reducers, each computing partial aggregates;
+    phase 2: groupBy(entity) merging the partials (SUM of counts/sums,
+             MIN of mins, MAX of maxes).
+
+Both phases are map-side-combined by Spark, so the extra pass costs one
+small shuffle of ≤ salt_buckets rows per entity. AQE's skew-JOIN splitting
+(enabled in session.py) covers the join side; this covers aggregation.
+Non-algebraic aggregates (exact distinct, mode) don't decompose this way —
+use approx_count_distinct (q45) or the two-level groupBy instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# (phase-1 partial, phase-2 merge) per supported algebraic aggregate
+_MERGES = {
+    "count": (lambda c: F.count(c), F.sum),
+    "sum": (lambda c: F.sum(c), F.sum),
+    "min": (lambda c: F.min(c), F.min),
+    "max": (lambda c: F.max(c), F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    key_col: str,
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """aggs: output_name -> (agg_kind, column); e.g.
+    {"n": ("count", "*"), "total": ("sum", "value")}.
+
+    SUM columns go through the same decimal accumulation as exprs.dsum, so
+    salted and unsalted plans produce bit-identical doubles.
+    """
+    salted = df.withColumn(
+        "_salt", (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salt_buckets)
+    )
+    partials = []
+    finals = []
+    for name, (kind, col) in aggs.items():
+        if kind not in _MERGES:
+            raise ValueError(f"non-algebraic aggregate {kind!r} cannot be salted")
+        partial, merge = _MERGES[kind]
+        c = F.col(col) if col != "*" else None
+        if kind == "sum":
+            partials.append(F.sum(F.col(col).cast("decimal(18,4)")).alias(f"_p_{name}"))
+            finals.append(F.sum(f"_p_{name}").cast("double").alias(name))
+        elif kind == "count":
+            partials.append(F.count("*" if col == "*" else col).alias(f"_p_{name}"))
+            finals.append(F.sum(f"_p_{name}").alias(name))
+        else:
+            partials.append(partial(col).alias(f"_p_{name}"))
+            finals.append(merge(f"_p_{name}").alias(name))
+    phase1 = salted.groupBy(key_col, "_salt").agg(*partials)
+    return phase1.groupBy(key_col).agg(*finals)

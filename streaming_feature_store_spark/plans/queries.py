@@ -1472,3 +1472,66 @@ def q46_wide_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hour_of_day"),
         F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
     )
+
+
+@query(
+    "q47_discount_revenue",
+    sql="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        AS revenue,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q47_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: pure scan-filter-aggregate — every predicate reaches
+    the parquet scan (PushedFilters), zero shuffle beyond the 1-row agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q48_salted_user_stats",
+    sql=f"""
+    SELECT user_id,
+      COUNT(*) AS n,
+      {_DSUM.format(c='value')} AS total,
+      MIN(value) AS vmin,
+      MAX(value) AS vmax
+    FROM events GROUP BY user_id
+    """,
+)
+def q48_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted two-phase aggregation (operators/skew.py) — the
+    oracle is the plain single-phase GROUP BY, proving the salted plan is
+    result-identical (decimal accumulation keeps doubles bit-equal)."""
+    from streaming_feature_store_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        "user_id",
+        {
+            "n": ("count", "*"),
+            "total": ("sum", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+    )

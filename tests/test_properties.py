@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis): the distributed operators must agree
+with trivially-correct pure-Python oracles on arbitrary small inputs —
+stronger than the reference's fixed-assertion suites (SURVEY §5)."""
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from streaming_feature_store_spark.operators.asof import asof_join
+from streaming_feature_store_spark.operators.sessions import sessionize
+from streaming_feature_store_spark.operators.skew import salted_agg
+
+# (entity, ts_us, value) tuples; small domains to force key collisions
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(feats=EVENTS, labels=EVENTS)
+@SLOW
+def test_asof_matches_naive(spark, feats, labels):
+    fdf = spark.createDataFrame(
+        [(k, t, i, float(v)) for i, (k, t, v) in enumerate(feats)],
+        "user_id long, us long, event_id long, fval double",
+    )
+    ldf = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t, _) in enumerate(labels)],
+        "user_id long, us long, event_id long",
+    )
+    got = {
+        r["label_key"]: r["asof_fval"]
+        for r in asof_join(ldf, fdf, "user_id", "us", "us", ["fval"], [], "event_id").collect()
+    }
+    # naive oracle: latest feature (ts, then insertion id) at or before label ts
+    for i, (k, t, _) in enumerate(labels):
+        cands = [
+            (ft, fi, float(fv))
+            for fi, (fk, ft, fv) in enumerate(feats)
+            if fk == k and ft <= t
+        ]
+        want = max(cands)[2] if cands else None
+        assert got[1000 + i] == want, (k, t, cands)
+
+
+@given(events=EVENTS)
+@SLOW
+def test_sessionize_matches_gaps_and_islands(spark, events):
+    gap_us = 1000
+    df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t, _) in enumerate(events)],
+        "user_id long, us long, event_id long",
+    ).withColumn("ts", F.timestamp_micros(F.col("us")))
+    got = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in sessionize(df, "user_id", gap=f"{gap_us} microseconds").collect()
+    )
+    # naive oracle: sort per key, split when diff > gap (Spark merges at ==)
+    want = []
+    by_key: dict[int, list[int]] = {}
+    for k, t, _ in events:
+        by_key.setdefault(k, []).append(t)
+    for k, ts in by_key.items():
+        ts.sort()
+        start, n, prev = ts[0], 0, None
+        for t in ts:
+            if prev is not None and t - prev > gap_us:
+                want.append((k, start, n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        want.append((k, start, n))
+    assert got == sorted(want)
+
+
+@given(events=EVENTS, buckets=st.integers(min_value=1, max_value=8))
+@SLOW
+def test_salted_agg_matches_plain(spark, events, buckets):
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, _, v in events], "user_id long, value double"
+    )
+    salted = {
+        r["user_id"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+        for r in salted_agg(
+            df,
+            "user_id",
+            {"n": ("count", "*"), "total": ("sum", "value"),
+             "vmin": ("min", "value"), "vmax": ("max", "value")},
+            salt_buckets=buckets,
+        ).collect()
+    }
+    plain = {
+        r["user_id"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert salted == plain
