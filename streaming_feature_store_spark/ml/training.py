@@ -133,10 +133,19 @@ def evaluate(model, df: DataFrame, label_col: str = "label") -> dict:
     fn = cm.get((0, 1), 0); tn = cm.get((0, 0), 0)
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
-    return {
+    out = {
         "auc": auc, "f1": f1, "precision": precision, "recall": recall,
         "confusion": {"tp": tp, "fp": fp, "fn": fn, "tn": tn},
     }
+    # feature importances (tree models) keyed by input name (M8 —
+    # models.py:213-230 logs the same map)
+    clf = model.stages[-1]
+    assembler = model.stages[0]
+    if hasattr(clf, "featureImportances"):
+        out["feature_importances"] = dict(
+            zip(assembler.getInputCols(), clf.featureImportances.toArray().tolist())
+        )
+    return out
 
 
 def score(model, df: DataFrame) -> DataFrame:

@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from streaming_feature_store_spark.operators.text import fingerprint, shingles
+from streaming_feature_store_spark.operators.text import fingerprint
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

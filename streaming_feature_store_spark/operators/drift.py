@@ -22,7 +22,7 @@ All three are expressed as pure DataFrame aggregations (no scipy, no UDF):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 
 
 def psi(

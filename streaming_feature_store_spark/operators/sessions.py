@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from streaming_feature_store_spark.functions.exprs import dsum, ratio
+from streaming_feature_store_spark.functions.exprs import dsum
 
 
 def sessionize(

@@ -1535,3 +1535,23 @@ def q48_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vmax": ("max", "value"),
         },
     )
+
+
+@query(
+    "q49_rollup_revenue",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+      {_DSUM.format(c='l_extendedprice')} AS revenue,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q49_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (beyond the reference's surface —
+    SURVEY §2.3 notes it has no grouping sets; standard for reporting
+    cubes). Spark computes all grouping sets in one shuffle (Expand)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice").alias("revenue"), F.count("*").alias("n")
+    )

@@ -11,7 +11,7 @@ and PIT training reads all resolve through the same metadata.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -73,8 +73,6 @@ class Registry:
 def default_registry() -> Registry:
     """The reference's registry shape: card/user/device/session entities,
     transaction + engagement feature views, two services."""
-    import pyspark.sql.functions as F
-
     from streaming_feature_store_spark.operators.sessions import funnel_features
     from streaming_feature_store_spark.operators.windows import sliding_stats
 

@@ -25,7 +25,6 @@ per-key dict leak (transaction.py:28-31) by construction.
 
 from __future__ import annotations
 
-import datetime as dt
 from collections.abc import Iterator
 
 import pandas as pd
