@@ -41,9 +41,21 @@ _NANO_TS_COLUMNS = {
 }
 
 
+# (applicationId, sf_dir, name) → DataFrame. A DataFrame is an immutable
+# logical plan, so reusing one across queries is safe and skips the
+# ~0.4 s file-listing + schema-read + py4j round-trip that a fresh
+# spark.read.parquet pays per call (measured: >half the catalog-bench
+# wall time was repeated table loading).
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain ``spark.read.parquet`` so Catalyst keeps full
     pushdown/pruning freedom; callers filter/select on the returned frame."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     dtypes = dict(df.dtypes)
     for c in _NANO_TS_COLUMNS.get(name, ()):
@@ -55,6 +67,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c, t in df.dtypes:
         if t == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    _PLAN_CACHE[key] = df
     return df
 
 
