@@ -91,3 +91,31 @@ def chi_square(df: DataFrame, cat_col: str, group_col: str) -> DataFrame:
             (F.countDistinct("_cat") - 1) * (F.countDistinct("_grp") - 1)
         ).alias("dof"),
     )
+
+
+def ks_by_feature(df: DataFrame, cols: list[str], group_col: str) -> DataFrame:
+    """Per-feature two-sample KS in ONE pass: unpivot the feature columns to
+    (feature, value) rows, then the cumulative-CDF window runs PARTITIONED
+    BY FEATURE — unlike single-column ``ks_statistic`` there is no global
+    single-partition sort, so this scales to wide feature tables (the
+    reference loops scipy per column — drift_check.py:50-136)."""
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
+    long = df.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (feature, value)", group_col
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("feature")
+    c1 = F.sum(F.when(F.col(group_col), 1).otherwise(0)).over(w)
+    c2 = F.sum(F.when(~F.col(group_col), 1).otherwise(0)).over(w)
+    n1 = F.sum(F.when(F.col(group_col), 1).otherwise(0)).over(tot)
+    n2 = F.sum(F.when(~F.col(group_col), 1).otherwise(0)).over(tot)
+    diff = F.abs(c1 / n1.cast("double") - c2 / n2.cast("double"))
+    return (
+        long.select("feature", diff.alias("_d"))
+        .groupBy("feature")
+        .agg(F.round(F.max("_d"), 6).alias("ks_stat"))
+    )

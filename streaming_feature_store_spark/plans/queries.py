@@ -1647,3 +1647,45 @@ def q52_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
+
+
+@query(
+    "q53_ks_by_feature",
+    sql="""
+    WITH long AS (
+      SELECT 'l_quantity' AS feature, l_quantity AS value,
+             l_returnflag = 'R' AS grp FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice, l_returnflag = 'R' FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount, l_returnflag = 'R' FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax, l_returnflag = 'R' FROM lineitem
+    ), c AS (
+      SELECT feature, ABS(
+        SUM(CASE WHEN grp THEN 1 ELSE 0 END) OVER w
+          / CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) OVER t AS DOUBLE)
+        - SUM(CASE WHEN NOT grp THEN 1 ELSE 0 END) OVER w
+          / CAST(SUM(CASE WHEN NOT grp THEN 1 ELSE 0 END) OVER t AS DOUBLE)
+      ) AS dd
+      FROM long
+      WINDOW
+        w AS (PARTITION BY feature ORDER BY value
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        t AS (PARTITION BY feature)
+    )
+    SELECT feature, ROUND(MAX(dd), 6) AS ks_stat FROM c GROUP BY feature
+    """,
+)
+def q53_ks_by_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 at scale: KS drift for FOUR features in one pass — cumulative-CDF
+    windows partitioned by feature (no global sort; see operators/drift.
+    ks_by_feature). Populations: returned vs non-returned lineitems."""
+    from streaming_feature_store_spark.operators.drift import ks_by_feature
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "grp", F.col("l_returnflag") == "R"
+    )
+    return ks_by_feature(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], "grp"
+    )
