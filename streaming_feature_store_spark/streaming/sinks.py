@@ -34,32 +34,59 @@ def upsert_latest(
     path: str,
     key_cols: list[str],
     ts_col: str = "window_start_s",
+    n_buckets: int = 64,
 ) -> None:
     """Merge a feature micro-batch into the latest-view table at ``path``.
 
     Newest ``ts_col`` per key wins; ties broken by preferring the incoming
     row (the reference's Redis HSET overwrite semantics). Idempotent: the
     same batch applied twice yields the same table.
+
+    Layout: hash-bucketed by entity key (``_bucket=`` partitions) and merged
+    with DYNAMIC partition overwrite — a micro-batch touching k entities
+    rewrites at most min(k, n_buckets) buckets, never the whole table. This
+    is the parquet approximation of a keyed Delta/Iceberg MERGE (identical
+    call-site contract); at 100 TB, size n_buckets so a bucket ≈ one task.
     """
-    batch_df = batch_df.withColumn("_src", F.lit(1))
-    if os.path.exists(path):
-        current = spark.read.parquet(path).withColumn("_src", F.lit(0))
-        merged = current.unionByName(batch_df, allowMissingColumns=True)
-    else:
-        merged = batch_df
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.desc(ts_col), F.desc("_src")
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c).cast("string") for c in key_cols]), F.lit(n_buckets)
     )
+    incoming = batch_df.withColumn("_bucket", bucket).withColumn("_src", F.lit(1))
+    if os.path.exists(path):
+        touched = [r["_bucket"] for r in incoming.select("_bucket").distinct().collect()]
+        current = (
+            spark.read.parquet(path)
+            .filter(F.col("_bucket").isin(touched))  # partition-pruned read
+            .withColumn("_src", F.lit(0))
+        )
+        merged = current.unionByName(incoming, allowMissingColumns=True)
+    else:
+        merged = incoming
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(ts_col), F.desc("_src"))
     latest = (
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
-    tmp = path + ".tmp"
-    latest.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    with _dynamic_overwrite(spark):
+        latest.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+
+
+class _dynamic_overwrite:
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic: overwrite
+    replaces only the partitions present in the written frame."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
 
 
 def append_log(batch_df: DataFrame, path: str, ts_col: str = "window_start_s") -> None:
