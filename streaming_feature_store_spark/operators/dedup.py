@@ -210,9 +210,39 @@ def minhash_near_dups(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    true_pairs = _jaccard_from_index(idx, id_col, threshold)
-    return cands.join(true_pairs, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    # Verify CANDIDATES ONLY — never the all-pairs Jaccard. (Computing full
+    # jaccard_pairs here re-introduced the quadratic blowup LSH exists to
+    # avoid: a 40-word-vocab 100k-doc corpus has ~300 docs per shingle →
+    # ~3×10⁹ all-pairs rows, which OOMed a 128 GiB JVM. The candidate set is
+    # |near-dups|-sized, so intersecting via two keyed joins is linear.)
+    ia = idx.select(F.col(id_col).alias("doc_a"), "sh")
+    ib = idx.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        cands.join(ia, "doc_a")
+        .join(ib, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = idx.groupBy(id_col).agg(F.count("*").alias("nsh"))
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("nsh").alias("nsh_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("nsh").alias("nsh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("nsh_a") + F.col("nsh_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

@@ -82,7 +82,7 @@ def cosine_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int) -> Column:
+def _hyperplane(dim: int, plane: int, table: int = 0) -> Column:
     """Deterministic pseudo-random hyperplane as a LITERAL array: component d
     of plane p derives from sha256(plane‖d), computed driver-side once.
     Stateless and reproducible everywhere; evaluating 512 hash expressions
@@ -93,7 +93,7 @@ def _hyperplane(dim: int, plane: int) -> Column:
     comps = []
     for d in range(dim):
         h = int.from_bytes(
-            hashlib.sha256(f"plane{plane}:{d}".encode()).digest()[:8], "big"
+            hashlib.sha256(f"t{table}:plane{plane}:{d}".encode()).digest()[:8], "big"
         )
         comps.append(F.lit((h % 2001 - 1000) / 1000.0))
     return F.array(*comps)
@@ -105,12 +105,14 @@ def lsh_buckets(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    table: int = 0,
 ) -> DataFrame:
-    """Sign-LSH bucket id per vector (bits hyperplanes → int bucket)."""
+    """Sign-LSH bucket id per vector (bits hyperplanes → int bucket), for
+    one hash table (``table`` seeds an independent plane set)."""
     d = as_double_vec(df, vec_col)
     bucket = F.lit(0).cast("long")
     for b in range(bits):
-        s = _dot(F.col(vec_col), _hyperplane(dim, b))
+        s = _dot(F.col(vec_col), _hyperplane(dim, b, table))
         bucket = bucket + F.when(s > 0, F.lit(1 << b).cast("long")).otherwise(0)
     return d.withColumn("bucket", bucket)
 
@@ -121,38 +123,75 @@ def lsh_cosine_topk(
     dim: int,
     k: int = 3,
     bits: int = 8,
+    tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket (plus
-    Hamming-1 probes), exact cosine on candidates only."""
-    c = lsh_buckets(corpus, dim, bits, id_col, vec_col).select(
+    """Approximate top-k: candidates share the query's bucket in ANY of
+    ``tables`` independent sign-LSH tables (plus Hamming-1 probes per
+    table); exact cosine on the deduped candidate set only.
+
+    The classic LSH-forest recall/cost dial: recall ≈ 1−(1−p^bits)^(tables·
+    (1+bits)) for per-plane agreement p. One table suffices for tightly
+    clustered embedding spaces; uniform-ish spaces need several (recall on
+    planted ε-neighbors in a uniform 100k corpus: 0 % with 1×12-bit table,
+    covered by tables=4 — tools/scale_dedup_probe.py)."""
+
+    def tagged(df, side):
+        parts = []
+        for t in range(tables):
+            b = lsh_buckets(df, dim, bits, id_col, vec_col, table=t)
+            parts.append(
+                b.select(
+                    F.col(id_col), F.col(vec_col), F.lit(t).alias("tbl"), "bucket"
+                )
+            )
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+        return out
+
+    c = tagged(corpus, "c").select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("cn"),
+        "tbl",
         "bucket",
     )
-    q = lsh_buckets(queries, dim, bits, id_col, vec_col).select(
+    qt = tagged(queries, "q")
+    # multi-probe per table: exact bucket + all Hamming-1 variants
+    probes = qt.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("qn"),
-        "bucket",
-    )
-    # multi-probe: query bucket + all Hamming-1 variants
-    probes = q.select(
-        "query_id",
-        "qvec",
-        "qn",
+        "tbl",
         F.explode(
             F.array(
                 F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(bits)],
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long"))
+                    for b in range(bits)
+                ],
             )
         ).alias("bucket"),
     )
-    scored = (
-        c.join(broadcast(probes), "bucket")
+    cands = (
+        c.join(broadcast(probes.select("query_id", "tbl", "bucket")), ["tbl", "bucket"])
         .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id")
+        .distinct()
+    )
+    cvecs = as_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    qv = as_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    scored = (
+        cands.join(cvecs, "nbr_id")
+        .join(broadcast(qv), "query_id")
         .withColumn(
             "cosine",
             F.round(

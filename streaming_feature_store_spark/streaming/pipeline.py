@@ -96,7 +96,9 @@ def start_feature_pipeline(
         cached = batch_df.persist()
         try:
             upsert_latest(spark, cached, latest_path, [entity_col])
-            append_log(cached, log_path)
+            # batch_id-keyed write → a retried micro-batch replaces its own
+            # partition rather than double-appending (effectively-once, T5)
+            append_log(cached, log_path, batch_id=batch_id)
         finally:
             cached.unpersist()
 

@@ -89,18 +89,31 @@ class _dynamic_overwrite:
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
 
 
-def append_log(batch_df: DataFrame, path: str, ts_col: str = "window_start_s") -> None:
+def append_log(
+    batch_df: DataFrame,
+    path: str,
+    ts_col: str = "window_start_s",
+    batch_id: int | None = None,
+) -> None:
     """Append the batch to the date-partitioned feature log (offline store).
     Partitioning by date keeps retention deletes and time-range training
-    reads to partition-pruned scans at 100 TB."""
-    (
-        batch_df.withColumn(
-            "_date", F.to_date(F.timestamp_seconds(F.col(ts_col)))
-        )
-        .write.mode("append")
-        .partitionBy("_date")
-        .parquet(path)
+    reads to partition-pruned scans at 100 TB.
+
+    When ``batch_id`` is provided (the foreachBatch path), the write targets
+    a ``_batch=`` partition with dynamic overwrite — re-running a failed
+    micro-batch REPLACES its partition instead of double-appending, which is
+    what makes checkpoint + this sink effectively-once (T5). Plain appends
+    (batch materialization) skip the batch column."""
+    d = batch_df.withColumn(
+        "_date", F.to_date(F.timestamp_seconds(F.col(ts_col)))
     )
+    if batch_id is None:
+        d.write.mode("append").partitionBy("_date").parquet(path)
+        return
+    d = d.withColumn("_batch", F.lit(batch_id))
+    spark = batch_df.sparkSession
+    with _dynamic_overwrite(spark):
+        d.write.mode("overwrite").partitionBy("_batch", "_date").parquet(path)
 
 
 def retention_delete(

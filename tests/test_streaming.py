@@ -114,3 +114,49 @@ def test_watermark_drops_very_late_events(spark, tmp_path):
 def test_watermark_policy_composition():
     p = WatermarkPolicy(max_out_of_orderness_s=5, allowed_lateness_s=60)
     assert p.delay == "65 seconds"
+
+
+def test_stream_dedup_drops_redelivered(spark, tmp_path):
+    """At-least-once transport: the same event_id delivered twice must count
+    once (streaming/dedup.py)."""
+    from streaming_feature_store_spark.streaming.dedup import dedup_events
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    rows = [
+        (1, 7, BASE + dt.timedelta(seconds=1), 50.0, "view"),
+        (1, 7, BASE + dt.timedelta(seconds=1), 50.0, "view"),   # redelivery
+        (2, 7, BASE + dt.timedelta(seconds=2), 25.0, "view"),
+    ]
+    _write_batch(spark, src, rows)
+    stream = read_file_stream(spark, src, SCHEMA)
+    deduped = dedup_events(stream, ["event_id"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert got.filter(F.col("event_id") == 1).count() == 1
+
+
+def test_log_append_idempotent_per_batch(spark, tmp_path):
+    """A retried micro-batch must REPLACE its log partition, not
+    double-append (effectively-once, T5)."""
+    from streaming_feature_store_spark.streaming.sinks import append_log
+
+    path = str(tmp_path / "log")
+    batch = spark.createDataFrame(
+        [(7, 100.0, 1704067200)], "user_id long, value_sum double, window_start_s long"
+    )
+    append_log(batch, path, batch_id=5)
+    append_log(batch, path, batch_id=5)  # simulated retry of the same batch
+    assert spark.read.parquet(path).count() == 1
+    append_log(batch, path, batch_id=6)  # a NEW batch does append
+    assert spark.read.parquet(path).count() == 2

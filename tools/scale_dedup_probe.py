@@ -1,0 +1,109 @@
+"""Scale probe for the training-data operators: dedup at 100k docs, ANN at
+100k vectors — the sizes where the LSH paths must beat brute force.
+
+Usage: python tools/scale_dedup_probe.py [n_docs] [n_vecs]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F
+
+
+def synth_docs(spark, n: int, dup_rate: float = 0.02):
+    """Deterministic word-soup docs; a dup_rate slice are near-copies of an
+    earlier doc (same token stream, one token perturbed)."""
+    words = [f"w{i}" for i in range(40)]
+    warr = F.array(*[F.lit(w) for w in words])
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(200)),
+                lambda j: F.element_at(
+                    warr,
+                    (F.abs(F.xxhash64(F.col("id") % F.lit(int(n * (1 - 0.02))), j)) % 40 + 1).cast("int"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    # ids in the top dup_rate slice reuse an earlier id's stream (near-exact dup)
+    return base
+
+
+def synth_vecs(spark, n: int, dim: int = 64, n_twins: int = 10):
+    """Uniform random vectors, except the LAST n_twins are ε-perturbed
+    copies of queries 0..n_twins-1 — the planted true nearest neighbors."""
+    base = F.when(F.col("id") >= n - n_twins, F.col("id") - (n - n_twins)).otherwise(
+        F.col("id")
+    )
+    jitter = F.when(F.col("id") >= n - n_twins, 0.01).otherwise(0.0)
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: (
+                (F.abs(F.xxhash64(base, d)) % 2001) / 1000.0
+                - 1.0
+                + jitter * ((F.abs(F.xxhash64("id", d, F.lit(9))) % 100) / 100.0)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+
+    from streaming_feature_store_spark.operators.dedup import (
+        exact_dup_groups,
+        minhash_near_dups,
+    )
+    from streaming_feature_store_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+    from streaming_feature_store_spark.session import get_spark
+
+    spark = get_spark("dedup-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = synth_docs(spark, n_docs).persist()
+    print(f"docs={docs.count():,}")
+    t0 = time.time()
+    n_groups = exact_dup_groups(docs).filter("dup_count > 1").count()
+    print(f"exact dedup: {time.time()-t0:.1f}s ({n_groups:,} dup groups)")
+    t0 = time.time()
+    pairs = minhash_near_dups(docs, threshold=0.8).count()
+    print(f"minhash-LSH near-dups: {time.time()-t0:.1f}s ({pairs:,} verified pairs)")
+
+    vecs = synth_vecs(spark, n_vecs).persist()
+    q10 = vecs.filter(F.col("vec_id") < 10)
+    print(f"vecs={vecs.count():,}")
+    t0 = time.time()
+    exact = {
+        r["query_id"]: r["nbr_id"]
+        for r in cosine_topk(vecs, q10, k=1).collect()
+    }
+    t_exact = time.time() - t0
+    t0 = time.time()
+    approx = {
+        r["query_id"]: r["nbr_id"]
+        for r in lsh_cosine_topk(vecs, q10, dim=64, k=1, bits=12, tables=4).collect()
+    }
+    t_lsh = time.time() - t0
+    recall = sum(approx.get(k) == v for k, v in exact.items()) / len(exact)
+    print(
+        f"ANN: brute-force top-1 for 10 queries {t_exact:.1f}s; "
+        f"LSH(12 bits x 4 tables, multi-probe) {t_lsh:.1f}s; recall@1 {recall:.2f}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
