@@ -49,9 +49,26 @@ _NANO_TS_COLUMNS = {
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def ensure_session_configs(spark: SparkSession) -> None:
+    """Settings every query in this engine assumes, enforced defensively for
+    externally-created sessions (the driver passes its own SparkSession):
+
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which Spark
+      otherwise refuses to read;
+    - UTC session timezone: window bucketing / hour extraction must be
+      engine- and host-independent (the DuckDB oracle is tz-naive).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # already-set/static confs: keep whatever the session has
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain ``spark.read.parquet`` so Catalyst keeps full
     pushdown/pruning freedom; callers filter/select on the returned frame."""
+    ensure_session_configs(spark)
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
