@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 class TrainConfig:
     label_col: str = "label"
     feature_cols: list[str] = field(default_factory=list)
+    categorical_cols: list[str] = field(default_factory=list)
     algorithm: str = "gbt"  # gbt | rf | lr
     seed: int = 42
     iqr_k: float = 3.0
@@ -48,6 +49,32 @@ def impute_median(df: DataFrame, cols: list[str]) -> DataFrame:
     out = model.transform(df)
     for c, oc in zip(cols, out_cols):
         out = out.drop(c).withColumnRenamed(oc, c)
+    return out
+
+
+def impute_mode(df: DataFrame, cols: list[str]) -> DataFrame:
+    """M2 categorical/bool branch: fill nulls with the column mode
+    (datasets.py:165-169's ``fillna(mode()[0])``). The mode per column is a
+    tiny grouped aggregate (distinct categories ≪ rows, map-side partial
+    counts); ties break deterministically by value. Booleans fall back to
+    False when the column is entirely null, mirroring the reference."""
+    out = df
+    for c in cols:
+        top = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .count()
+            .orderBy(F.desc("count"), F.asc(c))
+            .limit(1)
+            .collect()
+        )
+        if top:
+            fill = top[0][0]
+        elif df.schema[c].dataType.simpleString() == "boolean":
+            fill = False
+        else:
+            continue  # all-null non-bool column: nothing sensible to fill
+        out = out.fillna({c: fill})
     return out
 
 
@@ -75,12 +102,46 @@ def remove_outliers(
 
 
 def stratified_split(
-    df: DataFrame, label_col: str, splits=(0.6, 0.2, 0.2), seed: int = 42
+    df: DataFrame,
+    label_col: str,
+    splits=(0.6, 0.2, 0.2),
+    seed: int = 42,
+    id_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """M4: train/val/test stratified on the label via per-class salted
-    hashing — deterministic, single pass, no sampleBy two-phase skew."""
+    """M4: train/val/test stratified on the label (datasets.py:220-246's
+    two-stage ``train_test_split(stratify=y)``), via salted hashing over
+    the IDENTITY columns + label only:
+
+    - the uniform variate u = hash(id…, label, seed) is independent across
+      rows WITHIN each label stratum, so per-class split fractions
+      concentrate around (train, val, test) — the stratification guarantee;
+    - hashing only id+label (never feature columns) makes the assignment
+      STABLE under feature edits: recomputing a feature moves no row
+      between splits;
+    - no shuffle at all — a filter per split, embarrassingly parallel,
+      unlike an exact per-class rank split which would hash-partition by
+      label (2 partitions for binary labels — a straggler at scale).
+
+    ``id_cols=None`` falls back to hashing all non-label columns (the only
+    identity available without a declared key), which keeps determinism but
+    not edit-stability; pass the primary key for the documented contract.
+    """
     train_f, val_f, _ = splits
-    u = F.abs(F.xxhash64(F.concat_ws("§", *[F.col(c).cast("string") for c in df.columns]), F.lit(seed))) % 1_000_000 / 1_000_000.0
+    key_cols = id_cols if id_cols else [c for c in df.columns if c != label_col]
+    u = (
+        F.abs(
+            F.xxhash64(
+                F.concat_ws(
+                    "§",
+                    *[F.col(c).cast("string") for c in key_cols],
+                    F.col(label_col).cast("string"),
+                ),
+                F.lit(seed),
+            )
+        )
+        % 1_000_000
+        / 1_000_000.0
+    )
     d = df.withColumn("_u", u)
     train = d.filter(F.col("_u") < train_f).drop("_u")
     val = d.filter((F.col("_u") >= train_f) & (F.col("_u") < train_f + val_f)).drop("_u")
@@ -89,17 +150,37 @@ def stratified_split(
 
 
 def build_pipeline(cfg: TrainConfig):
-    """M5+M6: assembler → scaler → classifier as one pyspark.ml Pipeline."""
+    """M5+M6: [StringIndexer →] assembler → scaler → classifier as one
+    pyspark.ml Pipeline. Categorical/string features in
+    ``cfg.categorical_cols`` are label-encoded by a single multi-column
+    StringIndexer (frequency order, ``handleInvalid='keep'`` so unseen
+    categories at scoring time map to an 'unknown' index instead of
+    failing) — the Spark form of the reference's LabelEncoder pass
+    (datasets.py:275-286); booleans are cast up by the assembler."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import (
         GBTClassifier,
         LogisticRegression,
         RandomForestClassifier,
     )
-    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.feature import StandardScaler, StringIndexer, VectorAssembler
 
+    stages = []
+    numeric = [c for c in cfg.feature_cols if c not in cfg.categorical_cols]
+    assembled = list(numeric)
+    if cfg.categorical_cols:
+        idx_cols = [f"{c}_idx" for c in cfg.categorical_cols]
+        stages.append(
+            StringIndexer(
+                inputCols=cfg.categorical_cols,
+                outputCols=idx_cols,
+                handleInvalid="keep",
+                stringOrderType="frequencyDesc",
+            )
+        )
+        assembled += idx_cols
     assembler = VectorAssembler(
-        inputCols=cfg.feature_cols, outputCol="features_raw", handleInvalid="keep"
+        inputCols=assembled, outputCol="features_raw", handleInvalid="keep"
     )
     scaler = StandardScaler(inputCol="features_raw", outputCol="features")
     if cfg.algorithm == "gbt":
@@ -110,7 +191,7 @@ def build_pipeline(cfg: TrainConfig):
         clf = LogisticRegression(labelCol=cfg.label_col, featuresCol="features", maxIter=50)
     else:
         raise ValueError(f"unknown algorithm {cfg.algorithm!r}")
-    return Pipeline(stages=[assembler, scaler, clf])
+    return Pipeline(stages=[*stages, assembler, scaler, clf])
 
 
 def evaluate(model, df: DataFrame, label_col: str = "label") -> dict:
@@ -139,8 +220,12 @@ def evaluate(model, df: DataFrame, label_col: str = "label") -> dict:
     }
     # feature importances (tree models) keyed by input name (M8 —
     # models.py:213-230 logs the same map)
+    from pyspark.ml.feature import VectorAssembler
+
     clf = model.stages[-1]
-    assembler = model.stages[0]
+    assembler = next(
+        s for s in model.stages if isinstance(s, VectorAssembler)
+    )
     if hasattr(clf, "featureImportances"):
         out["feature_importances"] = dict(
             zip(assembler.getInputCols(), clf.featureImportances.toArray().tolist())

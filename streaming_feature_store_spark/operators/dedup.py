@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import broadcast
 
 from streaming_feature_store_spark.operators.text import fingerprint
 
@@ -93,6 +94,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All document pairs with shingle-Jaccard ≥ threshold.
 
@@ -100,15 +102,27 @@ def jaccard_pairs(
     (only co-occurring pairs appear), count intersections, then join the two
     per-doc shingle counts to close the |A∪B| = |A|+|B|−|A∩B| identity.
 
-    The index is persisted (memory-and-disk) because the plan consumes it
-    three times (both join branches + sizes); without it Spark re-parses and
-    re-shingles the corpus per branch.
+    ``max_df`` caps the document frequency of shingles admitted to the
+    self-join (standard stop-shingle pruning): a shingle in d docs produces
+    d·(d−1)/2 join rows, so one shingle shared by 10k docs alone emits
+    5×10⁷ pairs — the class of blowup that OOMed the 128 GiB JVM in the LSH
+    probe (PERFORMANCE.md lesson 1). Dropping a stop-shingle from the
+    *intersection count only* would under-count Jaccard, so the cap drops it
+    from BOTH the index and the per-doc sizes: the result is exact Jaccard
+    over the capped shingle space (documented approximation; pairs whose
+    overlap is carried solely by corpus-wide boilerplate no longer surface,
+    which is the curation intent). ``max_df=None`` keeps the exact
+    semantics for oracle parity at test scale.
     """
     from pyspark import StorageLevel
 
-    idx = _shingle_index(df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    idx = _shingle_index(df, text_col, id_col, n)
+    if max_df is not None:
+        hot = idx.groupBy("sh").agg(F.count("*").alias("df_sh")).filter(
+            F.col("df_sh") > max_df
+        )
+        idx = idx.join(broadcast(hot.select("sh")), "sh", "left_anti")
+    idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
     return _jaccard_from_index(idx, id_col, threshold)
 
 
@@ -210,11 +224,19 @@ def minhash_near_dups(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # Verify CANDIDATES ONLY — never the all-pairs Jaccard. (Computing full
-    # jaccard_pairs here re-introduced the quadratic blowup LSH exists to
-    # avoid: a 40-word-vocab 100k-doc corpus has ~300 docs per shingle →
-    # ~3×10⁹ all-pairs rows, which OOMed a 128 GiB JVM. The candidate set is
-    # |near-dups|-sized, so intersecting via two keyed joins is linear.)
+    return _verify_candidates(cands, idx, id_col, threshold)
+
+
+def _verify_candidates(
+    cands: DataFrame, idx: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact shingle-Jaccard over a candidate pair set ONLY — never the
+    all-pairs Jaccard. (Computing full jaccard_pairs here re-introduced the
+    quadratic blowup LSH exists to avoid: a 40-word-vocab 100k-doc corpus
+    has ~300 docs per shingle → ~3×10⁹ all-pairs rows, which OOMed a
+    128 GiB JVM. The candidate set is |near-dups|-sized, so intersecting
+    via two keyed joins is linear.) Shared by the MinHash-LSH and SimHash
+    retrieval paths."""
     ia = idx.select(F.col(id_col).alias("doc_a"), "sh")
     ib = idx.select(F.col(id_col).alias("doc_b"), "sh")
     inter = (
@@ -271,3 +293,85 @@ def simhash64(
         )
         sim = term if sim is None else sim + term
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 8,
+    hamming_max: int = 12,
+) -> DataFrame:
+    """Near-dup candidate pairs by banded SimHash Hamming join.
+
+    The 63-bit signature is split into ``bands`` contiguous bit bands; a
+    pair is a candidate iff ≥1 band matches exactly, found with ONE
+    self-join keyed on (band_idx, band_bits). Pigeonhole guarantee: any
+    pair with Hamming distance < bands shares at least one identical band,
+    so recall is *deterministic* (=1) for distance ≤ bands−1 — unlike
+    MinHash banding, which is probabilistic. Candidates are then filtered
+    to ``hamming_max`` via ``bit_count(xor)``.
+
+    Scale shape: the band join is the only wide op (O(docs·bands) index
+    rows, 8-byte keys); at the measured corpus, true near-dups sit at
+    Hamming ≤ 5 while the background sits ≥ 12, so the default radius
+    separates cleanly. Returns (doc_a, doc_b, hamming).
+    """
+    from pyspark import StorageLevel
+
+    width = 64 // bands  # 63 used bits → last band is narrower; fine
+    sigs = simhash64(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+            .alias(f"band{b}")
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_vals).alias("band_idx", "bv")
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "bv")
+    b_ = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "bv")
+    cands = (
+        a.join(b_, ["band_idx", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 8,
+    hamming_max: int = 12,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SimHash-banded near-dup retrieval verified with true shingle-Jaccard:
+    banded Hamming candidates (``simhash_pairs``) → exact Jaccard on the
+    candidate set only (same verification plan as the MinHash path).
+    Returns (doc_a, doc_b, jaccard) — an output an exact-Jaccard oracle can
+    check whenever every true near-dup lies within the Hamming radius
+    (measured: true pairs ≤ 5, background ≥ 12 on the test corpus)."""
+    from pyspark import StorageLevel
+
+    cands = simhash_pairs(df, text_col, id_col, bands, hamming_max).select(
+        "doc_a", "doc_b"
+    )
+    idx = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    return _verify_candidates(cands, idx, id_col, threshold)

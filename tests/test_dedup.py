@@ -1,5 +1,6 @@
-"""Dedup operator tests: exact groups, Jaccard pairs, MinHash-LSH recall on
-an obvious near-dup, SimHash determinism + locality."""
+"""Dedup operator tests: exact groups, Jaccard pairs (+ max-df stop-shingle
+cap), MinHash-LSH recall on an obvious near-dup, SimHash determinism +
+locality + banded Hamming retrieval."""
 
 import pyspark.sql.functions as F
 
@@ -9,6 +10,8 @@ from streaming_feature_store_spark.operators.dedup import (
     jaccard_pairs,
     minhash_near_dups,
     simhash64,
+    simhash_near_dups,
+    simhash_pairs,
 )
 
 DOCS = [
@@ -47,6 +50,51 @@ def test_minhash_finds_near_dups(spark):
         for r in minhash_near_dups(_docs(spark), threshold=0.3).collect()
     }
     assert (1, 2) in pairs  # identical docs always collide in every band
+
+
+def test_jaccard_max_df_drops_stop_shingles(spark):
+    """A boilerplate prefix shared by EVERY doc is a stop-shingle: with the
+    cap it must not manufacture pairs (the d² join blowup), while genuine
+    near-dups keep matching on their non-boilerplate shingles."""
+    boiler = "standard header text common to all documents in this corpus"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, boiler + " alpha beta gamma delta epsilon zeta eta iota"),
+            (3, boiler + " one two three four five six seven eight"),
+            (4, boiler + " nine ten eleven twelve thirteen fourteen fifteen"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.3, max_df=3).collect()
+    }
+    # boilerplate shingles hit all 4 docs -> dropped by max_df=3; docs 1/2
+    # still pair on their distinct tails, 3/4 share nothing else
+    assert (1, 2) in capped
+    assert (3, 4) not in capped
+    # uncapped keeps the boilerplate-driven pairs (exact semantics)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert (3, 4) in full
+
+
+def test_simhash_banded_retrieval(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(_docs(spark)).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical docs: same signature
+    assert (1, 3) in pairs  # near dup within the Hamming radius
+    near = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dups(_docs(spark), threshold=0.3).collect()
+    }
+    assert (1, 2) in near and (1, 3) in near
+    assert not any(4 in p for p in near)
 
 
 def test_simhash_deterministic_and_local(spark):

