@@ -46,11 +46,27 @@ def materialize(
 
 
 def get_online(
-    spark: SparkSession, latest_path: str, keys: DataFrame, join_key: str
+    spark: SparkSession,
+    latest_path: str,
+    keys: DataFrame,
+    join_key: str,
+    ts_col: str | None = "window_start_s",
+    now_s: int | None = None,
 ) -> DataFrame:
+    """Point lookups against the latest view, with the serving contract's
+    freshness column: ``freshness_s = now − feature_timestamp`` per row
+    (inference/features.py:199-221 computes and gauges the same quantity).
+    ``now_s`` pins the clock for tests/backfills; None = current time.
+    ``ts_col=None`` skips the column for views without a timestamp."""
     from streaming_feature_store_spark.operators.enrich import point_lookup
 
-    return point_lookup(spark.read.parquet(latest_path), keys, join_key)
+    out = point_lookup(spark.read.parquet(latest_path), keys, join_key)
+    if ts_col is not None and ts_col in out.columns:
+        now = F.lit(now_s) if now_s is not None else F.unix_timestamp()
+        out = out.withColumn(
+            "freshness_s", (now - F.col(ts_col)).cast("long")
+        )
+    return out
 
 
 def get_historical(

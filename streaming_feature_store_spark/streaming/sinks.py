@@ -116,27 +116,95 @@ def append_log(
         d.write.mode("overwrite").partitionBy("_batch", "_date").parquet(path)
 
 
+def _partition_cols(path: str) -> list[str]:
+    """Infer hive-style partition columns from directory names, walking
+    nested levels (``_batch=…/_date=…`` → ['_batch', '_date'])."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        try:
+            entries = [
+                e for e in os.listdir(cur)
+                if "=" in e and os.path.isdir(os.path.join(cur, e))
+            ]
+        except FileNotFoundError:
+            break
+        if not entries:
+            break
+        cols.append(entries[0].split("=", 1)[0])
+        cur = os.path.join(cur, entries[0])
+    return cols
+
+
 def retention_delete(
     spark: SparkSession, path: str, ts_col: str, horizon_s: int, now_s: int
 ) -> None:
     """TTL semantics (Redis 24 h TTL → retention job): rewrite the table
-    without rows older than the horizon. On Delta this is a metadata-only
-    partition drop."""
+    without rows older than the horizon, PRESERVING the table's partition
+    layout (inferred from the directory names) so later upsert_latest /
+    append_log merges keep their replace-only-touched-partitions
+    invariants. The rmtree+rename swap is driver-local-filesystem only and
+    not atomic for concurrent readers — on object storage use Delta/
+    Iceberg, where this is a metadata-only operation; for date-partitioned
+    logs prefer ``retention_drop_partitions`` (no rewrite at all)."""
+    parts = _partition_cols(path)
     df = spark.read.parquet(path)
     kept = df.filter(F.col(ts_col) >= F.lit(now_s - horizon_s))
     tmp = path + ".tmp"
-    kept.write.mode("overwrite").parquet(tmp)
+    w = kept.write.mode("overwrite")
+    if parts:
+        w = w.partitionBy(*parts)
+    w.parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
+
+
+def retention_drop_partitions(
+    path: str, horizon_s: int, now_s: int, date_col: str = "_date"
+) -> list[str]:
+    """Log-path TTL without any rewrite: delete whole ``_date=`` partition
+    directories strictly older than the horizon — the parquet analog of a
+    Delta ``DELETE WHERE _date < …`` partition drop. Rows inside the cutoff
+    day are kept (conservative: a partition is only dropped when its entire
+    day is expired). Returns the dropped partition names."""
+    import datetime
+
+    cutoff = datetime.date.fromtimestamp(now_s - horizon_s)
+    dropped = []
+    for root, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            if d.startswith(f"{date_col}="):
+                try:
+                    day = datetime.date.fromisoformat(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if day < cutoff:
+                    shutil.rmtree(os.path.join(root, d))
+                    dropped.append(d)
+                    dirs.remove(d)
+    return dropped
 
 
 def route_dlq(
     parsed: DataFrame, dlq_path: str | None, corrupt_col: str = "_corrupt"
 ) -> DataFrame:
-    """Split malformed rows to the DLQ (T8); returns the clean rows."""
+    """Split malformed rows to the DLQ (T8); returns the clean rows.
+
+    BATCH frames only: the eager DLQ write is illegal on a streaming frame —
+    call this inside ``foreachBatch`` on the micro-batch (the S5 Kafka
+    decode path does exactly that). The input is cached for the duration of
+    the split so the corrupt-row write and the clean-row return don't each
+    re-scan/re-parse the source; the cache is dropped once the clean side
+    is materialized by the caller's sink write (unpersist is safe — it only
+    marks the plan re-computable)."""
+    if parsed.isStreaming:
+        raise ValueError(
+            "route_dlq needs a batch DataFrame; call it inside foreachBatch"
+        )
     if corrupt_col not in parsed.columns:
         return parsed
     if dlq_path is not None:
+        parsed.persist()
         parsed.filter(F.col(corrupt_col).isNotNull()).write.mode("append").parquet(
             dlq_path
         )

@@ -62,13 +62,29 @@ class MetricsListener:
                         dropped += op.numRowsDroppedByWatermark
                     except AttributeError:
                         pass
+                wm = (p.eventTime or {}).get("watermark")
+                # T10 tail: serving-freshness gauge — how far the emitted
+                # feature state trails wall clock (FEATURE_FRESHNESS in
+                # inference/features.py:221). None until the first
+                # watermark advances past the epoch placeholder.
+                freshness_s = None
+                if wm and not wm.startswith("1970-"):
+                    import datetime as _dt
+
+                    wm_ts = _dt.datetime.fromisoformat(
+                        wm.replace("Z", "+00:00")
+                    )
+                    freshness_s = (
+                        _dt.datetime.now(_dt.timezone.utc) - wm_ts
+                    ).total_seconds()
                 self.progress.append(
                     {
                         "batchId": p.batchId,
                         "inputRowsPerSecond": p.inputRowsPerSecond,
                         "processedRowsPerSecond": p.processedRowsPerSecond,
                         "numInputRows": p.numInputRows,
-                        "watermark": (p.eventTime or {}).get("watermark"),
+                        "watermark": wm,
+                        "freshness_lag_s": freshness_s,
                         "rowsDroppedByWatermark": dropped,
                     }
                 )

@@ -50,6 +50,15 @@ def test_materialize_parity_replay(spark, tmp_path):
     served = point_lookup(spark.read.parquet(latest), keys, "user_id").collect()
     assert len(served) == 1 and served[0]["user_id"] == 7
 
+    # serving freshness (T10 tail): freshness_s = now − feature_ts per row
+    from streaming_feature_store_spark.store import get_online
+
+    row = get_online(
+        spark, latest, keys, "user_id",
+        now_s=int((BASE + dt.timedelta(minutes=15)).timestamp()),
+    ).collect()[0]
+    assert row["freshness_s"] == 300  # newest window starts at minute 10
+
     # replay (T11): wipe the latest view, rebuild purely from the log
     import shutil
 

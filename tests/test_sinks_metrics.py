@@ -8,7 +8,10 @@ import os
 import pyspark.sql.functions as F
 
 from streaming_feature_store_spark.functions.exprs import coerce_typed_strings
-from streaming_feature_store_spark.streaming.sinks import retention_delete
+from streaming_feature_store_spark.streaming.sinks import (
+    retention_delete,
+    retention_drop_partitions,
+)
 from streaming_feature_store_spark.streaming.watermarks import MetricsListener
 
 BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
@@ -24,6 +27,38 @@ def test_retention_delete(spark, tmp_path):
     retention_delete(spark, path, "window_start_s", horizon_s=86_400, now_s=now_s)
     kept = sorted(r["user_id"] for r in spark.read.parquet(path).collect())
     assert kept == [1]  # 24h TTL: only the fresh row survives
+
+
+def test_retention_delete_preserves_partition_layout(spark, tmp_path):
+    """The TTL rewrite must keep the table's hive partition directories, or
+    later dynamic-partition-overwrite merges lose their replace-only-touched
+    invariants over the pre-retention rows."""
+    path = str(tmp_path / "latest")
+    now_s = 1_000_000
+    spark.createDataFrame(
+        [(1, now_s - 100, 3), (2, now_s - 200, 7), (3, now_s - 90_000, 3)],
+        "user_id long, window_start_s long, _bucket int",
+    ).write.partitionBy("_bucket").parquet(path)
+    retention_delete(spark, path, "window_start_s", horizon_s=86_400, now_s=now_s)
+    part_dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("_bucket=")
+    )
+    assert part_dirs == ["_bucket=3", "_bucket=7"], part_dirs
+    kept = sorted(r["user_id"] for r in spark.read.parquet(path).collect())
+    assert kept == [1, 2]
+
+
+def test_retention_drop_partitions(spark, tmp_path):
+    path = str(tmp_path / "log")
+    spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 1, 10)), (3, dt.date(2024, 1, 20))],
+        "user_id long, _date date",
+    ).write.partitionBy("_date").parquet(path)
+    now_s = int(dt.datetime(2024, 1, 21).timestamp())
+    dropped = retention_drop_partitions(path, horizon_s=5 * 86_400, now_s=now_s)
+    assert sorted(dropped) == ["_date=2024-01-01", "_date=2024-01-10"]
+    kept = sorted(r["user_id"] for r in spark.read.parquet(path).collect())
+    assert kept == [3]  # whole-partition drop, no rewrite of survivors
 
 
 def test_coerce_typed_strings(spark):
