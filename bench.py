@@ -14,6 +14,9 @@ import os
 import sys
 import time
 
+import pandas as _pd
+from pyspark.sql.functions import col as F_col
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -42,6 +45,18 @@ def main() -> None:
             "count(*) as n"
         )
     )
+    # Python-worker warmup: first Arrow/pandas UDF use pays worker spawn +
+    # numpy import (~5 s across the pool); warm it like the JVM so the
+    # vectorized-kernel queries measure their plan, not interpreter startup
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("double")
+    def _warm(v: _pd.Series) -> _pd.Series:
+        import numpy as _np
+
+        return _pd.Series(_np.asarray(v.to_numpy(), dtype=_np.float64))
+
+    force(spark.range(10_000).select(_warm(F_col("id").cast("double"))))
 
     sf = None
     try:
@@ -56,6 +71,10 @@ def main() -> None:
         t0 = time.time()
         force(fn(spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+        # the dedup/similarity operators persist() shared subplans for the
+        # duration of their query; drop them so cached blocks from earlier
+        # queries can't GC-pressure later ones in the single bench JVM
+        spark.catalog.clearCache()
 
     # headline throughput: full sliding-window feature computation over the
     # events table (the reference's core workload — its simple engine does

@@ -72,7 +72,11 @@ def get_spark(
         # cluster; AQE coalesces the small tail.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs driver+executor in ONE JVM with 32 task threads;
+        # 8g left ~250 MB/task and GC-thrashed long catalog runs (measured:
+        # 2-4x erratic per-query times once cached indexes + shuffle state
+        # accumulated). On a real cluster this is per-executor sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
     )
     for k, v in (configs or {}).items():
         builder = builder.config(k, v)
