@@ -1994,3 +1994,115 @@ def q56_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R").alias("grp"),
     )
     return ks_binned(li, "v", "grp", n_bins=10_000)
+
+
+# ---------------------------------------------------------------------------
+# Embedding dedup + IVF ANN — beyond-reference (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+# Corpus with planted near-duplicate twins: vec_id+1000000 carries the base
+# vector with each component scaled by 1 + ((vec_id*31 + i*7) % 11 - 5)/100
+# (cosine ≈ 0.9995 to its base; the background pair distribution tops out
+# ≈ 0.52, so threshold 0.99 separates exactly). The same construction as
+# q41's, so the DuckDB side can rebuild the identical corpus.
+_TWIN_SQL = """
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), twin AS (
+      SELECT vec_id + 1000000 AS vec_id,
+        [v[i] * (1 + ((vec_id*31 + (i-1)*7) % 11 - 5)/100.0)
+         for i in generate_series(1, len(v))] AS v
+      FROM e
+    ), corpus AS (
+      SELECT * FROM e UNION ALL SELECT * FROM twin
+    )
+"""
+
+
+def _twin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_feature_store_spark.operators.similarity import as_double_vec
+
+    base = as_double_vec(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    twin = base.withColumnRenamed("vec_id", "orig_id").select(
+        (F.col("orig_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            * (1 + ((F.col("orig_id") * 31 + i * 7) % 11 - 5) / F.lit(100.0)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(twin)
+
+
+@query(
+    "q57_embedding_near_dups",
+    sql=f"""
+    WITH {_TWIN_SQL}
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+      ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) AS cosine
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.99
+    """,
+)
+def q57_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (dedup family's embedding
+    member): sign-LSH banded candidates, exact-cosine verification, over a
+    corpus with planted twins. The DuckDB oracle is the full quadratic
+    exact join — every pair the LSH path returns must carry its true
+    cosine AND the pair sets must be identical (recall 1.0 at this
+    separation; see embedding_near_dups docstring for the probability
+    budget)."""
+    from streaming_feature_store_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    return embedding_near_dups(
+        _twin_corpus(spark, sf_dir), dim=64, threshold=0.99
+    ).orderBy("vec_id_a")
+
+
+@query(
+    "q58_ivf_topk",
+    sql=f"""
+    WITH {_TWIN_SQL}, q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+    ), scored AS (
+      SELECT query_id, c.vec_id AS nbr_id,
+        ROUND(list_dot_product(c.v, qv)
+              / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qv, qv))),
+              6) AS cosine
+      FROM corpus c CROSS JOIN q
+      WHERE c.vec_id <> query_id
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 1
+    """,
+)
+def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN over the planted-twin corpus, k=1: each query's true
+    nearest neighbor is its twin (cosine ≈ 0.9995), so the exact top-1 the
+    DuckDB oracle computes is reachable iff IVF probes the twin's cell —
+    nearly-collinear vectors share an argmax cell, so nprobe=4 retrieves it
+    deterministically (measured at sf0.01/sf0.1). Returned cosines are
+    exact (IVF proposes, exact verification scores), mirroring q41's
+    oracle construction for the LSH path."""
+    from streaming_feature_store_spark.operators.similarity import ivf_topk
+
+    corpus = _twin_corpus(spark, sf_dir)
+    return ivf_topk(
+        corpus,
+        corpus.filter(F.col("vec_id") < 10),
+        dim=64,
+        k=1,
+        nlist=16,
+        nprobe=4,
+    )
