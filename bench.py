@@ -66,15 +66,31 @@ def main() -> None:
     except ValueError:
         pass
 
+    # Per-query time = MIN over reps. One-shot timings conflate the plan's
+    # cost with two things that amortize to zero at scale: Janino/JIT
+    # compile of each query's generated code (~2-5 s for the heavy
+    # expression plans, paid once per plan shape per JVM) and this VM's
+    # host-level noise (measured: the same query 1 s or 14 s run-to-run
+    # with GC logs showing <0.5 s pauses — stalls land on random queries).
+    # The warm number is the one that models a cluster, where a query
+    # compiles once and runs over thousands of partitions.
+    # Reps are INTERLEAVED (full catalog passes, min per query) rather than
+    # back-to-back: the observed stalls are sustained multi-second windows,
+    # which back-to-back reps of one query both land in; spreading a
+    # query's reps ~minutes apart decorrelates them.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
-        # the dedup/similarity operators persist() shared subplans for the
-        # duration of their query; drop them so cached blocks from earlier
-        # queries can't GC-pressure later ones in the single bench JVM
-        spark.catalog.clearCache()
+    for _ in range(reps):
+        for name, fn in QUERIES.items():
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            el = time.time() - t0
+            times[name] = round(min(times.get(name, el), el), 3)
+            # the dedup/similarity operators persist() shared subplans for
+            # the duration of their query; drop them so cached blocks can't
+            # GC-pressure later queries in the single bench JVM (and so
+            # rep 2 re-executes the full plan, not a cached index)
+            spark.catalog.clearCache()
 
     # headline throughput: full sliding-window feature computation over the
     # events table (the reference's core workload — its simple engine does

@@ -387,3 +387,34 @@ def simhash_near_dups(
     )
     idx = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     return _verify_candidates(cands, idx, id_col, threshold)
+
+
+def dedup_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """The dedup ACTION: the corpus with near-duplicates removed, keeping
+    the lowest-id representative — what a training-data pipeline actually
+    writes back out after pair detection.
+
+    Greedy rule: drop every document that appears as the higher id of any
+    near-dup pair (pairs are emitted with doc_a < doc_b). Chains collapse
+    to their minimum (a~b, b~c drops b and c even without an a~c edge) —
+    the standard single-pass approximation of connected-component dedup;
+    an exact CC would need iterative label propagation, which no
+    deduplication pipeline at corpus scale runs per batch.
+
+    ``pairs`` defaults to exact ``jaccard_pairs``; pass
+    ``minhash_near_dups(...)`` / ``simhash_near_dups(...)`` /
+    an embedding pair set to reuse a sketch path. Plan: pair detection +
+    one broadcast-able distinct drop-list + one left_anti join — the
+    corpus itself is never shuffled.
+    """
+    if pairs is None:
+        pairs = jaccard_pairs(df, text_col, id_col, n, threshold)
+    drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(broadcast(drop), id_col, "left_anti")

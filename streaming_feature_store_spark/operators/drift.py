@@ -360,3 +360,55 @@ def ks_by_feature(df: DataFrame, cols: list[str], group_col: str) -> DataFrame:
         .groupBy("feature")
         .agg(F.round(F.max("_d"), 6).alias("ks_stat"))
     )
+
+
+def ks_by_feature_binned(
+    df: DataFrame, cols: list[str], group_col: str, n_bins: int = 10_000
+) -> DataFrame:
+    """Per-feature pre-binned KS in one pass — the 100× form of
+    ``ks_by_feature``: that function's CDF window sorts each feature's FULL
+    row set inside one partition (fine for drift samples, a straggler at
+    table scale); this one reduces each feature to ≤ ``n_bins`` grouped bin
+    counts first, so the per-feature sort is over bins, not rows.
+
+    Two scans: exact per-feature min/max (tiny agg), then a map-side
+    grouped count keyed (feature, bin). Shuffle volume is O(features ·
+    n_bins) regardless of row count. Accuracy bound as ``ks_binned``:
+    |D_binned − D_exact| ≤ max per-bin probability mass."""
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
+    long = df.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (feature, value)", group_col
+    )
+    mm = long.groupBy("feature").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = F.when(
+        F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / n_bins
+    ).otherwise(F.lit(1.0))
+    binned = long.join(F.broadcast(mm), "feature").select(
+        "feature",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("_bin"),
+        F.col(group_col).alias("_g"),
+    )
+    counts = binned.groupBy("feature", "_bin").agg(
+        F.sum(F.when(F.col("_g"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(~F.col("_g"), 1).otherwise(0)).alias("c2"),
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("_bin")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("feature")
+    diff = F.abs(
+        F.sum("c1").over(w) / F.sum("c1").over(tot).cast("double")
+        - F.sum("c2").over(w) / F.sum("c2").over(tot).cast("double")
+    )
+    return (
+        counts.select("feature", diff.alias("_d"))
+        .groupBy("feature")
+        .agg(F.round(F.max("_d"), 6).alias("ks_stat"))
+    )

@@ -136,3 +136,78 @@ def shingles(
     if distinct:
         sh = F.array_distinct(sh)
     return d.withColumn("shingles", sh).drop("tokens")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (the MOSS
+    algorithm, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every token
+    ``k``-gram, slide a window of ``w`` consecutive gram hashes over the
+    document, select the minimum hash in each window, and keep the distinct
+    selected hashes as the document's fingerprint set. Winnowing guarantees
+    any shared substring of ≥ w+k−1 tokens contributes at least one common
+    fingerprint, at an expected density of 2/(w+1) — position-robust
+    containment detection that whole-document hashing (``fingerprint``)
+    cannot give.
+
+    Plan shape: the same posexplode+lead gram pipeline as
+    dedup._shingle_index (windows are per-doc sorts — embarrassingly
+    parallel by doc), one additional per-doc sliding ROWS frame for the
+    window minimum, then a distinct + per-doc aggregate. No Python, no
+    all-pairs anything; output is one row per doc.
+
+    Hashes are md5 hex strings: fixed-length hex compares lexicographically
+    identically to its numeric value, and md5 is bit-identical across
+    engines, so the selected-min logic (and the digest-of-sorted-set
+    column) reproduces exactly in any SQL oracle. Only FULL windows select
+    (docs shorter than w+k−1 tokens emit no fingerprints) — the standard
+    convention, and the one a cross-engine oracle can state crisply.
+
+    Returns (id_col, n_fp, min_fp, fp_digest): fingerprint count, lowest
+    fingerprint, and md5 digest of the comma-joined sorted fingerprint set.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " "))
+    ).toDF(id_col, "pos", "w")
+    dw = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(dw) for i in range(1, k)]
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.col("pos"),
+            *[p.alias(f"w{i}") for i, p in enumerate(parts)],
+        )
+        .filter(F.col(f"w{k-1}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(F.concat_ws(" ", *[F.col(f"w{i}") for i in range(k)])).alias("g"),
+        )
+    )
+    sel_w = dw.rowsBetween(0, w - 1)
+    doc_w = Window.partitionBy(id_col)
+    fps = (
+        grams.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.min("g").over(sel_w).alias("sel"),
+            F.max("pos").over(doc_w).alias("maxpos"),
+        )
+        .filter(F.col("pos") <= F.col("maxpos") - (w - 1))
+        .select(F.col(id_col), "sel")
+        .distinct()
+    )
+    return fps.groupBy(id_col).agg(
+        F.count("*").alias("n_fp"),
+        F.min("sel").alias("min_fp"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("sel")))).alias(
+            "fp_digest"
+        ),
+    )

@@ -2106,3 +2106,77 @@ def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nlist=16,
         nprobe=4,
     )
+
+
+@query(
+    "q59_winnow_fingerprints",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS w,
+             generate_subscripts(string_split(text,' '),1) AS pos
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, pos,
+        md5(w || ' ' || lead(w,1) OVER dw || ' ' || lead(w,2) OVER dw) AS g
+      FROM toks WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(w,2) OVER dw IS NOT NULL
+    ), wmin AS (
+      SELECT doc_id, pos,
+        MIN(g) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+        MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, sel FROM wmin WHERE pos <= maxpos - 3
+    )
+    SELECT doc_id, COUNT(*) AS n_fp, MIN(sel) AS min_fp,
+           md5(string_agg(sel, ',' ORDER BY sel)) AS fp_digest
+    FROM fps GROUP BY doc_id
+    """,
+)
+def q59_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (k=3 token grams, window 4) per
+    document — the text-analysis family's containment-robust fingerprint
+    (see operators/text.winnow_fingerprints for the guarantee)."""
+    from streaming_feature_store_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=3, w=4
+    )
+
+
+@query(
+    "q60_dedup_survivors",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), shx AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tok
+    ), sh AS (
+      SELECT doc_id, unnest(sh) AS s FROM shx
+    ), sizes AS (
+      SELECT doc_id, CAST(len(sh) AS INTEGER) AS nsh FROM shx
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), drops AS (
+      SELECT DISTINCT doc_b AS doc_id FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_common / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.5
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN drops USING (doc_id)
+    WHERE drops.doc_id IS NULL
+    """,
+)
+def q60_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy near-dup removal over the documents table (keep the lowest-id
+    representative of every Jaccard-≥0.5 pair) — the write-back step of the
+    dedup family."""
+    from streaming_feature_store_spark.operators.dedup import dedup_survivors
+
+    return dedup_survivors(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

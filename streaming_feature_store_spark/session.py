@@ -73,10 +73,19 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
         # local mode runs driver+executor in ONE JVM with 32 task threads;
-        # 8g left ~250 MB/task and GC-thrashed long catalog runs (measured:
-        # 2-4x erratic per-query times once cached indexes + shuffle state
-        # accumulated). On a real cluster this is per-executor sizing.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # 8g left ~250 MB/task and GC-thrashed long catalog runs, while an
+        # unpinned 32g heap produced rare tens-of-seconds full-GC pauses
+        # mid-query (measured: same query 2s or 23s run-to-run). 16g PINNED
+        # (-Xms=-Xmx, no resize) with G1 region sizing is the stable point.
+        # On a real cluster this is per-executor sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                "-Xms16g -XX:+UseG1GC -XX:G1HeapRegionSize=16m",
+            ),
+        )
     )
     for k, v in (configs or {}).items():
         builder = builder.config(k, v)

@@ -107,3 +107,59 @@ def test_simhash_deterministic_and_local(spark):
         return bin(x ^ y).count("1")
 
     assert ham(a[1], a[3]) < ham(a[1], a[4])  # near-dup closer than unrelated
+
+
+def test_winnow_guarantee_and_disjointness(spark):
+    """Winnowing guarantee (SIGMOD'03): any shared token run of length
+    ≥ w+k−1 (= 6 here) yields ≥1 common fingerprint; unrelated docs with
+    disjoint vocabularies share none. Also pins determinism: same text →
+    identical fp_digest."""
+    import pyspark.sql.functions as F
+
+    from streaming_feature_store_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens ≥ w+k−1
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} seven eight nine ten eleven"),
+        (3, "red orange yellow green blue indigo violet pink"),
+        (4, f"one two three {shared} four five six"),  # identical to 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # fingerprint SETS via the same machinery the digest aggregates
+    fps = {
+        r["doc_id"]: (r["n_fp"], r["min_fp"], r["fp_digest"])
+        for r in winnow_fingerprints(docs, k=3, w=4).collect()
+    }
+    assert fps[1] == fps[4]  # determinism on identical text
+    # guarantee: docs 1 and 2 share the 6-token run → at least one common
+    # fingerprint. Compare via exploded sets:
+    from pyspark.sql import Window  # noqa: F401
+
+    def fp_set(doc_id):
+        one = winnow_fingerprints(
+            docs.filter(F.col("doc_id") == doc_id), k=3, w=4
+        ).collect()[0]
+        return one
+
+    # common fingerprint ⇒ min over union can't exceed both mins; stronger:
+    # intersect explicitly by recomputing per-doc selected hashes
+    from streaming_feature_store_spark.operators.text import winnow_fingerprints as _w  # noqa
+
+    # brute-force in python for the planted example
+    import hashlib
+
+    def winnow_py(text, k=3, w=4):
+        t = text.split(" ")
+        grams = [
+            hashlib.md5(" ".join(t[i : i + k]).encode()).hexdigest()
+            for i in range(len(t) - k + 1)
+        ]
+        return {min(grams[i : i + w]) for i in range(len(grams) - w + 1)}
+
+    s1, s2, s3 = (winnow_py(rows[i][1]) for i in range(3))
+    assert s1 & s2, "shared 6-token run must share a fingerprint"
+    assert not (s1 & s3) and not (s2 & s3)
+    # Spark agrees with the reference implementation
+    assert fps[1][0] == len(s1) and fps[2][0] == len(s2)
+    assert fps[1][1] == min(s1) and fps[2][1] == min(s2)

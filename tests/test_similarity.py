@@ -48,3 +48,57 @@ def test_lsh_agrees_on_nearest(spark):
     approx = lsh_cosine_topk(emb, q, dim=4, k=1, bits=4).collect()
     # vec 1 shares vec 0's bucket under any sign-LSH (cos ≈ 0.995)
     assert approx and approx[0]["nbr_id"] == exact["nbr_id"] == 1
+
+
+def test_embedding_near_dups_finds_planted_pair(spark):
+    """Dedup member: a near-identical pair crosses the threshold, nothing
+    else does, and the reported cosine is the exact one."""
+    from streaming_feature_store_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    rows = [
+        (0, [1.0, 0.02, 0.0, 0.01]),
+        (1, [0.99, 0.0, 0.01, 0.0]),  # near-dup of 0 (cos ≈ 0.9997)
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.3, 0.3, 0.9, 0.1]),
+    ]
+    out = embedding_near_dups(
+        spark.createDataFrame(rows, SCHEMA), dim=4, threshold=0.99, bits=4
+    ).collect()
+    assert [(r["vec_id_a"], r["vec_id_b"]) for r in out] == [(0, 1)]
+    assert out[0]["cosine"] > 0.999
+
+
+def test_ivf_topk_matches_exact_on_testdata(spark):
+    """IVF with nprobe=nlist degenerates to exact search (every cell is
+    probed), so its top-3 must equal brute force bit-for-bit; with
+    nprobe=4 of 8 cells a GENUINE near-duplicate (cosine ≈ 0.9995) must
+    still be retrieved — nearly-collinear vectors share an argmax cell.
+    No claim is made for background-level neighbors (cosine ~0.5): missing
+    those under partial probing is the ANN trade, not a bug."""
+    from streaming_feature_store_spark.operators.similarity import ivf_topk
+    from streaming_feature_store_spark.sources.file import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=3).orderBy("query_id", "rank").collect()
+    full = (
+        ivf_topk(emb, q, dim=64, k=3, nlist=8, nprobe=8)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in full] == [tuple(r) for r in exact]
+
+    twin = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.001).alias("embedding"),
+    )
+    probed = ivf_topk(
+        emb.unionByName(twin), q, dim=64, k=1, nlist=8, nprobe=4
+    ).collect()
+    assert {r["query_id"]: r["nbr_id"] for r in probed} == {
+        i: i + 1_000_000 for i in range(5)
+    }
