@@ -45,8 +45,18 @@ def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, member))
 
 
+# GPT-2-style pre-tokenizer classes: a "token" is a maximal run of letters,
+# digits, or non-alphanumeric symbols — the class split every byte-level BPE
+# applies before merging. Kept RE2-compatible (no lookaheads, no \s
+# shorthand) so a SQL oracle's regex engine matches Java's exactly.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]+"
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token counting: total / distinct tokens, char count, mean token length.
+    """Token counting: whitespace tokens (total/distinct, char count, mean
+    length) plus the BPE-ish regex token count (``BPE_TOKEN_RE``) — the
+    number a model-budget estimate wants, since punctuation splits from
+    words there.
 
     avg_token_len uses the exact identity chars = Σlen(tok) + (n-1) for a
     single-space-joined corpus — pure integer arithmetic, no FP drift.
@@ -60,6 +70,10 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn(
             "avg_token_len",
             F.round((F.length(F.col(text_col)) - (n - 1)) / n.cast("double"), 6),
+        )
+        .withColumn(
+            "n_bpe_tokens",
+            F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_TOKEN_RE}', 0)")),
         )
         .drop("tokens")
     )
@@ -155,11 +169,12 @@ def winnow_fingerprints(
     containment detection that whole-document hashing (``fingerprint``)
     cannot give.
 
-    Plan shape: the same posexplode+lead gram pipeline as
-    dedup._shingle_index (windows are per-doc sorts — embarrassingly
-    parallel by doc), one additional per-doc sliding ROWS frame for the
-    window minimum, then a distinct + per-doc aggregate. No Python, no
-    all-pairs anything; output is one row per doc.
+    Plan shape: posexplode + per-doc lead() window to form grams WITH
+    their positions (winnowing needs gram order, so the positionless
+    set-kernel in dedup._shingle_index does not apply), one additional
+    per-doc sliding ROWS frame for the window minimum, then a distinct +
+    per-doc aggregate. All windows partition by doc — embarrassingly
+    parallel; no all-pairs anything; output is one row per doc.
 
     Hashes are md5 hex strings: fixed-length hex compares lexicographically
     identically to its numeric value, and md5 is bit-identical across

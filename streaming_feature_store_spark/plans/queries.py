@@ -634,12 +634,16 @@ _SHINGLES_SQL = """
       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
       CAST(length(text) AS BIGINT) AS n_chars_calc,
       ROUND((length(text) - (len(string_split(text, ' ')) - 1))
-            / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
+            / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]+'))
+           AS BIGINT) AS n_bpe_tokens
     FROM documents
     """,
 )
 def q19_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting over the documents table (text-analysis family)."""
+    """Token counting over the documents table (text-analysis family):
+    whitespace tokens plus the GPT-2-style class-run (BPE pre-tokenizer)
+    count — same RE2-safe regex evaluated by both engines."""
     from streaming_feature_store_spark.operators.text import token_stats
 
     d = token_stats(_t(spark, sf_dir, "documents"))
@@ -651,6 +655,7 @@ def q19_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_unique_tokens").cast("long").alias("n_unique_tokens"),
         F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
         "avg_token_len",
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -2179,4 +2184,51 @@ def q60_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return dedup_survivors(_t(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "q61_curated_corpus",
+    sql=f"""
+    WITH uniq AS (
+      SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS _rn
+        FROM documents
+      ) WHERE _rn = 1
+    ), tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM uniq
+    ), shx AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tok
+    ), sh AS (
+      SELECT doc_id, unnest(sh) AS s FROM shx
+    ), sizes AS (
+      SELECT doc_id, CAST(len(sh) AS INTEGER) AS nsh FROM shx
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), drops AS (
+      SELECT DISTINCT doc_b AS doc_id FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_common / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.5
+    )
+    SELECT u.doc_id, u.lang, u.source, u.n_chars,
+      CAST(len(string_split(u.text, ' ')) AS INTEGER) AS n_tokens
+    FROM uniq u LEFT JOIN drops USING (doc_id)
+    WHERE drops.doc_id IS NULL
+      AND len(string_split(u.text, ' ')) BETWEEN 10 AND 1000
+      AND len(list_filter(string_split(u.text, ' '), x -> x = 'the' OR x = 'a'))
+          / CAST(len(string_split(u.text, ' ')) AS DOUBLE) < 0.5
+    """,
+)
+def q61_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline over documents (exact dedup → Jaccard
+    near-dup removal → token/stopword quality gate) as ONE composed query —
+    what a training-data run executes end to end (operators/curation.py)."""
+    from streaming_feature_store_spark.operators.curation import curate_documents
+
+    return curate_documents(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars", "n_tokens"
     )

@@ -81,6 +81,8 @@ def main():
     t0 = time.time()
     pairs = minhash_near_dups(docs, threshold=0.8).count()
     print(f"minhash-LSH near-dups: {time.time()-t0:.1f}s ({pairs:,} verified pairs)")
+    docs.unpersist()
+    spark.catalog.clearCache()  # operator-internal persists die with their section
 
     vecs = synth_vecs(spark, n_vecs).persist()
     q10 = vecs.filter(F.col("vec_id") < 10)
@@ -101,6 +103,42 @@ def main():
     print(
         f"ANN: brute-force top-1 for 10 queries {t_exact:.1f}s; "
         f"LSH(12 bits x 4 tables, multi-probe) {t_lsh:.1f}s; recall@1 {recall:.2f}"
+    )
+    spark.catalog.clearCache()
+    vecs.persist().count()
+
+    from streaming_feature_store_spark.operators.similarity import ivf_topk
+
+    t0 = time.time()
+    ivf = {
+        r["query_id"]: r["nbr_id"]
+        for r in ivf_topk(vecs, q10, dim=64, k=1, nlist=64, nprobe=8).collect()
+    }
+    t_ivf = time.time() - t0
+    recall_ivf = sum(ivf.get(k) == v for k, v in exact.items()) / len(exact)
+    print(
+        f"ANN: IVF-Flat(nlist=64, nprobe=8) {t_ivf:.1f}s; recall@1 {recall_ivf:.2f}"
+    )
+
+    # embedding near-dup dedup: the planted twins are the ground truth —
+    # every (query i, twin n−n_twins+i) pair sits at cosine ≈ 0.999+, the
+    # uniform background far below any near-dup threshold
+    from streaming_feature_store_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    t0 = time.time()
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dups(vecs, dim=64, threshold=0.99).collect()
+    }
+    t_nd = time.time() - t0
+    n_twins = 10
+    planted = {(i, n_vecs - n_twins + i) for i in range(n_twins)}
+    print(
+        f"embedding near-dups(16-bit x 4 tables): {t_nd:.1f}s; "
+        f"pairs={len(got)}; planted recall "
+        f"{len(got & planted)}/{len(planted)}"
     )
     spark.stop()
 
