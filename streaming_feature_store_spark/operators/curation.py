@@ -1,5 +1,7 @@
-"""Corpus curation pipeline — the composition a training-data run actually
-executes, end to end: exact dedup → near-dup removal → quality gate.
+"""Corpus curation — the compositions a training-data run actually
+executes: dedup → near-dup removal → quality gate, eval-set
+decontamination, per-source mixture sampling, and context-window
+chunking.
 
 Each stage is one of the already-oracled primitives (dedup_exact,
 dedup_survivors/jaccard_pairs, quality thresholds), composed in the fixed
@@ -63,3 +65,137 @@ def curate_documents(
             & (stop_ratio < max_stopword_ratio)
         )
     )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_containment: float = 0.0,
+) -> DataFrame:
+    """Eval-set contamination report: for each eval document, how much of
+    its n-gram mass also appears anywhere in the training corpus.
+
+    The GPT-3/PaLM decontamination rule — flag an eval example if any long
+    n-gram (13 tokens there; parameterized here) collides with training
+    text — generalized to a containment score so the caller can pick a
+    threshold: ``containment = |grams(eval_doc) ∩ grams(train)| /
+    |grams(eval_doc)|``, with ``is_contaminated`` true when it exceeds
+    ``max_containment`` (0.0 = the strict any-collision rule).
+
+    Plan shape: both corpora reduce to distinct 8-byte gram hashes
+    (``_shingle_index`` — the mapInPandas set kernel, no shuffle); the
+    train side further collapses to a DISTINCT gram-hash relation, so
+    document text never crosses the wire. One hash join on the gram key +
+    one per-eval-doc count. At 100 TB the train gram set is the big side —
+    the standard scale path swaps the exact distinct relation for a Bloom
+    filter broadcast (one-sided error only *inflates* containment, never
+    hides contamination), which this plan admits without reshaping.
+
+    Docs shorter than ``n`` tokens have no grams: ``n_grams = 0``,
+    ``containment = 0.0``, never flagged.
+    """
+    from streaming_feature_store_spark.operators.dedup import _shingle_index
+
+    train_grams = _shingle_index(train_df, text_col, id_col, n).select("sh").distinct()
+    ev = _shingle_index(eval_df, text_col, id_col, n)
+    sizes = ev.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        ev.join(train_grams, "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    containment = F.col("n_shared_grams") / F.col("n_grams").cast("double")
+    return (
+        eval_df.join(sizes, id_col, "left")
+        .join(hits, id_col, "left")
+        .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+        .withColumn("n_shared_grams", F.coalesce("n_shared_grams", F.lit(0)))
+        .withColumn(
+            "containment",
+            F.when(F.col("n_grams") > 0, F.round(containment, 6)).otherwise(0.0),
+        )
+        .withColumn("is_contaminated", F.col("containment") > max_containment)
+    )
+
+
+def sample_corpus(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-source mixture sampling — the "data mixing" step
+    that downweights low-quality sources before training.
+
+    A document survives iff the first 8 hex digits of ``md5(id)`` fall
+    below ``rate × 16⁸``, compared AS HEX STRINGS (fixed-width lowercase
+    hex orders identically to its numeric value), so the predicate is a
+    pure codegen filter with no shuffle, reproducible across engines and
+    runs, and stable under corpus growth: adding documents never flips an
+    existing document's keep/drop decision (unlike ``df.sample``, whose
+    outcome depends on partitioning).
+    """
+    keep_key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    pred = F.lit(None).cast("boolean")
+    expr = None
+    for src, rate in rates.items():
+        th = _hex_threshold(rate)
+        cond = (F.col(strata_col) == src) & (keep_key < F.lit(th))
+        expr = cond if expr is None else expr | cond
+    known = F.col(strata_col).isin(*rates.keys())
+    expr = (expr if expr is not None else F.lit(False)) | (
+        ~known & (keep_key < F.lit(_hex_threshold(default_rate)))
+    )
+    return df.filter(expr)
+
+
+def _hex_threshold(rate: float) -> str:
+    """rate ∈ [0,1] → 8-char lowercase hex string h with P[md5₈ < h] = rate."""
+    n = min(max(int(rate * 16**8), 0), 16**8)
+    # 'g' sorts above every hex digit, so rate=1.0 keeps every key
+    return "g" if n == 16**8 else format(n, "08x")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    context-window preparation for sequence-model training (stride <
+    chunk_size overlaps consecutive chunks so no boundary context is
+    lost).
+
+    Pure codegen: ``sequence`` generates chunk starts, ``explode`` fans
+    them out, ``slice`` cuts the token array — one Generate node, no
+    Python, no shuffle; output order is (doc, chunk_idx) within each
+    input partition so downstream writes stay clustered by document.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    out = (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(F.sequence(F.lit(0), n - 1, F.lit(stride))).alias("_start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_start") / stride).cast("int").alias("chunk_idx"),
+            F.slice("_toks", F.col("_start") + 1, chunk_size).alias("_chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.concat_ws(" ", "_chunk").alias("chunk_text"),
+            F.size("_chunk").alias("n_chunk_tokens"),
+        )
+    )
+    return out.filter(F.col("n_chunk_tokens") >= min_tokens)

@@ -226,3 +226,62 @@ def winnow_fingerprints(
             "fp_digest"
         ),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens taken by the single most frequent token, and the fraction of
+    3-gram slots occupied by a repeated 3-gram (1 − distinct/total).
+    Degenerate machine-generated text scores high on both; the
+    ``is_repetitive`` flag uses the published Gopher cut for the top-token
+    share (> 0.30) OR a majority-duplicate gram mass (> 0.50).
+
+    Plan shape: token frequencies need a (doc, token) count — one explode
+    + two-level aggregation keyed by doc (tokens shuffle once, text does
+    not); the gram ratio is a pure array expression on the original row
+    (``array_distinct`` is quadratic per doc but bounded by doc length —
+    fine for documents, not for books; chunk first via
+    ``curation.chunk_documents`` at that point). The two branches meet in
+    one equi-join on the doc id.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    gram_side = df.select(
+        F.col(id_col),
+        F.when(
+            n >= 3,
+            F.round(
+                1 - F.size(F.array_distinct(grams)) / (n - 2).cast("double"), 6
+            ),
+        )
+        .otherwise(0.0)
+        .alias("dup_3gram_frac"),
+    )
+    tok_counts = (
+        df.select(F.col(id_col), F.explode(toks).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+    return (
+        tok_counts.join(gram_side, id_col)
+        .withColumn(
+            "is_repetitive",
+            (F.col("top_token_frac") > 0.30) | (F.col("dup_3gram_frac") > 0.50),
+        )
+    )

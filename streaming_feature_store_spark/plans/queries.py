@@ -2232,3 +2232,157 @@ def q61_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_documents(_t(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "source", "n_chars", "n_tokens"
     )
+
+
+_GRAMS8_SQL = """
+      list_distinct(CASE WHEN len(l) >= 8
+        THEN list_transform(generate_series(1, len(l) - 7),
+          j -> l[j] || ' ' || l[j+1] || ' ' || l[j+2] || ' ' || l[j+3] || ' '
+            || l[j+4] || ' ' || l[j+5] || ' ' || l[j+6] || ' ' || l[j+7])
+        ELSE CAST([] AS VARCHAR[]) END)
+"""
+
+
+@query(
+    "q62_decontamination",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), g AS (
+      SELECT doc_id, unnest({_GRAMS8_SQL}) AS s FROM tok
+    ), tr AS (
+      SELECT DISTINCT s FROM g WHERE doc_id % 5 != 0
+    ), ev AS (
+      SELECT doc_id, s FROM g WHERE doc_id % 5 = 0
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1
+    ), hits AS (
+      SELECT ev.doc_id, count(*) AS n_shared FROM ev JOIN tr USING (s)
+      GROUP BY 1
+    )
+    SELECT d.doc_id, d.source,
+      CAST(COALESCE(sizes.n_grams, 0) AS BIGINT) AS n_grams,
+      CAST(COALESCE(hits.n_shared, 0) AS BIGINT) AS n_shared_grams,
+      CASE WHEN COALESCE(sizes.n_grams, 0) > 0
+           THEN ROUND(COALESCE(hits.n_shared, 0)
+                      / CAST(sizes.n_grams AS DOUBLE), 6)
+           ELSE 0.0 END AS containment,
+      (CASE WHEN COALESCE(sizes.n_grams, 0) > 0
+            THEN ROUND(COALESCE(hits.n_shared, 0)
+                       / CAST(sizes.n_grams AS DOUBLE), 6)
+            ELSE 0.0 END) > 0.0 AS is_contaminated
+    FROM documents d
+    LEFT JOIN sizes ON d.doc_id = sizes.doc_id
+    LEFT JOIN hits ON d.doc_id = hits.doc_id
+    WHERE d.doc_id % 5 = 0
+    """,
+)
+def q62_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3-style long-n-gram collision against
+    the training corpus, generalized to a containment score): every 5th
+    document plays the eval set, the rest the training corpus."""
+    from streaming_feature_store_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    return decontaminate(train, ev, n=8).select(
+        "doc_id",
+        "source",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+        "containment",
+        "is_contaminated",
+    )
+
+
+@query(
+    "q63_repetition_stats",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), counts AS (
+      SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        ROUND(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_token_frac
+      FROM counts GROUP BY 1
+    ), gr AS (
+      SELECT doc_id,
+        CASE WHEN len(l) >= 3
+          THEN ROUND(1 - len(list_distinct(list_transform(
+                 generate_series(1, len(l) - 2),
+                 j -> l[j] || ' ' || l[j+1] || ' ' || l[j+2])))
+               / CAST(len(l) - 2 AS DOUBLE), 6)
+          ELSE 0.0 END AS dup_3gram_frac
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    )
+    SELECT top.doc_id, n_tokens, top_token_frac, dup_3gram_frac,
+      (top_token_frac > 0.30 OR dup_3gram_frac > 0.50) AS is_repetitive
+    FROM top JOIN gr USING (doc_id)
+    """,
+)
+def q63_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition signals (top-token share, duplicate-3-gram
+    mass) over every document."""
+    from streaming_feature_store_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "top_token_frac", "dup_3gram_frac", "is_repetitive"
+    )
+
+
+@query(
+    "q64_corpus_mixture",
+    sql="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE (source = 'src0'
+           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'g')
+       OR (source = 'src1'
+           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+       OR (source = 'src2'
+           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')
+       OR (source NOT IN ('src0', 'src1', 'src2')
+           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000')
+    GROUP BY source
+    """,
+)
+def q64_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling (keep src0 whole, halve
+    src1, quarter src2, 75 % everything else) — per-source surviving
+    counts. Thresholds are md5-hex string compares, identical in both
+    engines."""
+    from streaming_feature_store_spark.operators.curation import sample_corpus
+
+    sampled = sample_corpus(
+        _t(spark, sf_dir, "documents"),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.75,
+    )
+    return sampled.groupBy("source").agg(F.count("*").alias("n_sampled"))
+
+
+@query(
+    "q65_chunked_documents",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), st AS (
+      SELECT doc_id, l, unnest(range(0, len(l), 24)) AS s FROM tok
+    )
+    SELECT doc_id, CAST(s // 24 AS INT) AS chunk_idx,
+      array_to_string(l[s+1:s+32], ' ') AS chunk_text,
+      CAST(len(l[s+1:s+32]) AS INT) AS n_chunk_tokens
+    FROM st
+    """,
+)
+def q65_chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token windows on a 24-token stride
+    (8-token overlap) over every document — the sequence-model training
+    prep step."""
+    from streaming_feature_store_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    ).select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
