@@ -160,3 +160,63 @@ def test_log_append_idempotent_per_batch(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1
     append_log(batch, path, batch_id=6)  # a NEW batch does append
     assert spark.read.parquet(path).count() == 2
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """JVM-native streaming sessionization: session_window + watermark in
+    append mode produces exactly the batch sessionize() result once the
+    watermark closes every session — state lives in the JVM state store,
+    no Python in the loop (the scale path; streaming/stateful.py is the
+    per-event parity mode)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        # user 1: two sessions separated by > 30 min
+        (1, 1, BASE, 1.0, "view"),
+        (2, 1, BASE + dt.timedelta(minutes=10), 2.0, "click"),
+        (3, 1, BASE + dt.timedelta(minutes=50), 3.0, "view"),
+        # user 2: one session
+        (4, 2, BASE + dt.timedelta(minutes=5), 4.0, "view"),
+        # watermark pusher: far-future event closes all sessions above
+        (5, 99, BASE + dt.timedelta(hours=6), 0.0, "view"),
+    ]
+    _write_batch(spark, src, rows)
+
+    from streaming_feature_store_spark.operators.sessions import sessionize
+
+    stream = read_file_stream(spark, src, SCHEMA).withWatermark("ts", "1 minute")
+    sessions = (
+        stream.groupBy(
+            F.col("user_id"), F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.max(F.unix_micros("ts")).alias("session_end_us"),
+        )
+        .drop("sw")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start_us"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = spark.createDataFrame(rows, SCHEMA).filter(F.col("user_id") < 99)
+    want = {
+        (r["user_id"], r["session_start_us"]): r
+        for r in sessionize(batch, "user_id", gap="30 minutes").collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k]["n_events"] == w["n_events"]
+        assert got[k]["session_end_us"] == w["session_end_us"]
