@@ -199,3 +199,65 @@ def chunk_documents(
         )
     )
     return out.filter(F.col("n_chunk_tokens") >= min_tokens)
+
+
+def quality_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source curation FUNNEL: how many documents survive each
+    successive gate — the report a pipeline operator reads before
+    committing a corpus build.
+
+    Gates (cumulative, in pipeline order):
+      1. ``n_len_ok``      — token-length window (10..1000);
+      2. ``n_quality``     — + stopword-ratio < 0.5;
+      3. ``n_clean``       — + not repetitive (Gopher top-token /
+         duplicate-3-gram cuts);
+      4. ``n_survivors``   — + exact-dup representative (min id per
+         md5 fingerprint group).
+
+    Plan shape: the three per-doc signal branches (quality expressions,
+    repetition token counts, fingerprint window) each shuffle only
+    (id, small-value) pairs and meet in equi-joins on the doc id; the
+    funnel itself is one conditional aggregation keyed by source. Text
+    never shuffles.
+    """
+    from pyspark.sql import Window
+
+    from streaming_feature_store_spark.operators.text import (
+        fingerprint,
+        quality_features,
+        repetition_stats,
+    )
+
+    q = quality_features(df, text_col).select(
+        id_col, source_col, "n_tokens", "stopword_ratio"
+    )
+    rep = repetition_stats(df, text_col, id_col).select(
+        id_col, "is_repetitive"
+    )
+    w = Window.partitionBy("fingerprint")
+    keep = (
+        fingerprint(df, text_col)
+        .withColumn("is_rep_doc", F.col(id_col) == F.min(id_col).over(w))
+        .select(id_col, "is_rep_doc")
+    )
+    j = q.join(rep, id_col).join(keep, id_col)
+    g1 = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000)
+    g2 = g1 & (F.col("stopword_ratio") < 0.5)
+    g3 = g2 & ~F.col("is_repetitive")
+    g4 = g3 & F.col("is_rep_doc")
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return j.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        cnt(g1, "n_len_ok"),
+        cnt(g2, "n_quality"),
+        cnt(g3, "n_clean"),
+        cnt(g4, "n_survivors"),
+    )

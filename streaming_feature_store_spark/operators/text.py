@@ -285,3 +285,48 @@ def repetition_stats(
             (F.col("top_token_frac") > 0.30) | (F.col("dup_3gram_frac") > 0.50),
         )
     )
+
+
+# PII patterns shared by detection and redaction. Kept to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# character classes, bounded repetition, \b word boundaries — no
+# lookaround, no backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (emails, phone numbers, IPv4 addresses)
+    — the detection half of a curation pipeline's PII gate. Pure codegen
+    (``regexp_count``), no shuffle, no Python.
+
+    Beyond-reference curation surface (BASELINE.json): the reference has
+    no document pipeline; pattern set follows the public C4/CCNet-style
+    cleanup recipes.
+    """
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ips"),
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Replace every email / phone / IPv4 occurrence with a typed
+    placeholder token (``<EMAIL>`` / ``<PHONE>`` / ``<IP>``) — the action
+    half of the PII gate. Order matters: emails first (an address can
+    embed digit runs), then phones, then IPs."""
+    out = out_col or text_col
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return df.withColumn(out, redacted)

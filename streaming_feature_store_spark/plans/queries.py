@@ -2386,3 +2386,184 @@ def q65_chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_size=32, stride=24
     ).select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+
+
+@query(
+    "q66_pii_redaction",
+    sql="""
+    WITH planted AS (
+      SELECT doc_id, source,
+        text
+        || CASE WHEN doc_id % 3 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+             THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+             ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id, source,
+      CAST(len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      CAST(len(regexp_extract_all(t,
+        '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS INT) AS n_phones,
+      CAST(len(regexp_extract_all(t,
+        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ips,
+      md5(regexp_replace(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g'),
+        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'))
+        AS clean_md5
+    FROM planted
+    """,
+)
+def q66_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII gate over the corpus: detect + redact emails / phones / IPv4s.
+    The synthetic corpus contains no PII, so the query plants deterministic
+    PII (keyed on doc_id, identically in both engines) before the gate —
+    the oracle then checks real detections and byte-exact redacted text
+    (via md5). Detection and redaction are pure codegen regex — no
+    shuffle, no Python."""
+    from streaming_feature_store_spark.operators.text import pii_stats, redact_pii
+
+    d = F.col("doc_id")
+    planted = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    d % 3 == 0,
+                    F.concat(
+                        F.lit(" contact user"),
+                        d.cast("string"),
+                        F.lit("@example.com"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(d % 5 == 0, F.lit(" call 555-123-4567")).otherwise(
+                    F.lit("")
+                ),
+                F.when(
+                    d % 7 == 0,
+                    F.concat(
+                        F.lit(" from 10.0."),
+                        (d % 256).cast("string"),
+                        F.lit(".1"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    out = redact_pii(pii_stats(planted))
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_phones").cast("int").alias("n_phones"),
+        F.col("n_ips").cast("int").alias("n_ips"),
+        F.md5(F.col("text")).alias("clean_md5"),
+    )
+
+
+@query(
+    "q67_dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), shx AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tok
+    ), sh AS (
+      SELECT doc_id, unnest(sh) AS s FROM shx
+    ), sizes AS (
+      SELECT doc_id, CAST(len(sh) AS INTEGER) AS nsh FROM shx
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_common / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact connected components over the Jaccard pair
+    graph (min-label propagation + pointer jumping, O(log diameter)
+    shuffle rounds). The oracle computes the same fixpoint via a recursive
+    CTE — transitive closure to the minimum reachable id."""
+    from streaming_feature_store_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_pairs,
+    )
+
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return dedup_clusters(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+@query(
+    "q68_quality_funnel",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS l FROM documents
+    ), sig AS (
+      SELECT doc_id, source,
+        len(l) AS n_tokens,
+        len(list_filter(l, x -> x = 'the' OR x = 'a'))
+          / CAST(len(l) AS DOUBLE) AS sw_ratio,
+        (SELECT max(c) FROM (
+           SELECT count(*) AS c FROM unnest(l) AS u(w) GROUP BY w)) AS top_c,
+        CASE WHEN len(l) >= 3
+          THEN 1 - len(list_distinct(list_transform(
+                 generate_series(1, len(l) - 2),
+                 j -> l[j] || ' ' || l[j+1] || ' ' || l[j+2])))
+               / CAST(len(l) - 2 AS DOUBLE)
+          ELSE 0.0 END AS dup3,
+        doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_rep_doc
+      FROM t
+    ), gates AS (
+      SELECT source,
+        (n_tokens >= 10 AND n_tokens <= 1000) AS g1,
+        (n_tokens >= 10 AND n_tokens <= 1000 AND sw_ratio < 0.5) AS g2,
+        (n_tokens >= 10 AND n_tokens <= 1000 AND sw_ratio < 0.5
+          AND NOT (top_c / CAST(n_tokens AS DOUBLE) > 0.30 OR dup3 > 0.50)) AS g3,
+        is_rep_doc
+      FROM sig
+    )
+    SELECT source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+      CAST(SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      CAST(SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+      CAST(SUM(CASE WHEN g3 AND is_rep_doc THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_survivors
+    FROM gates GROUP BY source
+    """,
+)
+def q68_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel: documents surviving each successive
+    gate (length window → stopword ratio → Gopher repetition cuts →
+    exact-dup representative). One conditional aggregation over three
+    id-keyed signal branches."""
+    from streaming_feature_store_spark.operators.curation import quality_funnel
+
+    return quality_funnel(_t(spark, sf_dir, "documents"))

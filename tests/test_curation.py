@@ -106,3 +106,28 @@ def test_repetition_stats_flags(spark):
     assert out[0]["top_token_frac"] == 0.8 and out[0]["is_repetitive"]
     assert abs(out[1]["dup_3gram_frac"] - 4 / 7) < 1e-6 and out[1]["is_repetitive"]
     assert not out[2]["is_repetitive"] and out[2]["dup_3gram_frac"] == 0.0
+
+
+def test_pii_stats_and_redaction(spark):
+    from streaming_feature_store_spark.operators.text import pii_stats, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org today"),
+            (2, "call 555-123-4567 or +44 123-456-7890 now"),
+            (3, "server at 10.0.200.13 responded"),
+            (4, "nothing sensitive here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    assert (stats[1]["n_emails"], stats[1]["n_phones"], stats[1]["n_ips"]) == (1, 0, 0)
+    assert stats[2]["n_phones"] == 2
+    assert stats[3]["n_ips"] == 1
+    assert (stats[4]["n_emails"], stats[4]["n_phones"], stats[4]["n_ips"]) == (0, 0, 0)
+
+    red = {r["doc_id"]: r["text"] for r in redact_pii(df).collect()}
+    assert red[1] == "mail me at <EMAIL> today"
+    assert red[2] == "call <PHONE> or +44 <PHONE> now"
+    assert red[3] == "server at <IP> responded"
+    assert red[4] == "nothing sensitive here at all"

@@ -163,3 +163,19 @@ def test_winnow_guarantee_and_disjointness(spark):
     # Spark agrees with the reference implementation
     assert fps[1][0] == len(s1) and fps[2][0] == len(s2)
     assert fps[1][1] == min(s1) and fps[2][1] == min(s2)
+
+
+def test_dedup_clusters(spark):
+    """a~b, b~c (chained through 9 and 11), plus an unrelated 40~50 pair:
+    exact CC must label every chained node with the component minimum —
+    the transitive grouping the greedy survivor pass approximates."""
+    from streaming_feature_store_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (40, 50), (3, 9), (9, 11)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 11: 1, 40: 40, 50: 40}
