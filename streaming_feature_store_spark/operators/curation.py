@@ -26,7 +26,7 @@ exactly once (stage 1); stages 2-3 move ids and grams only.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from streaming_feature_store_spark.operators.dedup import (
     dedup_exact,
@@ -260,4 +260,37 @@ def quality_funnel(
         cnt(g2, "n_quality"),
         cnt(g3, "n_clean"),
         cnt(g4, "n_survivors"),
+    )
+
+
+def cluster_balanced_sample(
+    vecs: DataFrame,
+    k: int = 8,
+    per_cluster: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-balanced corpus sampling: assign every vector to its
+    nearest centroid, then keep a deterministic per-cluster quota — the
+    embedding-space analog of per-source mixture sampling
+    (``sample_corpus``), used to keep a training mix from collapsing onto
+    its densest semantic cluster.
+
+    The quota order is an md5 hash of the id (stable under corpus growth,
+    like ``sample_corpus``'s thresholds), so re-running over an appended
+    corpus keeps previously-sampled members sampled until the quota is
+    displaced by lower hashes.
+    """
+    from streaming_feature_store_spark.operators.similarity import (
+        assign_clusters,
+    )
+
+    assigned = assign_clusters(vecs, k=k, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("samp_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("samp_rank") <= per_cluster)
+        .select(id_col, "cluster_id", "dist2", "samp_rank")
     )

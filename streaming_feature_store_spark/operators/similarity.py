@@ -424,3 +424,50 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def assign_clusters(
+    vecs: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: each vector labelled with the id of its
+    closest centroid (squared L2, deterministic centroid-id tiebreak).
+
+    ``centroids`` defaults to the ``k`` lowest-id vectors — a deterministic
+    seeding (k-means++ or trained centroids drop in via the parameter; the
+    assignment step is the same either way, and it IS the per-iteration
+    kernel of Lloyd's algorithm).
+
+    Plan: centroids broadcast, distances as hoisted-norm double folds
+    (v·v − 2·v·c + c·c — norms computed once per side, not once per pair),
+    argmin via a per-vector rank window. One shuffle, sized |vecs|·k before
+    the rank filter.
+    """
+    if centroids is None:
+        centroids = vecs.orderBy(id_col).limit(k)
+    c = as_double_vec(centroids, vec_col).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cvec"),
+        _dot(F.col(vec_col), F.col(vec_col)).alias("cc"),
+    )
+    v = as_double_vec(vecs, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col).alias("vvec"),
+        _dot(F.col(vec_col), F.col(vec_col)).alias("vv"),
+    )
+    scored = v.crossJoin(broadcast(c)).withColumn(
+        "dist2",
+        F.round(
+            F.col("vv") - 2 * _dot(F.col("vvec"), F.col("cvec")) + F.col("cc"),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "centroid_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, F.col("centroid_id").alias("cluster_id"), "dist2")
+    )

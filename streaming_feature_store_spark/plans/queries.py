@@ -2567,3 +2567,45 @@ def q68_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_feature_store_spark.operators.curation import quality_funnel
 
     return quality_funnel(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q69_cluster_balanced_sample",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS centroid_id, v AS cv, list_dot_product(v, v) AS cc
+      FROM e WHERE vec_id < 8
+    ), scored AS (
+      SELECT e.vec_id, centroid_id,
+        ROUND(list_dot_product(e.v, e.v)
+              - 2 * list_dot_product(e.v, cv) + cc, 6) AS dist2
+      FROM e CROSS JOIN c
+    ), assigned AS (
+      SELECT vec_id, centroid_id AS cluster_id, dist2,
+        ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rk
+      FROM scored
+    ), samp AS (
+      SELECT vec_id, cluster_id, dist2,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY cluster_id
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS samp_rank
+      FROM assigned WHERE rk = 1
+    )
+    SELECT vec_id, cluster_id, dist2, samp_rank FROM samp WHERE samp_rank <= 20
+    """,
+)
+def q69_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced sampling over the embedding corpus: nearest-
+    centroid assignment (8 deterministic seed centroids) + a stable
+    per-cluster quota of 20 — the embedding-space analog of per-source
+    mixture sampling."""
+    from streaming_feature_store_spark.operators.curation import (
+        cluster_balanced_sample,
+    )
+
+    return cluster_balanced_sample(
+        _t(spark, sf_dir, "embeddings"), k=8, per_cluster=20
+    )

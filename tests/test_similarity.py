@@ -102,3 +102,37 @@ def test_ivf_topk_matches_exact_on_testdata(spark):
     assert {r["query_id"]: r["nbr_id"] for r in probed} == {
         i: i + 1_000_000 for i in range(5)
     }
+
+
+def test_assign_clusters_and_balanced_sample(spark):
+    """Two well-separated groups in 2-D; seeds are the two lowest ids, so
+    assignment must split the groups exactly, and the per-cluster quota
+    caps each cluster independently."""
+    from streaming_feature_store_spark.operators.curation import (
+        cluster_balanced_sample,
+    )
+    from streaming_feature_store_spark.operators.similarity import assign_clusters
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [0.5, 0.0]),
+            (3, [10.0, 10.5]),
+            (4, [0.0, 0.6]),
+            (5, [9.5, 10.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(vecs, k=2).collect()
+    }
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+    samp = cluster_balanced_sample(vecs, k=2, per_cluster=2).collect()
+    by_cluster = {}
+    for r in samp:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    assert {len(v) for v in by_cluster.values()} == {2}
+    assert set(by_cluster) == {0, 1}

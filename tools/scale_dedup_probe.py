@@ -84,6 +84,31 @@ def main():
     docs.unpersist()
     spark.catalog.clearCache()  # operator-internal persists die with their section
 
+    # exact CC over a synthetic pair graph: 100k chains of 8 nodes
+    # (diameter 7 — forces multiple propagation rounds; star-shaped dup
+    # clusters converge faster). Ground truth: cluster_id = node - node%8.
+    from streaming_feature_store_spark.operators.dedup import dedup_clusters
+
+    n_nodes = 800_000
+    chain_pairs = (
+        spark.range(n_nodes)
+        .filter((F.col("id") + 1) % 8 != 0)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    t0 = time.time()
+    labels = dedup_clusters(chain_pairs).persist()
+    n_lab = labels.count()
+    bad = labels.filter(
+        F.col("cluster_id") != F.col("node") - F.col("node") % 8
+    ).count()
+    print(
+        f"dedup clusters (CC): {time.time()-t0:.1f}s "
+        f"({n_lab:,} nodes, {n_nodes - n_nodes//8:,} edges, "
+        f"chains of 8; wrong labels: {bad})"
+    )
+    assert bad == 0, "connected-components labels diverge from ground truth"
+    spark.catalog.clearCache()
+
     vecs = synth_vecs(spark, n_vecs).persist()
     q10 = vecs.filter(F.col("vec_id") < 10)
     print(f"vecs={vecs.count():,}")
