@@ -186,6 +186,21 @@ def winnow_fingerprints(
     Returns (id_col, n_fp, min_fp, fp_digest): fingerprint count, lowest
     fingerprint, and md5 digest of the comma-joined sorted fingerprint set.
     """
+    return _winnow_sel(df, text_col, id_col, k, w).groupBy(id_col).agg(
+        F.count("*").alias("n_fp"),
+        F.min("sel").alias("min_fp"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("sel")))).alias(
+            "fp_digest"
+        ),
+    )
+
+
+def _winnow_sel(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int
+) -> DataFrame:
+    """The distinct (id, selected-fingerprint) set behind winnowing — the
+    shared kernel of ``winnow_fingerprints`` (per-doc aggregate) and
+    ``winnow_containment_pairs`` (cross-doc inverted index)."""
     from pyspark.sql import Window
 
     toks = df.select(
@@ -219,12 +234,67 @@ def winnow_fingerprints(
         .select(F.col(id_col), "sel")
         .distinct()
     )
-    return fps.groupBy(id_col).agg(
-        F.count("*").alias("n_fp"),
-        F.min("sel").alias("min_fp"),
-        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("sel")))).alias(
-            "fp_digest"
-        ),
+    return fps
+
+
+def winnow_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Substring-level near-dup pairs: documents sharing winnowing
+    fingerprints, scored by containment = |shared| / min(|fp_a|, |fp_b|).
+
+    This localizes SUBSTRING overlap (any shared run of ≥ w+k−1 tokens
+    leaves a common fingerprint — the winnowing guarantee), where
+    whole-document Jaccard dilutes a long shared passage inside two
+    otherwise-different documents. The containment denominator (min, not
+    union) is the standard plagiarism/contamination score for exactly that
+    asymmetric-length case.
+
+    Plan shape mirrors ``dedup.jaccard_pairs``: the fingerprint set IS the
+    inverted index (already ~2/(w+1) the gram density), self-joined on the
+    fingerprint, intersections counted, sizes joined back. ``max_df`` caps
+    hot fingerprints like the stop-shingle cap there — same quadratic
+    blowup, same graceful degradation (drops only pairs whose every shared
+    fingerprint is corpus-hot).
+    """
+    fps = _winnow_sel(df, text_col, id_col, k, w).persist()
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    idx = fps
+    if max_df is not None:
+        hot = (
+            fps.groupBy("sel")
+            .agg(F.count("*").alias("df_sel"))
+            .filter(F.col("df_sel") > max_df)
+            .select("sel")
+        )
+        idx = fps.join(F.broadcast(hot), "sel", "left_anti")
+    a = idx.select(F.col(id_col).alias("doc_a"), "sel")
+    b = idx.select(F.col(id_col).alias("doc_b"), "sel")
+    inter = (
+        a.join(b, "sel")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("nfa"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("nfb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_shared") / F.least("nfa", "nfb").cast("double"), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "containment")
     )
 
 

@@ -2609,3 +2609,112 @@ def q69_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(
         _t(spark, sf_dir, "embeddings"), k=8, per_cluster=20
     )
+
+
+@query(
+    "q70_late_shipment_priority",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q70_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join): orders with at least one
+    line item shipped more than 60 days after the order date, counted by
+    priority. The semi join carries the non-equi ship-lag predicate
+    alongside the order-key equi condition; only (key, date) columns flow
+    from the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    late = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        late,
+        (o["o_orderkey"] == late["l_orderkey"])
+        & (
+            late["l_shipdate"]
+            > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@query(
+    "q71_parts_never_bulk_shipped",
+    sql="""
+    SELECT p_brand, COUNT(*) AS n_parts
+    FROM part
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_partkey = p_partkey AND l_quantity > 45)
+    GROUP BY p_brand
+    """,
+)
+def q71_parts_never_bulk_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join: parts that never shipped in a bulk
+    (quantity > 45) line item, counted by brand. The quantity filter is
+    pushed below the anti join so the distinct-key build side is small."""
+    p = _t(spark, sf_dir, "part")
+    bulk = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_partkey")
+    )
+    anti = p.join(bulk, p["p_partkey"] == bulk["l_partkey"], "left_anti")
+    return anti.groupBy("p_brand").agg(F.count("*").alias("n_parts"))
+
+
+@query(
+    "q72_winnow_containment_pairs",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS w,
+             generate_subscripts(string_split(text,' '),1) AS pos
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, pos,
+        md5(w || ' ' || lead(w,1) OVER dw || ' ' || lead(w,2) OVER dw) AS g
+      FROM toks WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(w,2) OVER dw IS NOT NULL
+    ), wmin AS (
+      SELECT doc_id, pos,
+        MIN(g) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+        MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, sel FROM wmin WHERE pos <= maxpos - 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM fps a JOIN fps b ON a.sel = b.sel AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+      ROUND(n_shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE), 6)
+        AS containment
+    FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) >= 0.5
+    """,
+)
+def q72_winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup pairs via shared winnowing fingerprints
+    (containment = shared / min set size) — catches a long shared passage
+    inside otherwise-different documents, which whole-document Jaccard
+    dilutes."""
+    from streaming_feature_store_spark.operators.text import (
+        winnow_containment_pairs,
+    )
+
+    return winnow_containment_pairs(
+        _t(spark, sf_dir, "documents"), k=3, w=4, threshold=0.5
+    )

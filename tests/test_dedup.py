@@ -179,3 +179,31 @@ def test_dedup_clusters(spark):
         r["node"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 11: 1, 40: 40, 50: 40}
+
+
+def test_winnow_containment_catches_shared_passage(spark):
+    """A long passage embedded in two otherwise-different documents:
+    whole-document Jaccard dilutes below threshold, substring containment
+    (shared winnow fingerprints / min set size) stays high."""
+    from streaming_feature_store_spark.operators.dedup import jaccard_pairs
+    from streaming_feature_store_spark.operators.text import (
+        winnow_containment_pairs,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " " + " ".join(f"a{i}" for i in range(40))),
+            (2, " ".join(f"b{i}" for i in range(40)) + " " + passage),
+            (3, " ".join(f"c{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in winnow_containment_pairs(docs, threshold=0.3).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.3
+    assert not any(3 in p for p in cont)
+    jac = jaccard_pairs(docs, threshold=0.3).filter("jaccard >= 0.3").collect()
+    assert jac == []  # the passage is <50% of either doc's shingles
