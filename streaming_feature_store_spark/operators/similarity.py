@@ -266,6 +266,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate nearest neighbor: partition the corpus into
     ``nlist`` Voronoi cells around coarse centroids, probe each query's
@@ -276,10 +277,12 @@ def ivf_topk(
     follow density, so recall/cost tracks the data's cluster structure.
     Expected scan fraction is nprobe/nlist of the corpus per query.
 
-    Centroids here are a deterministic pseudo-random sample of the corpus
-    (order by xxhash64(id), take ``nlist``) — the standard sampled-centroid
-    baseline; k-means refinement changes only the centroid table, not the
-    plan. Everything downstream is reproducible: assignment is a BLAS
+    Centroids default to a deterministic pseudo-random sample of the
+    corpus (order by xxhash64(id), take ``nlist``) — the standard
+    sampled-centroid baseline; pass ``centroids`` (e.g. from
+    ``train_centroids``) to swap in k-means-refined cells — only the
+    centroid table changes, not the plan. Everything downstream is
+    reproducible: assignment is a BLAS
     argmax over a broadcast (nlist × dim) matrix inside an Arrow-batched
     UDF — one matmul per batch, no per-row Python.
 
@@ -290,13 +293,13 @@ def ivf_topk(
     """
     import numpy as np
 
-    cent_rows = (
-        as_double_vec(corpus, vec_col)
-        .select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(nlist)
-        .collect()
-    )
+    if centroids is None:
+        centroids = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(nlist)
+        )
+    cent_rows = as_double_vec(centroids, vec_col).select(F.col(vec_col)).collect()
     C = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)  # (nlist, dim)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
@@ -470,4 +473,39 @@ def assign_clusters(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(id_col, F.col("centroid_id").alias("cluster_id"), "dist2")
+    )
+
+
+def train_centroids(
+    vecs: DataFrame,
+    k: int = 16,
+    max_iter: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF coarse centroids with MLlib k-means (Lloyd + k-means||
+    init, seeded → reproducible): the density-adaptive upgrade over
+    ``ivf_topk``'s sampled-centroid default. Returns (centroid_id,
+    vec_col) rows shaped for ``ivf_topk(centroids=...)`` and
+    ``assign_clusters(centroids=...)``.
+
+    MLlib is the right tool here rather than a hand-rolled Lloyd loop:
+    its implementation is the same assign/recompute dataflow with
+    distributed aggregation per iteration, plus triangle-inequality
+    pruning — exactly what we'd reimplement, already battle-tested at
+    cluster scale.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = as_double_vec(vecs, vec_col).select(
+        array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(d)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return vecs.sparkSession.createDataFrame(
+        rows, f"{id_col} long, {vec_col} array<double>"
     )

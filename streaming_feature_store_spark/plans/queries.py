@@ -2718,3 +2718,73 @@ def q72_winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_containment_pairs(
         _t(spark, sf_dir, "documents"), k=3, w=4, threshold=0.5
     )
+
+
+@query(
+    "q73_small_quantity_revenue",
+    sql=f"""
+    WITH cut AS (
+      SELECT l_partkey,
+        0.2 * ({_DSUM.format(c='l_quantity')} / COUNT(*)) AS cutoff
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {_DSUM.format(c='l_extendedprice')} AS small_qty_revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem l JOIN cut ON l.l_partkey = cut.l_partkey
+    WHERE l.l_quantity < cut.cutoff
+    """,
+)
+def q73_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery → pre-aggregated join):
+    revenue from line items below 20 % of their part's average quantity.
+    The per-part average uses decimal-exact summation so the threshold
+    comparison is bit-identical across engines."""
+    from streaming_feature_store_spark.functions.exprs import dsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    cut = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (dsum("l_quantity") / F.count("*"))).alias("cutoff")
+    )
+    return (
+        li.join(cut, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("cutoff"))
+        .agg(
+            dsum("l_extendedprice").alias("small_qty_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q74_latest_features_per_user",
+    sql="""
+    SELECT user_id, event_id AS last_event_id, us AS last_us,
+      value AS last_value, event_type AS last_event_type
+    FROM (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value, event_type,
+        ROW_NUMBER() OVER (
+          PARTITION BY user_id
+          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q74_latest_features_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store serving read: newest row per entity (the batch
+    twin of the latest-view sink's merge rule — ts desc, unique id desc
+    tiebreak)."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("us").alias("last_us"),
+            F.col("value").alias("last_value"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )

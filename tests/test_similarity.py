@@ -136,3 +136,31 @@ def test_assign_clusters_and_balanced_sample(spark):
         by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
     assert {len(v) for v in by_cluster.values()} == {2}
     assert set(by_cluster) == {0, 1}
+
+
+def test_train_centroids_and_trained_ivf(spark):
+    """k-means centroids on two well-separated groups land on the group
+    means, and ivf_topk with the trained centroids still returns the exact
+    nearest neighbor for a probe query."""
+    from streaming_feature_store_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids,
+    )
+
+    # angular spread within each group: cosine is scale-invariant, so the
+    # second component must vary with i or every group member ties at 1.0
+    rows = [(i, [1.0, float(i % 7) / 10.0]) for i in range(20)]
+    rows += [(100 + i, [-10.0, -10.0 - float(i % 7)]) for i in range(20)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_centroids(vecs, k=2, max_iter=5)
+    got = sorted(
+        [r["embedding"] for r in cents.collect()], key=lambda v: v[0]
+    )
+    assert abs(got[0][0] + 10.0) < 0.5 and got[0][1] < -10.0
+    assert abs(got[1][0] - 1.0) < 0.2 and abs(got[1][1] - 0.3) < 0.2
+
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = ivf_topk(
+        vecs, q, dim=2, k=1, nlist=2, nprobe=1, centroids=cents
+    ).collect()
+    assert out[0]["nbr_id"] == 7  # vec 7 is identical to vec 0
