@@ -207,3 +207,38 @@ def test_winnow_containment_catches_shared_passage(spark):
     assert not any(3 in p for p in cont)
     jac = jaccard_pairs(docs, threshold=0.3).filter("jaccard >= 0.3").collect()
     assert jac == []  # the passage is <50% of either doc's shingles
+
+
+def test_dedup_clusters_random_graph_vs_union_find(spark):
+    """200 random edges over 120 nodes (seeded): distributed CC must agree
+    with a driver-side union-find on every component assignment — covers
+    chains, stars, merged components, and the max_iter convergence path."""
+    import random
+
+    from streaming_feature_store_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(42)
+    edges = [
+        tuple(sorted(rng.sample(range(120), 2))) for _ in range(200)
+    ]
+
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e}
+    expected = {n: find(n) for n in touched}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == expected
