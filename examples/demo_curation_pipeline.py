@@ -1,0 +1,108 @@
+"""End-to-end demo: a training-data curation pipeline over the documents
+and embeddings tables — the beyond-reference surface (BASELINE.json) as
+one composed run.
+
+    documents
+      → PII redaction (regex gate)
+      → exact dedup + near-dup pair detection (MinHash-LSH)
+      → dedup clusters (exact connected components) → survivors
+      → quality funnel report (length / stopword / repetition gates)
+      → eval-set decontamination
+      → per-source mixture sampling
+      → context-window chunking (the model-input frame)
+    embeddings
+      → k-means centroids → cluster-balanced diversity sample
+      → near-dup pairs in embedding space
+
+Run: python examples/demo_curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from streaming_feature_store_spark.operators.curation import (
+    chunk_documents,
+    cluster_balanced_sample,
+    decontaminate,
+    quality_funnel,
+    sample_corpus,
+)
+from streaming_feature_store_spark.operators.dedup import (
+    dedup_clusters,
+    dedup_survivors,
+    minhash_near_dups,
+)
+from streaming_feature_store_spark.operators.similarity import (
+    embedding_near_dups,
+    train_centroids,
+)
+from streaming_feature_store_spark.operators.text import redact_pii
+from streaming_feature_store_spark.session import get_spark
+from streaming_feature_store_spark.sources.file import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("curation-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    print(f"corpus: {n0:,} documents from {sf_dir}")
+
+    clean = redact_pii(docs)
+
+    pairs = minhash_near_dups(clean, threshold=0.5).persist()
+    n_pairs = pairs.count()
+    clusters = dedup_clusters(pairs)
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    survivors = dedup_survivors(clean, pairs=pairs)
+    n1 = survivors.count()
+    print(
+        f"dedup: {n_pairs} near-dup pairs -> {n_clusters} clusters; "
+        f"{n0 - n1} docs dropped, {n1:,} survive"
+    )
+
+    print("quality funnel (per source, first 5):")
+    for r in quality_funnel(survivors).orderBy("source").limit(5).collect():
+        print(
+            f"  {r['source']}: {r['n_docs']} -> len {r['n_len_ok']} -> "
+            f"quality {r['n_quality']} -> clean {r['n_clean']} -> "
+            f"unique {r['n_survivors']}"
+        )
+
+    train = survivors.filter(F.col("doc_id") % 5 != 0)
+    ev = survivors.filter(F.col("doc_id") % 5 == 0)
+    contaminated = decontaminate(train, ev, n=8).filter("is_contaminated")
+    print(f"decontamination: {contaminated.count()} eval docs flagged")
+
+    sampled = sample_corpus(
+        train, rates={"src0": 1.0, "src1": 0.5}, default_rate=0.75
+    )
+    chunks = chunk_documents(sampled, chunk_size=32, stride=24)
+    print(
+        f"mixture: {sampled.count():,} docs sampled -> "
+        f"{chunks.count():,} training chunks (32 tokens, stride 24)"
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(vecs, k=8)
+    balanced = cluster_balanced_sample(vecs, k=8, per_cluster=20)
+    emb_pairs = embedding_near_dups(vecs, dim=64, threshold=0.99)
+    print(
+        f"embeddings: {vecs.count():,} vectors, {cents.count()} trained "
+        f"centroids, {balanced.count()} in the balanced sample, "
+        f"{emb_pairs.count()} near-dup pairs at cosine>=0.99"
+    )
+    spark.stop()
+    print("curation pipeline complete.")
+
+
+if __name__ == "__main__":
+    main()
