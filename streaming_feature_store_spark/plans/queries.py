@@ -2788,3 +2788,72 @@ def q74_latest_features_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_event_type"),
         )
     )
+
+
+@query(
+    "q75_cube_revenue",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+      {_DSUM.format(c='l_extendedprice')} AS revenue,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q75_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^k dimension subsets in one Expand +
+    shuffle) — completes the grouping-sets family next to q49's ROLLUP."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice").alias("revenue"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "q76_nation_trade_flows",
+    sql=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      {_DSUM6.format(c='l_extendedprice * (1 - l_discount)')} AS volume,
+      COUNT(*) AS n_lines
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name < sn.n_name
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def q76_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: five-way join threading the fact table through two
+    different dimension paths (customer-nation and supplier-nation, the
+    nation dim joined twice under distinct aliases), with a cross-path
+    inequality. True dims (nation ×2, supplier) are explicit broadcasts;
+    lineitem ⋈ orders is fact-fact (left to AQE — shuffle join at scale)
+    and customer sits between (AQE broadcasts it while it fits)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+    )
+    return j.groupBy("cust_nation", "supp_nation").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+            "volume"
+        ),
+        F.count("*").alias("n_lines"),
+    )
