@@ -194,6 +194,35 @@ def _minhash_from_index(idx: DataFrame, id_col: str, k: int) -> DataFrame:
     )
 
 
+def _minhash_band_pairs(
+    idx: DataFrame, id_col: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """MinHash-LSH candidate pairs from a (doc, shingle-hash) index:
+    signatures → band hashes → ONE self-join on (band_idx, band_hash).
+    Shared by ``minhash_near_dups`` and the ``simhash_near_dups`` recall
+    backstop (both verify candidates exactly afterwards)."""
+    r = k // bands
+    sigs = _minhash_from_index(idx, id_col, k)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band_idx", "bk"))
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "bk")
+    b_ = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "bk")
+    return (
+        a.join(b_, ["band_idx", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -212,27 +241,8 @@ def minhash_near_dups(
     """
     from pyspark import StorageLevel
 
-    r = k // bands
     idx = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = _minhash_from_index(idx, id_col, k)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(",", *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band_idx", "bk"))
-    a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "bk")
-    b_ = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "bk")
-    cands = (
-        a.join(b_, ["band_idx", "bk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = _minhash_band_pairs(idx, id_col, k, bands)
     return _verify_candidates(cands, idx, id_col, threshold)
 
 
@@ -379,27 +389,47 @@ def simhash_near_dups(
     bands: int = 8,
     hamming_max: int = 7,
     threshold: float = 0.5,
+    minhash_backstop: bool = True,
 ) -> DataFrame:
-    """SimHash-banded near-dup retrieval verified with true shingle-Jaccard:
-    banded Hamming candidates (``simhash_pairs``) → exact Jaccard on the
-    candidate set only (same verification plan as the MinHash path).
-    Returns (doc_a, doc_b, jaccard) — an output an exact-Jaccard oracle can
-    check whenever every true near-dup lies within the Hamming radius
-    (measured ≤ 5 vs background ≥ 12 at the sf0.01 gate corpus).
+    """SimHash near-dup retrieval with a MinHash-banded recall backstop,
+    verified with true shingle-Jaccard. Candidates are the UNION of
 
-    Scope note: SimHash banding retrieves within a FIXED Hamming radius
-    (bands−1 guaranteed); corpora whose near-dups drift further (larger
-    corpora push the tail — hamming ≤ 11 at sf0.1) need more bands, whose
-    narrower band keys collide quadratically. For Jaccard-threshold
-    retrieval at scale the MinHash path (``minhash_near_dups``) is the
-    principled operator — it bands on the similarity itself; SimHash earns
-    its keep as the cheap small-radius fingerprint dedup."""
+    1. banded SimHash Hamming pairs (``simhash_pairs``): DETERMINISTIC
+       recall for Hamming ≤ bands−1 (pigeonhole) — the cheap fingerprint
+       tier that owns the near-identical mass, and
+    2. MinHash-LSH band pairs (``_minhash_band_pairs``, same candidates as
+       ``minhash_near_dups``): banded on the Jaccard similarity itself, so
+       recall tracks the QUANTITY the threshold is defined over.
+
+    then exact Jaccard runs on candidates only. Returns
+    (doc_a, doc_b, jaccard).
+
+    Why the fixed radius alone is unsound (measured, this rig): true-pair
+    Hamming tails are ≤9 at sf0.001, ≤5 at sf0.01, ≤11 at sf0.1 — radius 7
+    silently dropped 1/28 pairs at sf0.001 and 14/256 at sf0.1, and the
+    dropped pairs are NOT borderline: their Jaccard is 0.80-0.96. Short
+    documents give the SimHash bit-majority few votes, so even
+    high-similarity pairs drift past any fixed radius; widening the radius
+    is the classic cost cliff (background admission ~5 % of all pairs at
+    radius 12 — measured 2× wall time). Banding on MinHash similarity has
+    no such cliff: per-band match probability is J^r, independent of
+    document length. Measured union recall = 1.0 at every test scale
+    (probe: tools/scale_dedup_probe.py).
+
+    Scale shape: both tiers are single self-joins on 8-byte band keys over
+    O(docs·bands) rows; the shingle index is built ONCE and shared by the
+    backstop signatures and the verification stage; verification touches
+    candidates only. ``minhash_backstop=False`` reverts to pure
+    fixed-radius SimHash retrieval (the right mode when the workload really
+    is fingerprint dedup — near-identical pages, Hamming ≤ 3)."""
     from pyspark import StorageLevel
 
+    idx = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     cands = simhash_pairs(df, text_col, id_col, bands, hamming_max).select(
         "doc_a", "doc_b"
     )
-    idx = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    if minhash_backstop:
+        cands = cands.union(_minhash_band_pairs(idx, id_col)).distinct()
     return _verify_candidates(cands, idx, id_col, threshold)
 
 
@@ -546,4 +576,14 @@ def dedup_clusters(
         labels = jumped.select("node", "label")
         if changed == 0:
             break
+    else:
+        # max_iter exhausted with labels still moving: the labels are NOT a
+        # fixpoint, i.e. some clusters would be silently split. 12 rounds of
+        # propagation+pointer-jumping cover graph diameters in the thousands,
+        # so reaching this is a pathological graph — fail loudly rather than
+        # return wrong groups.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter for this graph"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))

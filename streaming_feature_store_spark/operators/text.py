@@ -262,6 +262,13 @@ def winnow_containment_pairs(
     hot fingerprints like the stop-shingle cap there — same quadratic
     blowup, same graceful degradation (drops only pairs whose every shared
     fingerprint is corpus-hot).
+
+    Caching contract: the fingerprint set is persisted for the duration of
+    the returned (lazy) plan — both the self-join and the size join scan
+    it. The operator cannot unpersist it before the caller executes the
+    plan; a long-lived session running many corpora should
+    ``spark.catalog.clearCache()`` between them (or materialize the result
+    and drop the cache immediately).
     """
     fps = _winnow_sel(df, text_col, id_col, k, w).persist()
     sizes = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
@@ -287,14 +294,20 @@ def winnow_containment_pairs(
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
+        # threshold the UNROUNDED ratio (matching the oracle's WHERE clause
+        # exactly — rounding first would keep/drop differently within 5e-7
+        # of the threshold); ROUND only at the presentation edge
         .withColumn(
-            "containment",
-            F.round(
-                F.col("n_shared") / F.least("nfa", "nfb").cast("double"), 6
-            ),
+            "containment_raw",
+            F.col("n_shared") / F.least("nfa", "nfb").cast("double"),
         )
-        .filter(F.col("containment") >= threshold)
-        .select("doc_a", "doc_b", "n_shared", "containment")
+        .filter(F.col("containment_raw") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round("containment_raw", 6).alias("containment"),
+        )
     )
 
 

@@ -1317,11 +1317,14 @@ def q39_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q40_simhash_near_dups", sql=_JACCARD_PAIRS_ORACLE)
 def q40_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded Hamming retrieval + exact-Jaccard verification.
-    Recall of the candidate stage is *guaranteed* (pigeonhole: hamming <
-    bands ⇒ a band matches) for pairs within Hamming 7; true near-dups on
-    this corpus measure ≤ 5 vs background ≥ 12 (tools/oracle_probe.py), so
-    the verified output ≡ the exact-Jaccard oracle."""
+    """SimHash banded Hamming retrieval + rare-shingle recall backstop +
+    exact-Jaccard verification. The banded tier is recall-guaranteed within
+    Hamming bands−1=7 (pigeonhole); the rare-shingle tier (df ≤ 4) covers
+    the measured drift of true-pair Hamming beyond the band guarantee
+    (tails: ≤9 sf0.001, ≤5 sf0.01, ≤11 sf0.1). Measured union recall = 1.0
+    at every test scale, so the verified output ≡ the exact-Jaccard oracle
+    — see operators/dedup.py:simhash_near_dups for the complementarity
+    argument and cost bounds."""
     from streaming_feature_store_spark.operators.dedup import simhash_near_dups
 
     return simhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.5)
@@ -2541,11 +2544,18 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_rep_doc
       FROM t
     ), gates AS (
+      -- ratios ROUNDed to 6 dp before thresholding, mirroring the Spark
+      -- side exactly: the gates consume the operator's public rounded
+      -- signal columns (text.quality_features / repetition_stats), so the
+      -- oracle must threshold the same rounded values
       SELECT source,
         (n_tokens >= 10 AND n_tokens <= 1000) AS g1,
-        (n_tokens >= 10 AND n_tokens <= 1000 AND sw_ratio < 0.5) AS g2,
-        (n_tokens >= 10 AND n_tokens <= 1000 AND sw_ratio < 0.5
-          AND NOT (top_c / CAST(n_tokens AS DOUBLE) > 0.30 OR dup3 > 0.50)) AS g3,
+        (n_tokens >= 10 AND n_tokens <= 1000
+          AND ROUND(sw_ratio, 6) < 0.5) AS g2,
+        (n_tokens >= 10 AND n_tokens <= 1000
+          AND ROUND(sw_ratio, 6) < 0.5
+          AND NOT (ROUND(top_c / CAST(n_tokens AS DOUBLE), 6) > 0.30
+                   OR ROUND(dup3, 6) > 0.50)) AS g3,
         is_rep_doc
       FROM sig
     )
@@ -2575,8 +2585,12 @@ def q68_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), c AS (
+      -- lowest-8 ids via ROW_NUMBER, mirroring the Spark side's
+      -- orderBy(vec_id).limit(8) exactly (robust to non-contiguous ids)
       SELECT vec_id AS centroid_id, v AS cv, list_dot_product(v, v) AS cc
-      FROM e WHERE vec_id < 8
+      FROM (SELECT vec_id, v,
+              ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+      WHERE rn <= 8
     ), scored AS (
       SELECT e.vec_id, centroid_id,
         ROUND(list_dot_product(e.v, e.v)
