@@ -25,7 +25,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 @dataclass
@@ -54,28 +54,53 @@ def impute_median(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def impute_mode(df: DataFrame, cols: list[str]) -> DataFrame:
     """M2 categorical/bool branch: fill nulls with the column mode
-    (datasets.py:165-169's ``fillna(mode()[0])``). The mode per column is a
-    tiny grouped aggregate (distinct categories ≪ rows, map-side partial
-    counts); ties break deterministically by value. Booleans fall back to
-    False when the column is entirely null, mirroring the reference."""
-    out = df
+    (datasets.py:165-169's ``fillna(mode()[0])``). Booleans fall back to
+    False when the column is entirely null, mirroring the reference.
+
+    SINGLE-PASS over all columns: melt to (column, value) via one
+    explode(array(struct...)), aggregate counts grouped by (column, value)
+    — map-side partials keep the shuffle at distinct-categories size —
+    and take the per-column top-1 with one tiny row_number window. One
+    Spark job total regardless of schema width (the earlier per-column
+    collect loop paid one job per categorical — quadratic-ish driver
+    overhead on wide schemas). Ties break deterministically by the value's
+    string form; values round-trip through strings in the melt, which is
+    lossless for the categorical/bool/int columns this branch serves."""
+    if not cols:
+        return df
+    melted = [
+        F.struct(F.lit(c).alias("colname"), F.col(c).cast("string").alias("val"))
+        for c in cols
+    ]
+    w = Window.partitionBy("colname").orderBy(F.desc("n"), F.asc("val"))
+    top = (
+        df.select(F.explode(F.array(*melted)).alias("p"))
+        .select("p.colname", "p.val")
+        .filter(F.col("val").isNotNull())
+        .groupBy("colname", "val")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    )
+    modes = {r["colname"]: r["val"] for r in top}
+    fills: dict[str, object] = {}
     for c in cols:
-        top = (
-            df.filter(F.col(c).isNotNull())
-            .groupBy(c)
-            .count()
-            .orderBy(F.desc("count"), F.asc(c))
-            .limit(1)
-            .collect()
-        )
-        if top:
-            fill = top[0][0]
-        elif df.schema[c].dataType.simpleString() == "boolean":
-            fill = False
-        else:
-            continue  # all-null non-bool column: nothing sensible to fill
-        out = out.fillna({c: fill})
-    return out
+        dt = df.schema[c].dataType.simpleString()
+        if c in modes:
+            v = modes[c]
+            if dt == "boolean":
+                fills[c] = v == "true"
+            elif dt in ("tinyint", "smallint", "int", "bigint"):
+                fills[c] = int(v)
+            elif dt in ("float", "double"):
+                fills[c] = float(v)
+            else:
+                fills[c] = v
+        elif dt == "boolean":
+            fills[c] = False
+        # all-null non-bool column: nothing sensible to fill
+    return df.fillna(fills) if fills else df
 
 
 def remove_outliers(

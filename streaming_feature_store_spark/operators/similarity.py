@@ -277,14 +277,20 @@ def ivf_topk(
     follow density, so recall/cost tracks the data's cluster structure.
     Expected scan fraction is nprobe/nlist of the corpus per query.
 
-    Centroids default to a deterministic pseudo-random sample of the
-    corpus (order by xxhash64(id), take ``nlist``) — the standard
-    sampled-centroid baseline; pass ``centroids`` (e.g. from
-    ``train_centroids``) to swap in k-means-refined cells — only the
-    centroid table changes, not the plan. Everything downstream is
-    reproducible: assignment is a BLAS
-    argmax over a broadcast (nlist × dim) matrix inside an Arrow-batched
-    UDF — one matmul per batch, no per-row Python.
+    Centroids default to a deterministic hash-threshold sample of the
+    corpus: rows with xxhash64(id) below a threshold sized for ~8·nlist
+    expected survivors, then lowest-hash-first take. The threshold filter
+    means the top-k heap runs over ~8·nlist rows instead of the whole
+    corpus (the earlier corpus-wide ``orderBy(xxhash64).limit(nlist)``
+    paid an O(n log nlist) per-partition heap scan to pick 16 rows);
+    the selection is independent of partitioning, so it is reproducible
+    across runs and cluster layouts. Costs one extra count() scan to size
+    the threshold — moot when ``centroids`` (e.g. from
+    ``train_centroids``) is passed, which swaps in k-means-refined cells
+    without changing the plan. Everything downstream is reproducible:
+    assignment is a BLAS argmax over a broadcast (nlist × dim) matrix
+    inside an Arrow-batched UDF — one matmul per batch, no per-row
+    Python.
 
     Scale shape: centroid table is tiny (nlist·dim doubles) and broadcast;
     corpus is bucketed once by cell (narrow, no shuffle of vectors beyond
@@ -294,11 +300,26 @@ def ivf_topk(
     import numpy as np
 
     if centroids is None:
+        n = corpus.count()
+        frac = min(1.0, (8.0 * nlist) / max(n, 1))
+        # xxhash64 is uniform over the full signed-long range; keep rows in
+        # the lowest `frac` slice of it (expected ~8·nlist survivors)
+        thresh = int(-(2**63) + frac * 2.0**64)
+        h = F.xxhash64(F.col(id_col))
         centroids = (
             corpus.select(F.col(id_col), F.col(vec_col))
-            .orderBy(F.xxhash64(F.col(id_col)))
+            .filter(h <= F.lit(thresh))
+            .orderBy(h.asc())
             .limit(nlist)
         )
+        if frac < 1.0 and centroids.count() < nlist:
+            # pathological hash luck (P ~ e^{-4·nlist}); fall back to the
+            # unfiltered corpus-wide take
+            centroids = (
+                corpus.select(F.col(id_col), F.col(vec_col))
+                .orderBy(F.xxhash64(F.col(id_col)))
+                .limit(nlist)
+            )
     cent_rows = as_double_vec(centroids, vec_col).select(F.col(vec_col)).collect()
     C = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)  # (nlist, dim)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)

@@ -103,6 +103,40 @@ def test_impute_mode(spark):
     assert now_top == before_top + was_null
 
 
+def test_impute_mode_single_pass(spark):
+    """The melt-based impute_mode runs a FIXED number of Spark jobs no
+    matter how many columns it fills (the old form paid one collect per
+    column), and fills multiple mixed-type columns correctly in that pass."""
+    df = _mixed_dataset(spark).withColumn(
+        "flag", F.when(F.rand(11) < 0.1, None).otherwise(F.col("label") == 1)
+    )
+    sc = spark.sparkContext
+
+    def jobs_for(cols, group):
+        sc.setJobGroup(group, "impute-mode job count")
+        out = impute_mode(df, cols)
+        n = len(sc.statusTracker().getJobIdsForGroup(group))
+        sc.setJobGroup(None, None)
+        return n, out
+
+    n1, _ = jobs_for(["mcc"], "imp-one")
+    n3, out = jobs_for(["mcc", "currency", "flag"], "imp-three")
+    assert n3 == n1, f"job count grew with column count: {n1} -> {n3}"
+    for c in ("mcc", "currency", "flag"):
+        assert out.filter(F.col(c).isNull()).count() == 0
+    # bool mode survives the string round-trip
+    top_flag = (
+        df.filter(F.col("flag").isNotNull())
+        .groupBy("flag").count().orderBy(F.desc("count")).first()["flag"]
+    )
+    was_null = df.filter(F.col("flag").isNull()).count()
+    delta = (
+        out.filter(F.col("flag") == top_flag).count()
+        - df.filter(F.col("flag") == top_flag).count()
+    )
+    assert delta == was_null
+
+
 def test_train_with_categoricals(spark):
     """M2+M5 end-to-end: mode-impute a string feature, StringIndexer-encode
     it in the pipeline, train, and verify the categorical carries signal
