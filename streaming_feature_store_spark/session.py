@@ -87,6 +87,14 @@ def get_spark(
             ),
         )
     )
+    # Opt-in connector packages (e.g. spark-avro, delta-spark jars):
+    #   SPARK_GRAFT_EXTRA_PACKAGES="org.apache.spark:spark-avro_2.13:4.1.2"
+    # Resolved from Maven at session start where the environment has network
+    # access; this rig is offline, so the Avro/Delta paths stay import-gated
+    # and their tests skip (see tests/test_avro.py, test_sinks_metrics.py).
+    extra_pkgs = os.environ.get("SPARK_GRAFT_EXTRA_PACKAGES", "")
+    if extra_pkgs:
+        builder = builder.config("spark.jars.packages", extra_pkgs)
     for k, v in (configs or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -28,6 +28,56 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 
+def delta_available(spark: SparkSession) -> bool:
+    """True iff the delta-spark python package AND the Delta jars are both
+    loadable in this session — the gate for the ``backend="delta"`` sink
+    path (same import-gate pattern as the Avro codec: public Apache-licensed
+    tooling that this rig does not ship)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+
+        getattr(spark._jvm.io.delta.tables, "DeltaTable")
+        return True
+    except Exception:
+        return False
+
+
+def _upsert_latest_delta(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    ts_col: str,
+) -> None:
+    """The Delta realization of ``upsert_latest``: a keyed ``MERGE INTO``
+    with newest-``ts_col``-wins update condition. Metadata-transactional,
+    concurrent-reader-safe, and at 100 TB strictly better than the parquet
+    bucket rewrite (Delta rewrites only files containing matched keys and
+    commits atomically). Idempotent for the same reason the parquet path
+    is: re-merging an already-applied batch matches every key with an equal
+    timestamp and overwrites with identical values."""
+    from delta.tables import DeltaTable
+
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(ts_col))
+    latest_batch = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if not DeltaTable.isDeltaTable(spark, path):
+        latest_batch.write.format("delta").mode("overwrite").save(path)
+        return
+    t = DeltaTable.forPath(spark, path)
+    cond = " AND ".join(f"t.`{c}` = s.`{c}`" for c in key_cols)
+    (
+        t.alias("t")
+        .merge(latest_batch.alias("s"), cond)
+        .whenMatchedUpdateAll(condition=f"s.`{ts_col}` >= t.`{ts_col}`")
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
 def upsert_latest(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -35,6 +85,7 @@ def upsert_latest(
     key_cols: list[str],
     ts_col: str = "window_start_s",
     n_buckets: int = 64,
+    backend: str | None = None,
 ) -> None:
     """Merge a feature micro-batch into the latest-view table at ``path``.
 
@@ -42,12 +93,22 @@ def upsert_latest(
     row (the reference's Redis HSET overwrite semantics). Idempotent: the
     same batch applied twice yields the same table.
 
-    Layout: hash-bucketed by entity key (``_bucket=`` partitions) and merged
-    with DYNAMIC partition overwrite — a micro-batch touching k entities
-    rewrites at most min(k, n_buckets) buckets, never the whole table. This
-    is the parquet approximation of a keyed Delta/Iceberg MERGE (identical
-    call-site contract); at 100 TB, size n_buckets so a bucket ≈ one task.
+    ``backend`` selects the physical realization behind the SAME call-site
+    contract (default from ``$SPARK_GRAFT_SINK_BACKEND``, else parquet):
+
+    - ``parquet``: hash-bucketed by entity key (``_bucket=`` partitions),
+      merged with DYNAMIC partition overwrite — a micro-batch touching k
+      entities rewrites at most min(k, n_buckets) buckets, never the whole
+      table; at 100 TB, size n_buckets so a bucket ≈ one task.
+    - ``delta``: a real keyed ``MERGE INTO`` (``_upsert_latest_delta``) —
+      transactional and reader-safe; requires delta-spark + jars
+      (``delta_available``), which this rig lacks, so the path is
+      import-gated exactly like the Avro codec.
     """
+    backend = backend or os.environ.get("SPARK_GRAFT_SINK_BACKEND", "parquet")
+    if backend == "delta":
+        _upsert_latest_delta(spark, batch_df, path, key_cols, ts_col)
+        return
     bucket = F.pmod(
         F.xxhash64(*[F.col(c).cast("string") for c in key_cols]), F.lit(n_buckets)
     )

@@ -39,3 +39,28 @@ def test_decode_stub_gated():
         pytest.skip("PIL present; stub not applicable")
     with pytest.raises(NotImplementedError):
         _decode_image(b"xx")
+
+
+def test_decode_image_features_with_pil(spark):
+    """The REAL decode kernel, exercised wherever PIL exists (skips in this
+    rig): build an in-memory PNG, run the Arrow-batched decode, check
+    dimensions/mode and that a corrupt payload nulls out instead of
+    failing the batch."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from streaming_feature_store_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (8, 5), color=(10, 20, 30)).save(buf, format="PNG")
+    rows = [(0, "image", "png", bytearray(buf.getvalue())),
+            (1, "image", "png", bytearray(b"not-an-image"))]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, fmt string, payload binary"
+    )
+    got = {r["media_id"]: r for r in decode_image_features(df).collect()}
+    assert (got[0]["width"], got[0]["height"], got[0]["mode"]) == (8, 5, "RGB")
+    assert got[0]["mean_luma"] is not None
+    assert got[1]["width"] is None  # corrupt payload -> nulls, not job failure
