@@ -339,24 +339,37 @@ def ks_by_feature(df: DataFrame, cols: list[str], group_col: str) -> DataFrame:
     (feature, value) rows, then the cumulative-CDF window runs PARTITIONED
     BY FEATURE — unlike single-column ``ks_statistic`` there is no global
     single-partition sort, so this scales to wide feature tables (the
-    reference loops scipy per column — drift_check.py:50-136)."""
+    reference loops scipy per column — drift_check.py:50-136).
+
+    The window input is pre-aggregated to one (feature, value) row with
+    both group counts — EXACT, because an empirical CDF only steps at
+    distinct values, and much smaller where features repeat (lineitem at
+    sf0.1: 2.4M stacked rows → 583k grouped; the discrete features
+    collapse 600k rows → ≤50). The remaining per-feature sort is bounded
+    by the feature's distinct-value count; for continuous features at
+    table scale use ``ks_by_feature_binned``, which bounds it at n_bins."""
     stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
     long = df.selectExpr(
         f"stack({len(cols)}, {stack_expr}) as (feature, value)", group_col
     )
+    counts = long.groupBy("feature", "value").agg(
+        F.sum(F.when(F.col(group_col), 1).otherwise(0)).alias("_c1"),
+        F.sum(F.when(~F.col(group_col), 1).otherwise(0)).alias("_c2"),
+    )
+    # values are distinct within a feature after the groupBy, so a rows
+    # frame over the value sort is the exact CDF
     w = (
         Window.partitionBy("feature")
         .orderBy("value")
-        .rangeBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     tot = Window.partitionBy("feature")
-    c1 = F.sum(F.when(F.col(group_col), 1).otherwise(0)).over(w)
-    c2 = F.sum(F.when(~F.col(group_col), 1).otherwise(0)).over(w)
-    n1 = F.sum(F.when(F.col(group_col), 1).otherwise(0)).over(tot)
-    n2 = F.sum(F.when(~F.col(group_col), 1).otherwise(0)).over(tot)
-    diff = F.abs(c1 / n1.cast("double") - c2 / n2.cast("double"))
+    diff = F.abs(
+        F.sum("_c1").over(w) / F.sum("_c1").over(tot).cast("double")
+        - F.sum("_c2").over(w) / F.sum("_c2").over(tot).cast("double")
+    )
     return (
-        long.select("feature", diff.alias("_d"))
+        counts.select("feature", diff.alias("_d"))
         .groupBy("feature")
         .agg(F.round(F.max("_d"), 6).alias("ks_stat"))
     )

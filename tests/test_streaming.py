@@ -220,3 +220,89 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     for k, w in want.items():
         assert got[k]["n_events"] == w["n_events"]
         assert got[k]["session_end_us"] == w["session_end_us"]
+
+
+def test_streaming_multi_horizon_matches_batch(spark, tmp_path):
+    """A10 streaming twin: the SAME tumbling-window aggregation expression,
+    run as a file-stream query and as a batch query, produces identical
+    per-(user, window) counts/sums for both the 5 m and 30 m horizons —
+    one declarative plan, two execution modes. The batch side is then tied
+    back to the oracled per-event frame: the test data places each user's
+    events inside single aligned buckets separated by > 30 minutes, the
+    regime where multi_horizon_counts' trailing cnt_5m/cnt_30m at a
+    cluster's last event must equal the aligned bucket's count."""
+    from streaming_feature_store_spark.operators.windows import (
+        multi_horizon_counts,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        # user 1, cluster A: inside aligned [00:00, 00:05)
+        (1, 1, BASE + dt.timedelta(minutes=1), 1.0, "view"),
+        (2, 1, BASE + dt.timedelta(minutes=2), 2.0, "click"),
+        (3, 1, BASE + dt.timedelta(minutes=4), 3.0, "view"),
+        # user 1, cluster B: inside aligned [00:40, 00:45), > 30 m after A
+        (4, 1, BASE + dt.timedelta(minutes=41), 4.0, "view"),
+        (5, 1, BASE + dt.timedelta(minutes=43), 5.0, "purchase"),
+        # user 2: one cluster inside [00:30, 00:35)
+        (6, 2, BASE + dt.timedelta(minutes=31), 6.0, "view"),
+        (7, 2, BASE + dt.timedelta(minutes=33), 7.0, "view"),
+        # watermark pusher closes every window above
+        (8, 99, BASE + dt.timedelta(hours=6), 0.0, "view"),
+    ]
+    _write_batch(spark, src, rows)
+    batch = spark.createDataFrame(rows, SCHEMA).filter(F.col("user_id") < 99)
+
+    def agg(frame, horizon):
+        return (
+            frame.groupBy(
+                F.col("user_id"), F.window("ts", horizon).alias("w")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("s"),
+            )
+            .select(
+                "user_id", F.unix_micros("w.start").alias("ws"), "n", "s"
+            )
+        )
+
+    for horizon in ("5 minutes", "30 minutes"):
+        tag = horizon.split(" ")[0] + "m"
+        stream = read_file_stream(spark, src, SCHEMA).withWatermark(
+            "ts", "1 minute"
+        )
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            agg(stream, horizon)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["ws"]): (r["n"], r["s"])
+            for r in spark.read.parquet(out).collect()
+            if r["user_id"] != 99
+        }
+        want = {
+            (r["user_id"], r["ws"]): (r["n"], r["s"])
+            for r in agg(batch, horizon).collect()
+        }
+        assert got == want, f"stream/batch divergence at {horizon}"
+
+    # tie to the oracled per-event frame: trailing counts at each cluster's
+    # last event equal the aligned bucket counts in this data regime
+    mh = {
+        r["event_id"]: r
+        for r in multi_horizon_counts(batch, "user_id").collect()
+    }
+    assert (mh[3]["cnt_5m"], mh[3]["cnt_30m"]) == (3, 3)   # cluster A
+    assert (mh[5]["cnt_5m"], mh[5]["cnt_30m"]) == (2, 2)   # cluster B
+    assert (mh[7]["cnt_5m"], mh[7]["cnt_30m"]) == (2, 2)   # user 2
