@@ -60,19 +60,26 @@ def psi(
 
 def ks_statistic(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov D statistic between the group_col
-    true/false populations. EXACT form: cumulative CDFs need a sort on the
-    value — a single-partition global sort, fine at drift-sample scale (the
-    reference caps its sample at 1000 keys, drift_check.py:222-225) but not
-    at table scale; use ``ks_binned`` there."""
-    w = Window.orderBy(value_col).rangeBetween(Window.unboundedPreceding, 0)
+    true/false populations. EXACT form: the empirical CDF only steps at
+    distinct values, so the input is pre-aggregated to one (value, group
+    counts) row — the remaining single-partition cumulative sort covers
+    DISTINCT VALUES, not raw rows (the distributed groupBy does the heavy
+    lifting). Fine at drift-sample scale and for discrete/low-cardinality
+    features at any scale; for continuous features at table scale use
+    ``ks_binned``, which bounds the sorted set at n_bins."""
+    counts = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.sum(F.when(F.col(group_col), 1).otherwise(0)).alias("_c1"),
+        F.sum(F.when(~F.col(group_col), 1).otherwise(0)).alias("_c2"),
+    )
+    # values are distinct after the groupBy: a rows frame is the exact CDF
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.partitionBy()
-    c1 = F.sum(F.when(F.col(group_col), 1).otherwise(0)).over(w)
-    c2 = F.sum(F.when(~F.col(group_col), 1).otherwise(0)).over(w)
-    n1 = F.sum(F.when(F.col(group_col), 1).otherwise(0)).over(tot)
-    n2 = F.sum(F.when(~F.col(group_col), 1).otherwise(0)).over(tot)
-    diff = F.abs(c1 / n1.cast("double") - c2 / n2.cast("double"))
+    diff = F.abs(
+        F.sum("_c1").over(w) / F.sum("_c1").over(tot).cast("double")
+        - F.sum("_c2").over(w) / F.sum("_c2").over(tot).cast("double")
+    )
     return (
-        df.select(diff.alias("_d"))
+        counts.select(diff.alias("_d"))
         .agg(F.max("_d").alias("_ks"))
         .select(F.round(F.col("_ks"), 6).alias("ks_stat"))
     )
@@ -149,19 +156,27 @@ def ks_drift_report(
     long = df.selectExpr(
         f"stack({len(cols)}, {stack_expr}) as (feature, value)", group_col
     )
+    # pre-aggregate to one (feature, value) row — exact (the CDF steps only
+    # at distinct values) and the per-feature sort covers distinct values,
+    # not raw rows (same plan shape as ks_by_feature)
+    counts = long.groupBy("feature", "value").agg(
+        F.sum(F.when(F.col(group_col), 1).otherwise(0)).alias("_c1"),
+        F.sum(F.when(~F.col(group_col), 1).otherwise(0)).alias("_c2"),
+    )
     w = (
         Window.partitionBy("feature")
         .orderBy("value")
-        .rangeBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     tot = Window.partitionBy("feature")
-    c1 = F.sum(F.when(F.col(group_col), 1).otherwise(0)).over(w)
-    c2 = F.sum(F.when(~F.col(group_col), 1).otherwise(0)).over(w)
-    n1 = F.sum(F.when(F.col(group_col), 1).otherwise(0)).over(tot)
-    n2 = F.sum(F.when(~F.col(group_col), 1).otherwise(0)).over(tot)
-    diff = F.abs(c1 / n1.cast("double") - c2 / n2.cast("double"))
+    n1 = F.sum("_c1").over(tot)
+    n2 = F.sum("_c2").over(tot)
+    diff = F.abs(
+        F.sum("_c1").over(w) / n1.cast("double")
+        - F.sum("_c2").over(w) / n2.cast("double")
+    )
     per_feature = (
-        long.select(
+        counts.select(
             "feature",
             diff.alias("_d"),
             n1.alias("_n1"),
@@ -285,27 +300,34 @@ def prediction_drift(
         edges = [i / 10 for i in range(1, 10)]  # score deciles on [0, 1]
     psi_row = psi(df, score_col, group_col, edges)
 
-    w = Window.orderBy(score_col).rangeBetween(Window.unboundedPreceding, 0)
+    # grouped CDF input (exact; see ks_statistic) — per-population means
+    # recovered from the grouped counts as Σ v·c / Σ c
+    counts = df.groupBy(F.col(score_col).alias("_v")).agg(
+        F.sum(F.when(F.col(group_col), 1).otherwise(0)).alias("_c1"),
+        F.sum(F.when(~F.col(group_col), 1).otherwise(0)).alias("_c2"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.partitionBy()
-    c1 = F.sum(F.when(F.col(group_col), 1).otherwise(0)).over(w)
-    c2 = F.sum(F.when(~F.col(group_col), 1).otherwise(0)).over(w)
-    n1 = F.sum(F.when(F.col(group_col), 1).otherwise(0)).over(tot)
-    n2 = F.sum(F.when(~F.col(group_col), 1).otherwise(0)).over(tot)
-    diff = F.abs(c1 / n1.cast("double") - c2 / n2.cast("double"))
+    n1 = F.sum("_c1").over(tot)
+    n2 = F.sum("_c2").over(tot)
+    diff = F.abs(
+        F.sum("_c1").over(w) / n1.cast("double")
+        - F.sum("_c2").over(w) / n2.cast("double")
+    )
     ks = (
-        df.select(
+        counts.select(
             diff.alias("_d"),
             n1.alias("_n1"),
             n2.alias("_n2"),
-            F.when(F.col(group_col), F.col(score_col)).alias("_recent"),
-            F.when(~F.col(group_col), F.col(score_col)).alias("_hist"),
+            (F.col("_v") * F.col("_c1")).alias("_vs1"),
+            (F.col("_v") * F.col("_c2")).alias("_vs2"),
         )
         .agg(
             F.max("_d").alias("_ks"),
             F.first("_n1").alias("_n1"),
             F.first("_n2").alias("_n2"),
-            F.avg("_recent").alias("_recent_mean"),
-            F.avg("_hist").alias("_hist_mean"),
+            (F.sum("_vs1") / F.first("_n1")).alias("_recent_mean"),
+            (F.sum("_vs2") / F.first("_n2")).alias("_hist_mean"),
         )
     )
     p = _ks_pvalue(F.col("_ks"), F.col("_n1"), F.col("_n2"))
