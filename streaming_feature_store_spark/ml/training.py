@@ -22,6 +22,7 @@ Reference parity, re-expressed on MLlib:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -303,3 +304,74 @@ def load_model(spark, path: str):
     from pyspark.ml import PipelineModel
 
     return PipelineModel.load(path)
+
+
+def export_model_bundle(
+    model,
+    path: str,
+    cfg: TrainConfig,
+    metrics: dict | None = None,
+    promote: bool = True,
+) -> str:
+    """M9 tail: the reference's model artifact bundle + registry semantics
+    (training/models.py:232-304 writes model.pkl, feature_names.json and a
+    metadata dict, then models.py:353-380 registers/promotes in MLflow)
+    restated Spark-native, no external services:
+
+    - ``{path}/v{N}/model/``          — the fitted PipelineModel (Spark save)
+    - ``{path}/v{N}/manifest.json``   — feature names IN SCORING ORDER,
+      categorical subset, algorithm, label column, metrics — everything a
+      serving job needs to validate its input frame against the bundle
+    - ``{path}/LATEST``               — registry "production" pointer;
+      ``promote=False`` writes the version without moving the pointer (the
+      staging-area half of the reference's stage promotion)
+
+    Versions auto-increment; returns the new version tag. ONNX and the
+    MLflow transport itself stay explicit non-goals (SURVEY §7) — this is
+    the capability (versioned, self-describing, promotable artifacts), not
+    the wire format."""
+    import json
+    import re as _re
+
+    existing = []
+    if os.path.isdir(path):
+        existing = [
+            int(m.group(1))
+            for d in os.listdir(path)
+            if (m := _re.fullmatch(r"v(\d+)", d))
+        ]
+    version = f"v{max(existing, default=0) + 1}"
+    vdir = os.path.join(path, version)
+    model.write().overwrite().save(os.path.join(vdir, "model"))
+    numeric = [c for c in cfg.feature_cols if c not in cfg.categorical_cols]
+    manifest = {
+        "version": version,
+        "algorithm": cfg.algorithm,
+        "label_col": cfg.label_col,
+        "feature_names": numeric
+        + [f"{c}_idx" for c in cfg.categorical_cols],
+        "input_cols": list(cfg.feature_cols),
+        "categorical_cols": list(cfg.categorical_cols),
+        "metrics": metrics or {},
+    }
+    with open(os.path.join(vdir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    if promote:
+        with open(os.path.join(path, "LATEST"), "w") as f:
+            f.write(version)
+    return version
+
+
+def load_model_bundle(spark, path: str, version: str | None = None):
+    """Load a bundle written by ``export_model_bundle``: the promoted
+    (``LATEST``) version by default, or an explicit pin. Returns
+    (PipelineModel, manifest dict)."""
+    import json
+
+    if version is None:
+        with open(os.path.join(path, "LATEST")) as f:
+            version = f.read().strip()
+    vdir = os.path.join(path, version)
+    with open(os.path.join(vdir, "manifest.json")) as f:
+        manifest = json.load(f)
+    return load_model(spark, os.path.join(vdir, "model")), manifest

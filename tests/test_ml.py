@@ -211,3 +211,34 @@ def test_cross_validate_and_persistence(spark, tmp_path):
     a = score(result["model"], df).select("score").limit(5).collect()
     b = score(reloaded, df).select("score").limit(5).collect()
     assert a == b
+
+
+def test_model_bundle_roundtrip(spark, tmp_path):
+    """M9 tail: versioned export bundle — manifest carries the scoring
+    contract, versions auto-increment, LATEST promotes (or not), and the
+    reloaded model scores identically to the in-memory one."""
+    from streaming_feature_store_spark.ml.training import (
+        export_model_bundle,
+        load_model_bundle,
+    )
+
+    df = _dataset(spark, 500)
+    cfg = TrainConfig(feature_cols=["f1", "f2"], algorithm="lr")
+    model = build_pipeline(cfg).fit(df)
+    reg = str(tmp_path / "registry")
+
+    v1 = export_model_bundle(model, reg, cfg, metrics={"auc": 0.9})
+    assert v1 == "v1"
+    v2 = export_model_bundle(model, reg, cfg, promote=False)
+    assert v2 == "v2"
+
+    loaded, manifest = load_model_bundle(spark, reg)   # LATEST -> v1
+    assert manifest["version"] == "v1"
+    assert manifest["metrics"] == {"auc": 0.9}
+    assert manifest["feature_names"] == ["f1", "f2"]
+    want = {r["id"]: r["score"] for r in score(model, df).select("id", "score").collect()}
+    got = {r["id"]: r["score"] for r in score(loaded, df).select("id", "score").collect()}
+    assert got == want
+
+    _, m2 = load_model_bundle(spark, reg, version="v2")  # explicit pin
+    assert m2["version"] == "v2"
