@@ -2871,3 +2871,182 @@ def q76_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: operator mechanisms not yet in the catalog — pivot,
+# correlated scalar subquery, cohort retention, set difference
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q77_event_type_hour_pivot",
+    sql="""
+    SELECT event_type,
+      CAST(SUM(CASE WHEN h BETWEEN 0 AND 5  THEN 1 ELSE 0 END) AS BIGINT) AS night,
+      CAST(SUM(CASE WHEN h BETWEEN 6 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS morning,
+      CAST(SUM(CASE WHEN h BETWEEN 12 AND 17 THEN 1 ELSE 0 END) AS BIGINT) AS afternoon,
+      CAST(SUM(CASE WHEN h BETWEEN 18 AND 23 THEN 1 ELSE 0 END) AS BIGINT) AS evening
+    FROM (SELECT event_type, EXTRACT(hour FROM ts) AS h FROM events)
+    GROUP BY event_type
+    """,
+)
+def q77_event_type_hour_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's PIVOT operator (groupBy().pivot().count()) over a derived
+    day-part column — the relational crosstab the reference builds by hand
+    for its confusion matrix (fraud_detector.py:184-205 keeps 4 counters;
+    A18). Pivot values are DECLARED, which keeps the plan a single
+    hash-aggregation (no distinct-values pre-scan job) — the form that
+    survives wide category sets at scale. Oracle: conditional aggregation
+    (what the pivot compiles to)."""
+    ev = _t(spark, sf_dir, "events")
+    part = (
+        F.when(F.hour("ts") <= 5, "night")
+        .when(F.hour("ts") <= 11, "morning")
+        .when(F.hour("ts") <= 17, "afternoon")
+        .otherwise("evening")
+    )
+    return (
+        ev.withColumn("day_part", part)
+        .groupBy("event_type")
+        .pivot("day_part", ["night", "morning", "afternoon", "evening"])
+        .count()
+        .na.fill(0, ["night", "morning", "afternoon", "evening"])
+    )
+
+
+@query(
+    "q78_solely_late_suppliers",
+    sql="""
+    SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def q78_solely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the compound EXISTS + NOT EXISTS correlation on
+    the same fact table (adapted to this schema's ship-lag lateness, as in
+    q70): suppliers who were the ONLY late supplier on a multi-supplier
+    order, counted by distinct waiting orders.
+
+    Expressed decorrelated — both correlated predicates collapse into ONE
+    per-order aggregate (distinct suppliers, distinct LATE suppliers), so
+    the fact table is scanned once and shuffled once on the order key; the
+    EXISTS becomes ``n_supp > 1`` and the NOT EXISTS becomes
+    ``n_late_supp = 1`` (the late row itself is the one allowed late
+    supplier). The oracle keeps the textbook correlated form so the
+    cross-check derives the same answer through a different plan. Supplier
+    dim is broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    stats = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    blamed = (
+        j.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            stats.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+    )
+    return (
+        blamed.join(broadcast(s), blamed["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+@query(
+    "q79_weekly_retention",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id,
+        CAST(FLOOR(EXTRACT(epoch FROM MIN(ts)) / 604800) AS BIGINT) AS cohort_w
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+        CAST(FLOOR(EXTRACT(epoch FROM ts) / 604800) AS BIGINT) AS active_w
+      FROM events
+    )
+    SELECT cohort_w, CAST(active_w - cohort_w AS BIGINT) AS week_offset,
+      COUNT(*) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY cohort_w, week_offset
+    """,
+)
+def q79_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the training-data-pipeline report shape (cohort =
+    first-activity week, count distinct users active at each week offset).
+    Two aggregations over one scan lineage: per-user first week (keyed
+    agg), distinct (user, week) activity (map-side distinct), joined on
+    user_id. Both sides partition by user_id, so at scale the join reuses
+    one hash partitioning; no window function needed."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_w"))
+    activity = ev.select("user_id", week.alias("active_w")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_w",
+            (F.col("active_w") - F.col("cohort_w")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "q80_churned_purchasers",
+    sql="""
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase'
+      AND ts < (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE ts >= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
+    """,
+)
+def q80_churned_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (SQL EXCEPT ≡ DataFrame ``subtract``: distinct
+    left-anti hash join — NOT ``exceptAll``, whose multiset semantics would
+    let a user purchasing 3× before the cutoff and active once after
+    survive the subtraction): users who purchased during the window but
+    were never seen in its final day. Both sides project only user_id, so
+    the shuffle carries 8-byte keys; the cutoff is a scalar computed once
+    and folded into both predicates."""
+    import datetime as _dt
+
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.agg(F.max("ts")).first()[0]
+    cutoff = hi - _dt.timedelta(days=1)
+    purchasers = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") < F.lit(cutoff))
+        ).select("user_id")
+    )
+    last_day_active = ev.filter(F.col("ts") >= F.lit(cutoff)).select("user_id")
+    return purchasers.subtract(last_day_active)
