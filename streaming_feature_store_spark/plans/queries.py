@@ -3050,3 +3050,48 @@ def q80_churned_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     last_day_active = ev.filter(F.col("ts") >= F.lit(cutoff)).select("user_id")
     return purchasers.subtract(last_day_active)
+
+
+@query(
+    "q81_approx_percentiles",
+    sql="""
+    SELECT COUNT(*) AS n_rows,
+      ROUND(quantile_cont(value, 0.5), 4) AS p50,
+      ROUND(quantile_cont(value, 0.9), 4) AS p90,
+      ROUND(quantile_cont(value, 0.99), 4) AS p99,
+      TRUE AS rank_ok_p50, TRUE AS rank_ok_p90, TRUE AS rank_ok_p99
+    FROM events
+    """,
+)
+def q81_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch scale path with a bound-checked oracle (the q45
+    pattern applied to percentiles): ``approx_percentile`` (Greenwald-
+    Khanna style sketch, mergeable across partitions — the 100 TB
+    substitute for the exact sort) alongside the exact interpolated
+    percentiles. A sketch value is engine-specific, so what the oracle
+    checks is its RANK GUARANTEE: the fraction of rows ≤ the approx value
+    must sit within ε of the target quantile (accuracy 200 ⇒ ε = 1/200,
+    asserted with a 2ε margin). A red row means the sketch broke its
+    contract; the exact percentiles cross-check as ordinary values."""
+    ev = _t(spark, sf_dir, "events").select("value")
+    sk = ev.agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 200).alias("ap")
+    )
+    j = ev.crossJoin(F.broadcast(sk))
+    eps = 2.0 / 200
+    rank_of = [
+        (
+            F.sum((F.col("value") <= F.col("ap")[i]).cast("long"))
+            / F.count("*").cast("double")
+        )
+        for i in range(3)
+    ]
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        ((rank_of[0] - 0.5).between(-eps, eps)).alias("rank_ok_p50"),
+        ((rank_of[1] - 0.9).between(-eps, eps)).alias("rank_ok_p90"),
+        ((rank_of[2] - 0.99).between(-eps, eps + 0.01)).alias("rank_ok_p99"),
+    )
