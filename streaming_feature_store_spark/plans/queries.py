@@ -2941,14 +2941,16 @@ def q78_solely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     q70): suppliers who were the ONLY late supplier on a multi-supplier
     order, counted by distinct waiting orders.
 
-    Expressed decorrelated — both correlated predicates collapse into ONE
-    per-order aggregate (distinct suppliers, distinct LATE suppliers), so
-    the fact table is scanned once and shuffled once on the order key; the
-    EXISTS becomes ``n_supp > 1`` and the NOT EXISTS becomes
-    ``n_late_supp = 1`` (the late row itself is the one allowed late
-    supplier). The oracle keeps the textbook correlated form so the
-    cross-check derives the same answer through a different plan. Supplier
-    dim is broadcast."""
+    Expressed decorrelated — both correlated predicates collapse into
+    per-order window aggregates (distinct suppliers, distinct LATE
+    suppliers via collect_set over the order partition), so the fact table
+    is scanned ONCE and shuffled ONCE on the order key — no second
+    shuffle to join a grouped-stats side back (countDistinct is not
+    window-able, size(collect_set) is). The EXISTS becomes ``n_supp > 1``
+    and the NOT EXISTS becomes ``n_late_supp = 1`` (the late row itself is
+    the one allowed late supplier). The oracle keeps the textbook
+    correlated form so the cross-check derives the same answer through a
+    different plan. Supplier dim is broadcast."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -2958,20 +2960,22 @@ def q78_solely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
-    stats = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
+    wo = Window.partitionBy("l_orderkey")
     blamed = (
-        j.filter(F.col("is_late"))
+        j.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(wo)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(wo)
+            ),
+        )
+        .filter(
+            F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
         .select("l_orderkey", "l_suppkey")
         .distinct()
-        .join(
-            stats.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
-            "l_orderkey",
-        )
     )
     return (
         blamed.join(broadcast(s), blamed["l_suppkey"] == s["s_suppkey"])
