@@ -3005,16 +3005,17 @@ def q78_solely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q79_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention — the training-data-pipeline report shape (cohort =
     first-activity week, count distinct users active at each week offset).
-    Two aggregations over one scan lineage: per-user first week (keyed
-    agg), distinct (user, week) activity (map-side distinct), joined on
-    user_id. Both sides partition by user_id, so at scale the join reuses
-    one hash partitioning; no window function needed."""
+    ONE scan: map-side distinct of (user, week) first (the big reduction —
+    events collapse to user-weeks), then the per-user first week as a MIN
+    window over the distinct rows (no self-join back), then the tiny
+    cohort×offset count. The fact is read once and every shuffle after the
+    distinct carries user-week rows, not events."""
     ev = _t(spark, sf_dir, "events")
     week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
-    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_w"))
     activity = ev.select("user_id", week.alias("active_w")).distinct()
+    cohort = F.min("active_w").over(Window.partitionBy("user_id"))
     return (
-        activity.join(firsts, "user_id")
+        activity.withColumn("cohort_w", cohort)
         .groupBy(
             "cohort_w",
             (F.col("active_w") - F.col("cohort_w")).cast("long").alias("week_offset"),

@@ -4,8 +4,10 @@ Checks, per SF dir:
 - q39 (MinHash-LSH) pair set vs exact jaccard_pairs (q22's Spark twin,
   which hash-matches the DuckDB oracle) — must be identical for the oracle.
 - SimHash Hamming distance distribution over the exact near-dup pairs —
-  picks the band count for the banded SimHash retrieval (pigeonhole:
-  hamming < bands guarantees a shared band).
+  documents WHY the banded tier alone cannot carry recall (true pairs
+  measure Hamming up to 11 ≫ the bands−1=7 guarantee; since round 3 the
+  MinHash-banded backstop in simhash_near_dups closes that gap — recall
+  asserted in tools/scale_dedup_probe.py).
 - q41 (sign-LSH topk) vs exact cosine_topk (q25's Spark twin).
 - HLL approx_count_distinct relative error per event_type.
 """
