@@ -323,32 +323,48 @@ def repetition_stats(
 
     Plan shape: token frequencies need a (doc, token) count — one explode
     + two-level aggregation keyed by doc (tokens shuffle once, text does
-    not); the gram ratio is a pure array expression on the original row
-    (``array_distinct`` is quadratic per doc but bounded by doc length —
-    fine for documents, not for books; chunk first via
-    ``curation.chunk_documents`` at that point). The two branches meet in
-    one equi-join on the doc id.
+    not); the gram ratio comes from an Arrow-batched ``mapInPandas``
+    kernel (per-doc set of 3-grams — O(grams) with a hash set). The
+    kernel replaced a ``size(array_distinct(transform(...)))`` expression
+    whose higher-order lambdas run OUTSIDE whole-stage codegen and whose
+    distinct is quadratic per doc — measured 7-41 s at 5k docs vs ~1 s
+    for the kernel (same pathology class as the shingle-index rewrite,
+    PERFORMANCE.md lesson 3). The kernel emits the RAW fraction; rounding
+    stays JVM-side so results are bit-identical to the expression form.
+    The two branches meet in one equi-join on the doc id.
     """
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
-        ),
-    )
-    gram_side = df.select(
-        F.col(id_col),
-        F.when(
-            n >= 3,
-            F.round(
-                1 - F.size(F.array_distinct(grams)) / (n - 2).cast("double"), 6
-            ),
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gram_kernel(batches):
+        for pdf in batches:
+            ids, fracs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks_py = t.split(" ") if isinstance(t, str) else []
+                n_py = len(toks_py)
+                if n_py >= 3:
+                    n_grams = n_py - 2
+                    distinct = len(
+                        {
+                            " ".join(toks_py[j : j + 3])
+                            for j in range(n_grams)
+                        }
+                    )
+                    fracs.append(1.0 - distinct / float(n_grams))
+                else:
+                    fracs.append(0.0)
+                ids.append(i)
+            yield pd.DataFrame({id_col: ids, "_raw_dup3": fracs})
+
+    gram_side = (
+        df.select(id_col, text_col)
+        .mapInPandas(gram_kernel, f"{id_col} {id_type}, _raw_dup3 double")
+        .select(
+            F.col(id_col), F.round(F.col("_raw_dup3"), 6).alias("dup_3gram_frac")
         )
-        .otherwise(0.0)
-        .alias("dup_3gram_frac"),
     )
+    toks = F.split(F.col(text_col), " ")
     tok_counts = (
         df.select(F.col(id_col), F.explode(toks).alias("w"))
         .groupBy(id_col, "w")
