@@ -1511,12 +1511,19 @@ def q45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, rsd=0.01). The oracle recomputes the exact count and asserts
     the flag — a red row means the sketch drifted out of tolerance."""
     ev = _t(spark, sf_dir, "events")
+    # two-level aggregation instead of countDistinct+HLL in one agg: the
+    # mixed form compiles to an Expand (row duplication per distinct
+    # branch), while pre-distincting (event_type, user_id) feeds BOTH the
+    # exact count (count over distinct pairs) and the HLL (sketches are
+    # duplicate-insensitive, so the estimate is identical) — one map-side
+    # partial distinct, one tiny second-level shuffle
+    pairs = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
     return (
-        ev.groupBy("event_type")
+        pairs.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", 0.01).alias("approx"),
-            F.countDistinct("user_id").alias("exact_users"),
-            F.count("*").alias("n_events"),
+            F.count("*").alias("exact_users"),
+            F.sum("c").alias("n_events"),
         )
         .select(
             "event_type",
