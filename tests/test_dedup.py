@@ -238,7 +238,14 @@ def test_dedup_clusters_random_graph_vs_union_find(spark):
     expected = {n: find(n) for n in touched}
 
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    # default (small graph -> driver union-find fast path)
     got = {
         r["node"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
     }
     assert got == expected
+    # forced distributed min-label loop (driver_threshold=0) must agree
+    got_dist = {
+        r["node"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert got_dist == expected
