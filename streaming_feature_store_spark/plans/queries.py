@@ -3107,3 +3107,34 @@ def q81_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((rank_of[1] - 0.9).between(-eps, eps)).alias("rank_ok_p90"),
         ((rank_of[2] - 0.99).between(-eps, eps + 0.01)).alias("rank_ok_p99"),
     )
+
+
+@query(
+    "q82_json_props_stats",
+    sql="""
+    SELECT event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS k_sum,
+      CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+               THEN 1 ELSE 0 END) AS BIGINT) AS k_high,
+      CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS k_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def q82_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction (the S5 JSON-decode surface in
+    batch form, reference: flink feature_job.py:72-105 parses JSON event
+    payloads): ``get_json_object`` path extraction stays inside codegen —
+    no UDF, no schema inference pass — then ordinary conditional
+    aggregation per event type. Null-path rows are counted, not dropped
+    (the DLQ-side discipline applied to a scalar column)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("k_sum"),
+        F.sum(F.when(k >= 50, 1).otherwise(0)).cast("long").alias("k_high"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("long").alias("k_missing"),
+    )
