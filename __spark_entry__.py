@@ -46,15 +46,17 @@ _PRIORITY = [
     "q71_parts_never_bulk_shipped", "q72_winnow_containment_pairs",
     "q73_small_quantity_revenue", "q74_latest_features_per_user",
     "q75_cube_revenue", "q76_nation_trade_flows",
-    # most complex of the round-2-green queries (24) — re-verified this round
+    # round-3 additions (6) — first driver-recorded verification this round
+    "q77_event_type_hour_pivot", "q78_solely_late_suppliers",
+    "q79_weekly_retention", "q80_churned_purchasers",
+    "q81_approx_percentiles", "q82_json_props_stats",
+    # most complex of the round-2-green queries (18) — re-verified this round
     "q40_simhash_near_dups", "q41_lsh_cosine_topk", "q39_minhash_near_dups",
     "q22_jaccard_near_dups", "q45_approx_distinct", "q46_wide_feature_frame",
     "q48_salted_user_stats", "q25_cosine_topk", "q26_psi_drift",
     "q27_ks_drift", "q28_chi2_drift", "q14_asof_purchase_features",
     "q31_asof_order_enrichment", "q05_multi_horizon", "q08_user_sessions",
-    "q11_rolling_last_100", "q10_value_zscore", "q02_user_window_stats_5m",
-    "q03_user_sliding_5m_1m", "q07_event_type_mode", "q35_user_hour_profile",
-    "q42_out_of_order_stats", "q49_rollup_revenue", "q01_pricing_summary",
+    "q11_rolling_last_100", "q10_value_zscore", "q03_user_sliding_5m_1m",
 ]
 
 

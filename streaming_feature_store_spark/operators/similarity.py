@@ -83,6 +83,66 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blas(
+    corpus: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact leave-one-out top-k over the WHOLE corpus (every vector is a
+    query), as one GEMM per Arrow batch against a broadcast corpus matrix.
+
+    ``cosine_topk`` evaluates the pair expression row-at-a-time in codegen —
+    right for few queries, but all-pairs at |corpus| queries measured 15.7 s
+    on 500×64 (the fold runs |corpus|² times). Here the corpus is collected
+    ONCE into an (n, dim) float64 matrix and broadcast (bounded by design:
+    the exact all-pairs baseline is inherently quadratic, so the matrix —
+    n·dim·8 bytes, ~0.5 GB at 1 M×64 — is never the limit before the
+    O(n²·dim) flops are; past that scale use ``ivf_topk`` /
+    ``lsh_cosine_topk``, whose in-cell scoring reuses this same
+    matrix-broadcast + per-batch-GEMM kernel shape). Each executor batch
+    computes ``Q @ M.T / (|q|·|m|)``, masks self-pairs, ROUNDS to 6 decimals
+    (q25 discipline: rank on the rounded score so float noise cannot flip
+    cross-engine order), and emits the k best with id tiebreaks.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    schema = "query_id long, nbr_id long, cosine double, rank int"
+
+    def gen(batches):
+        c_ids, M, c_norms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_norms = np.sqrt((Q * Q).sum(axis=1))
+            S = (Q @ M.T) / (q_norms[:, None] * c_norms[None, :])
+            S = np.round(S, 6)
+            S[q_ids[:, None] == c_ids[None, :]] = -np.inf
+            out = {"query_id": [], "nbr_id": [], "cosine": [], "rank": []}
+            for i in range(S.shape[0]):
+                # rank by (cosine DESC, nbr_id ASC): lexsort keys last-major
+                order = np.lexsort((c_ids, -S[i]))[:k]
+                for r, j in enumerate(order, start=1):
+                    out["query_id"].append(q_ids[i])
+                    out["nbr_id"].append(c_ids[j])
+                    out["cosine"].append(S[i, j])
+                    out["rank"].append(r)
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
 def _hyperplane(dim: int, plane: int, table: int = 0) -> Column:
     """Deterministic pseudo-random hyperplane as a LITERAL array: component d
     of plane p derives from sha256(plane‖d), computed driver-side once.

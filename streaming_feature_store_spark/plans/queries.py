@@ -3138,3 +3138,516 @@ def q82_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(k >= 50, 1).otherwise(0)).cast("long").alias("k_high"),
         F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("long").alias("k_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: remaining TPC-H decision-support shapes + corpus/
+# embedding analytics (SURVEY §2.3-§2.4 breadth; BASELINE north star)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q83_inactive_high_balance",
+    sql="""
+    WITH ab AS (
+      SELECT SUM(c_acctbal) / COUNT(*) AS thr FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer, ab
+    WHERE c_acctbal > thr
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q83_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and NO
+    orders in the dataset's final year (this testdata gives every customer
+    at least one lifetime order, so the spec's "no orders ever" predicate
+    is recency-scoped to keep the shape non-vacuous — 14 rows at sf0.001).
+    The global scalar (avg positive balance) is computed once driver-side
+    and folded into the filter as a literal — a one-row broadcast, not a
+    per-row subquery. The NOT EXISTS becomes a left-anti hash join against
+    orders date-filtered AT THE SCAN and projected to its 8-byte key; the
+    anti-join runs on the already-filtered customer side (above-threshold
+    rows only). At 100 TB: anti-join shuffles on o_custkey; AQE flips it to
+    broadcast when the recent-orders side is small."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum("c_acctbal") / F.count("*")).alias("t"))
+        .first()[0]
+    )
+    rich = cust.filter(F.col("c_acctbal") > F.lit(thr))
+    recent = orders.filter(F.col("o_orderdate") >= "2000-08-01").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    inactive = rich.join(recent, on="c_custkey", how="left_anti")
+    return inactive.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_cust"),
+        dsum("c_acctbal").alias("total_bal"),
+    )
+
+
+@query(
+    "q84_order_count_distribution",
+    sql="""
+    SELECT c_count, COUNT(*) AS n_customers FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) t GROUP BY c_count
+    """,
+)
+def q84_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer INCLUDING
+    zero-order customers. The literal SQL left-joins the raw fact then
+    groups twice; here orders are pre-aggregated to (custkey, count) BEFORE
+    touching customer — the join input shrinks from |orders| rows to
+    |customers-with-orders| rows, and the left join + coalesce(0) restores
+    the zero class. One fact shuffle (the pre-agg), one small join, one
+    tiny histogram agg. At 100 TB the pre-agg is the only wide exchange."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("n_orders")
+    )
+    counted = (
+        cust.select("c_custkey")
+        .join(per_cust, on="c_custkey", how="left")
+        .select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
+    )
+    return counted.groupBy("c_count").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "q85_brand_revenue_share",
+    sql=f"""
+    WITH r AS (
+      SELECT p_brand,
+        {_DSUM6.format(c='l_extendedprice * (1 - l_discount)')} AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+    ), t AS (
+      SELECT CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS tot FROM r
+    )
+    SELECT p_brand, ROUND(rev, 4) AS revenue, ROUND(rev / tot, 6) AS share
+    FROM r, t WHERE rev / tot > 0.042
+    """,
+)
+def q85_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: brand revenue filtered by share of GLOBAL revenue
+    (HAVING against a scalar over the same aggregate). The per-brand agg
+    runs once; the global total is the one-row re-aggregate of that tiny
+    result, cross-joined back as a broadcast literal — the fact is scanned
+    and shuffled exactly once. Part joins broadcast (dimension). Shares are
+    derived from decimal-exact sums so the 0.042 threshold cuts identically
+    in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    r = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(rev.alias("rev"))
+    )
+    t = r.agg(dsum("rev", 6).alias("tot"))
+    return (
+        r.crossJoin(broadcast(t))
+        .filter(F.col("rev") / F.col("tot") > 0.042)
+        .select(
+            "p_brand",
+            F.round("rev", 4).alias("revenue"),
+            F.round(F.col("rev") / F.col("tot"), 6).alias("share"),
+        )
+    )
+
+
+@query(
+    "q86_top_supplier_revenue",
+    sql=f"""
+    WITH sr AS (
+      SELECT l_suppkey,
+        {_DSUM6.format(c='l_extendedprice * (1 - l_discount)')} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_rev, 4) AS total_rev
+    FROM supplier JOIN sr ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM sr)
+    """,
+)
+def q86_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving MAX quarterly revenue —
+    an aggregate filtered by the max of itself. The quarter filter pushes
+    to the parquet scan; the per-supplier agg is tiny; its max re-aggregate
+    cross-joins back as a broadcast scalar, and equality on the decimal-
+    exact revenue keeps ties (per spec) instead of picking one row.
+    Supplier joins broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    sr = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(rev.alias("total_rev"))
+    )
+    mx = sr.agg(F.max("total_rev").alias("mx"))
+    return (
+        sr.crossJoin(broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(broadcast(sup), sr.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.round("total_rev", 4).alias("total_rev")
+        )
+    )
+
+
+@query(
+    "q87_large_orders",
+    sql="""
+    WITH big AS (
+      SELECT l_orderkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    )
+    SELECT c_custkey, o_orderkey, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q87_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    enriched with their customer. The IN-subquery of the spec query is the
+    same relation as the outer aggregate, so it collapses to HAVING on one
+    pass over lineitem; the surviving key set is ~0.1 % of orders, so both
+    enrichment joins take the tiny side broadcast — zero shuffle after the
+    single per-order aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+@query(
+    "q88_tfidf_top_terms",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, tok AS term
+      FROM documents,
+        UNNEST(string_split_regex(
+          lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS u(tok)
+      WHERE tok <> ''
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), nd AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), scored AS (
+      SELECT doc_id, term,
+        ROUND(tf * LN(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tfidf,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def q88_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic keyword-extraction
+    step of a corpus pipeline. Tokenize in codegen (regexp_replace + split
+    + explode), aggregate term frequency per (doc, term), derive document
+    frequency from THAT aggregate (one fact pass; df is a re-agg of tf, not
+    a second scan), broadcast the corpus size scalar, and rank per doc on
+    the ROUNDED score so sub-1e-6 float noise cannot flip cross-engine
+    ordering (q25's discipline). At 100 TB the tf agg is the one wide
+    shuffle; the df side is vocabulary-sized and the join on term is
+    AQE-broadcastable for real corpora vocabularies."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace("text", "[^A-Za-z ]", " ")), " +"
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, on="term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@query(
+    "q89_min_unit_price_supplier",
+    sql="""
+    WITH up AS (
+      SELECT l_partkey, l_suppkey,
+        MIN(l_extendedprice / l_quantity) AS unit
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_brand, l_partkey AS partkey, l_suppkey AS suppkey,
+      ROUND(unit, 6) AS unit_price
+    FROM up
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY p_brand ORDER BY unit, l_partkey, l_suppkey) = 1
+    """,
+)
+def q89_min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (argmin join): per brand, the (part, supplier) pair
+    offering the minimum observed unit price. The correlated min-cost
+    subquery of the spec becomes: one per-(part,supplier) MIN aggregate,
+    broadcast dimension joins, then a rank-1 window per brand with full-key
+    tiebreaks (deterministic under ties; ranking on the raw min — a double
+    MIN is order-independent, so both engines see identical values)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    up = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        "unit", "l_partkey", "l_suppkey"
+    )
+    return (
+        up.join(broadcast(part), up.l_partkey == part.p_partkey)
+        .join(broadcast(sup), up.l_suppkey == sup.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.round("unit", 6).alias("unit_price"),
+        )
+    )
+
+
+@query(
+    "q90_event_transitions",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+        LAG(event_type) OVER (
+          PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+      ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS p
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q90_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov bigram counts +
+    row-normalized probabilities) — the sequence-feature shape behind
+    session-flow models. One LAG pass partitioned by user (the A7
+    machinery), then a tiny type×type aggregate; the probability
+    normalization is a window over the ~|types|² result, not the fact."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    seq_w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(seq_w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    norm_w = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm_w), 6).alias("p"),
+    )
+
+
+@query(
+    "q91_knn_label_agreement",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS nlabel,
+        ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine,
+        b.vec_id AS nid
+      FROM e a CROSS JOIN e b
+      WHERE a.vec_id <> b.vec_id
+    ), nn AS (
+      SELECT qid, qlabel, nlabel,
+        ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+      FROM scored
+    )
+    SELECT qlabel AS label, COUNT(*) AS n_vectors,
+      CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_agree,
+      ROUND(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS agreement
+    FROM nn WHERE rn = 1 GROUP BY qlabel
+    """,
+)
+def q91_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label agreement per class — the embedding-quality
+    probe run before trusting a space for dedup/sampling (does nearest-
+    neighbor structure respect labels?). Exact brute force over the corpus
+    (the oracle-able baseline; at real scale the same reduction runs over
+    ivf_topk/lsh_cosine_topk candidates instead — both already in
+    operators/similarity.py). Cosine is ranked ROUNDED (q25 discipline)
+    with id tiebreaks, and the per-class reduction is a tiny agg."""
+    from streaming_feature_store_spark.operators.similarity import (
+        cosine_topk_blas,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = cosine_topk_blas(emb, k=1)
+    labels = emb.select("vec_id", "label")
+    return (
+        nn.join(
+            broadcast(labels.select(F.col("vec_id").alias("query_id"),
+                                    F.col("label").alias("qlabel"))),
+            on="query_id",
+        )
+        .join(
+            broadcast(labels.select(F.col("vec_id").alias("nbr_id"),
+                                    F.col("label").alias("nlabel"))),
+            on="nbr_id",
+        )
+        .groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum((F.col("nlabel") == F.col("qlabel")).cast("long")).alias(
+                "n_agree"
+            ),
+            F.round(
+                F.sum((F.col("nlabel") == F.col("qlabel")).cast("long"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("agreement"),
+        )
+    )
+
+
+@query(
+    "q92_rolling_distinct_users",
+    sql="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ), days AS (
+      SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+    )
+    SELECT d.day, d.dau,
+      (SELECT COUNT(DISTINCT u.user_id) FROM du u
+        WHERE u.day BETWEEN d.day - 6 AND d.day) AS wau7
+    FROM days d
+    """,
+)
+def q92_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (the DAU/WAU report) — the
+    shape that CANNOT be a window function at scale because COUNT(DISTINCT)
+    over a sliding range needs the full user set per frame. The distributed
+    rewrite: collapse events to distinct (day, user) FIRST (the massive
+    reduction), then each user-day contributes to the ≤7 report days it
+    falls in (sequence + explode), and a plain per-day countDistinct
+    finishes. Shuffles carry user-days ×7, never events; at extreme scale
+    the same plan swaps countDistinct for HLL sketch union (q45's path).
+    The oracle states the semantics directly as a correlated distinct
+    subquery — tractable for DuckDB at gate scale, exactly what the
+    distributed plan avoids."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau7"))
+    return dau.join(wau, on="day").select("day", "dau", "wau7")
+
+
+@query(
+    "q93_new_vs_returning",
+    sql="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    )
+    SELECT day,
+      CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        AS new_users,
+      CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+        AS returning_users
+    FROM (
+      SELECT day, user_id,
+        MIN(day) OVER (PARTITION BY user_id) AS first_day
+      FROM du
+    ) t GROUP BY day
+    """,
+)
+def q93_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: distinct user-days, first-seen
+    day as a per-user MIN window over that already-reduced set (no
+    self-join back to the fact), then one conditional aggregate. Two
+    shuffles total — the distinct and the user partitioning — both over
+    user-day rows."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    first = F.min("day").over(Window.partitionBy("user_id"))
+    return (
+        du.withColumn("first_day", first)
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("long")).alias(
+                "new_users"
+            ),
+            F.sum((F.col("day") > F.col("first_day")).cast("long")).alias(
+                "returning_users"
+            ),
+        )
+    )

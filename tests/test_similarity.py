@@ -164,3 +164,33 @@ def test_train_centroids_and_trained_ivf(spark):
         vecs, q, dim=2, k=1, nlist=2, nprobe=1, centroids=cents
     ).collect()
     assert out[0]["nbr_id"] == 7  # vec 7 is identical to vec 0
+
+
+def test_cosine_topk_blas_matches_expression_path(spark):
+    """The GEMM all-pairs kernel must agree row-for-row with the codegen
+    expression path on a leave-one-out top-2 over a seeded random corpus
+    (both rank on the 6-decimal-rounded cosine with id tiebreaks)."""
+    import random
+
+    from streaming_feature_store_spark.operators.similarity import (
+        cosine_topk_blas,
+    )
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(vecs, SCHEMA).repartition(4)
+    expected = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+        for r in cosine_topk(emb, emb, k=2).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+        for r in cosine_topk_blas(emb, k=2).collect()
+    }
+    assert set(got) == set(expected)
+    for key, (nbr, cos) in got.items():
+        enbr, ecos = expected[key]
+        assert nbr == enbr, (key, nbr, enbr)
+        assert abs(cos - ecos) < 1e-9
