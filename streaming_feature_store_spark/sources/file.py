@@ -96,3 +96,59 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register temp views so `spark.sql` queries can name the tables."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_files(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-matrix batch read: parquet / orc / csv / json (and any other
+    registered DataSource V2 format) behind one call.
+
+    Schema discipline for text formats: csv/json REQUIRE an explicit schema
+    (DDL string or StructType). Inference is a full extra pass over the
+    data — at 100 TB that doubles the scan — and silently drifts types
+    between runs; a declared schema also lets the json/csv readers prune
+    columns at parse time (Spark only materializes requested fields).
+    Columnar formats (parquet/orc) carry their own schema and keep
+    predicate pushdown + column pruning.
+    """
+    fmt = format.lower()
+    if fmt in ("csv", "json") and schema is None:
+        raise ValueError(
+            f"{fmt} reads require an explicit schema: inference costs a "
+            "second full scan and is not type-stable across runs"
+        )
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load(path)
+
+
+def write_files(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    **options,
+) -> None:
+    """Format-matrix batch write. ``partition_by`` produces the
+    hive-layout directory partitioning that makes downstream partition
+    pruning work (the 100 TB default is partition-by-date); csv gets a
+    header so files round-trip through ``read_files`` with a DDL schema."""
+    writer = df.write.format(format.lower()).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if format.lower() == "csv" and "header" not in options:
+        options["header"] = "true"
+    for k, v in options.items():
+        writer = writer.option(k, str(v))
+    writer.save(path)

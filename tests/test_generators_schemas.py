@@ -74,3 +74,70 @@ def test_devices_generator(spark):
     d = generate_devices(spark, 300)
     assert d.count() == 300
     assert d.filter((F.col("risk_score") < 0) | (F.col("risk_score") > 1)).count() == 0
+
+
+def test_format_matrix_round_trip(spark, tmp_path):
+    """events survive a write→read round-trip through every batch format
+    (orc/csv/json alongside the native parquet), with explicit DDL schemas
+    on the text formats and value equality across the matrix."""
+    from streaming_feature_store_spark.sources.file import (
+        load_table,
+        read_files,
+        write_files,
+    )
+
+    src = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(200)
+    )
+    expected = {
+        r["event_id"]: (r["user_id"], r["event_type"], r["value"])
+        for r in src.collect()
+    }
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    for fmt in ("parquet", "orc", "csv", "json"):
+        path = str(tmp_path / fmt)
+        write_files(src, path, format=fmt)
+        schema = ddl if fmt in ("csv", "json") else None
+        back = read_files(spark, path, format=fmt, schema=schema)
+        got = {
+            r["event_id"]: (r["user_id"], r["event_type"], r["value"])
+            for r in back.collect()
+        }
+        assert got.keys() == expected.keys(), fmt
+        for k, (u, t, v) in got.items():
+            eu, et, ev = expected[k]
+            assert (u, t) == (eu, et), (fmt, k)
+            assert v == ev or abs(v - ev) < 1e-12, (fmt, k, v, ev)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_files(spark, str(tmp_path / "csv"), format="csv")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """partition_by produces hive layout and a filter on the partition
+    column prunes the scan to one directory (PartitionFilters in the
+    physical plan)."""
+    from streaming_feature_store_spark.sources.file import (
+        load_table,
+        read_files,
+        write_files,
+    )
+    import pyspark.sql.functions as F
+
+    src = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "event_type", "value")
+        .limit(500)
+    )
+    path = str(tmp_path / "by_type")
+    write_files(src, path, partition_by=("event_type",))
+    back = read_files(spark, path).filter(F.col("event_type") == "purchase")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan
+    n_part = back.count()
+    n_src = src.filter(F.col("event_type") == "purchase").count()
+    assert n_part == n_src > 0
