@@ -38,18 +38,40 @@ def asof_join(
     feature_cols: list[str],
     label_cols: list[str],
     tiebreak_col: str = "event_id",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """Return one row per label row, enriched with the as-of-latest feature
-    values (null when no feature row precedes the label).
+    """Return one row per label row, enriched with the as-of feature values
+    (null when no feature row qualifies).
+
+    - ``direction="backward"`` (default): latest feature with
+      ``feature_ts <= label_ts`` — the training-set/no-leakage join.
+    - ``direction="forward"``: earliest feature with
+      ``feature_ts >= label_ts`` — "next reading" joins (outcome lookups,
+      next-sensor-sample enrichment). Same union pattern with the frame
+      mirrored (current-row..unbounded-following, ``first`` ignore-nulls);
+      the source tag flips so an equal-timestamp feature stays inclusive.
+    - ``tolerance_us``: max staleness/lead in micros (pandas ``merge_asof``
+      tolerance ≙ Feast feature TTL): matches farther than this from the
+      label are nulled out. Evaluated from the carried feature timestamp —
+      no extra shuffle.
 
     Both inputs must carry exact integer event-time micros (see
     ``windows.with_event_micros``); equality/ordering on integers avoids any
     FP ambiguity at boundaries.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    back = direction == "backward"
+    # Source tag ordering makes the equal-timestamp feature inclusive on
+    # both directions: backward scans the past, so the feature must sort
+    # BEFORE the label (0 < 1); forward scans the future, so it must sort
+    # AFTER (2 > 1).
+    f_tag = 0 if back else 2
     f = features.select(
         F.col(entity_col),
         F.col(feature_ts_us).alias("_us"),
-        F.lit(0).alias("_src"),
+        F.lit(f_tag).alias("_src"),
         F.col(tiebreak_col).alias("_tb"),
         *[F.col(c) for c in feature_cols],
         *[F.lit(None).cast(labels.schema[c].dataType).alias(c) for c in label_cols],
@@ -63,22 +85,35 @@ def asof_join(
         *[F.col(c) for c in label_cols],
     )
     u = f.unionByName(l)
-    w = (
-        Window.partitionBy(entity_col)
-        .orderBy("_us", "_src", "_tb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = [
-        F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in feature_cols
-    ]
-    return (
-        u.select("*", *carried)
-        .filter(F.col("_src") == 1)
-        .select(
-            F.col(entity_col),
-            F.col("_us").alias("label_ts_us"),
-            F.col("_tb").alias("label_key"),
-            *[F.col(c) for c in label_cols],
-            *[F.col(f"asof_{c}") for c in feature_cols],
+    base = Window.partitionBy(entity_col).orderBy("_us", "_src", "_tb")
+    if back:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    feature_us = F.when(F.col("_src") != 1, F.col("_us"))
+    carried = [pick(c).alias(f"asof_{c}") for c in feature_cols]
+    carried.append(pick(feature_us).alias("_asof_us"))
+    out = u.select("*", *carried).filter(F.col("_src") == 1)
+    if tolerance_us is not None:
+        dist = (
+            (F.col("_us") - F.col("_asof_us"))
+            if back
+            else (F.col("_asof_us") - F.col("_us"))
         )
+        ok = F.col("_asof_us").isNotNull() & (dist <= tolerance_us)
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("asof_")],
+            *[
+                F.when(ok, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in feature_cols
+            ],
+        )
+    return out.select(
+        F.col(entity_col),
+        F.col("_us").alias("label_ts_us"),
+        F.col("_tb").alias("label_key"),
+        *[F.col(c) for c in label_cols],
+        *[F.col(f"asof_{c}") for c in feature_cols],
     )

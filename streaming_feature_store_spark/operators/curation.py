@@ -294,3 +294,31 @@ def cluster_balanced_sample(
         .filter(F.col("samp_rank") <= per_cluster)
         .select(id_col, "cluster_id", "dist2", "samp_rank")
     )
+
+
+def sample_exact_per_group(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Deterministic exact-k downsampling per stratum: keep exactly
+    ``min(k, |group|)`` rows of each group, chosen by md5-of-id order (a
+    seeded shuffle that is stable across runs, partitionings and engines —
+    no ``rand()``, so re-running the pipeline reproduces the sample).
+
+    The rate-based twin is ``sample_corpus`` (growth-stable fractions);
+    this is the quota form used when the budget is per-source row COUNTS.
+    Plan: one hash partition per stratum + in-group sort. When groups are
+    huge and k tiny, pre-filter with an md5 threshold slightly above
+    k/|group| first so the sort sees ~k rows, not the group (same
+    technique as ivf_topk's centroid sampling).
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -3651,3 +3651,107 @@ def q93_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+_PROFILE_UNION = "\n      UNION ALL\n".join(
+    f"""      SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        COUNT(DISTINCT {c}) AS n_distinct FROM events"""
+    for c in _EVENT_COLS
+)
+
+
+@query(
+    "q94_column_profile",
+    sql=f"""
+    SELECT col_name, n_rows, n_null,
+      ROUND(n_null / CAST(n_rows AS DOUBLE), 6) AS null_frac, n_distinct
+    FROM (
+{_PROFILE_UNION}
+    ) s
+    """,
+)
+def q94_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the events table (rows, nulls,
+    null fraction, exact distinct count) — the audit pass before trusting
+    a snapshot. The oracle states it naively as one scan per column; the
+    engine runs ONE scan for all null counters plus one melted
+    (column, value) grouped pass for all distincts — no per-column
+    Expand multiplication (see operators/profile.py)."""
+    from streaming_feature_store_spark.operators.profile import profile_columns
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_columns(ev, _EVENT_COLS).withColumnRenamed(
+        "column", "col_name"
+    )
+
+
+@query(
+    "q95_per_source_quota",
+    sql="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) t WHERE rn <= 50
+    """,
+)
+def q95_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k per-source sampling (quota form of the corpus-mixing step):
+    keep exactly 50 docs per source, selected by deterministic md5-of-id
+    order so the sample is reproducible across runs and engines. The
+    rate-based twin is q64; the cluster-balanced twin is q69."""
+    from streaming_feature_store_spark.operators.curation import (
+        sample_exact_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_exact_per_group(docs, k=50).select("doc_id", "source")
+
+
+@query(
+    "q96_next_click_after_purchase",
+    sql="""
+    WITH f AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, value
+      FROM events WHERE event_type = 'click'
+    ), l AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id, l.us AS label_ts_us, l.event_id AS label_key,
+      (SELECT f.value FROM f
+        WHERE f.user_id = l.user_id AND f.us >= l.us
+        ORDER BY f.us, f.event_id LIMIT 1) AS next_value
+    FROM l
+    """,
+)
+def q96_next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (J4's mirror): for each purchase, the value of the
+    user's earliest click at/after it — the outcome-lookup/next-reading
+    shape. Same union + one-keyed-sort plan as the backward join (linear,
+    no theta-join explosion); the oracle states the semantics as a
+    correlated first-row subquery."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        purchases,
+        clicks,
+        "user_id",
+        "us",
+        "us",
+        ["value"],
+        [],
+        "event_id",
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "label_ts_us",
+        "label_key",
+        F.col("asof_value").alias("next_value"),
+    )

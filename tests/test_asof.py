@@ -30,3 +30,39 @@ def test_asof_basic(spark):
     assert out[91]["asof_fval"] == 2.0   # inclusive: feature AT label ts wins
     assert out[92]["asof_fval"] is None  # nothing precedes
     assert out[93]["asof_fval"] is None  # unseen entity
+
+
+def test_asof_forward_and_tolerance(spark):
+    feats = _df(
+        spark,
+        [(1, 100, 10, 1.0), (1, 200, 11, 2.0), (2, 150, 12, 9.0)],
+        "user_id long, us long, event_id long, fval double",
+    )
+    labels = _df(
+        spark,
+        [(1, 150, 90), (1, 200, 91), (1, 250, 92), (3, 500, 93)],
+        "user_id long, us long, event_id long",
+    )
+    fwd = {
+        r["label_key"]: r
+        for r in asof_join(
+            labels, feats, "user_id", "us", "us", ["fval"], [],
+            "event_id", direction="forward",
+        ).collect()
+    }
+    assert fwd[90]["asof_fval"] == 2.0   # earliest at/after 150
+    assert fwd[91]["asof_fval"] == 2.0   # inclusive: feature AT label ts wins
+    assert fwd[92]["asof_fval"] is None  # nothing follows
+    assert fwd[93]["asof_fval"] is None  # unseen entity
+
+    # tolerance: backward match farther than 40us from the label nulls out
+    tol = {
+        r["label_key"]: r
+        for r in asof_join(
+            labels, feats, "user_id", "us", "us", ["fval"], [],
+            "event_id", tolerance_us=40,
+        ).collect()
+    }
+    assert tol[90]["asof_fval"] is None  # 150-100=50 > 40: stale
+    assert tol[91]["asof_fval"] == 2.0   # exact hit, distance 0
+    assert tol[92]["asof_fval"] is None  # 250-200=50 > 40: stale

@@ -1,0 +1,54 @@
+"""Profiling-operator tests: null/distinct accounting and numeric ranges
+on a hand-computable frame, and the exact-k sampler's quota + determinism."""
+
+import pyspark.sql.functions as F
+
+from streaming_feature_store_spark.operators.curation import (
+    sample_exact_per_group,
+)
+from streaming_feature_store_spark.operators.profile import (
+    numeric_ranges,
+    profile_columns,
+)
+
+
+def test_profile_columns_known_answer(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None), (3, None, 2.0), (4, "b", 2.0)],
+        "id bigint, s string, v double",
+    )
+    rows = {r["column"]: r for r in profile_columns(df).collect()}
+    assert rows["id"]["n_rows"] == 4 and rows["id"]["n_null"] == 0
+    assert rows["id"]["n_distinct"] == 4
+    assert rows["s"]["n_null"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["v"]["n_null"] == 1 and rows["v"]["n_distinct"] == 2
+    assert abs(rows["s"]["null_frac"] - 0.25) < 1e-9
+
+
+def test_numeric_ranges_known_answer(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10), (3.0, 20), (None, 30)], "x double, y bigint"
+    )
+    rows = {r["column"]: r for r in numeric_ranges(df, ["x", "y"]).collect()}
+    assert rows["x"]["min_value"] == 1.0 and rows["x"]["max_value"] == 3.0
+    assert abs(rows["x"]["avg_value"] - 2.0) < 1e-9
+    assert rows["y"]["min_value"] == 10.0 and rows["y"]["max_value"] == 30.0
+    assert abs(rows["y"]["avg_value"] - 20.0) < 1e-9
+
+
+def test_sample_exact_per_group_quota_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 87 else "small") for i in range(90)],
+        "doc_id bigint, source string",
+    )
+    out1 = sample_exact_per_group(df, k=5).collect()
+    by_src = {}
+    for r in out1:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["big"]) == 5          # quota enforced
+    assert len(by_src["small"]) == 3         # group smaller than k: keep all
+    # deterministic across a different partitioning
+    out2 = sample_exact_per_group(df.repartition(7), k=5).collect()
+    assert {(r["doc_id"], r["source"]) for r in out1} == {
+        (r["doc_id"], r["source"]) for r in out2
+    }
