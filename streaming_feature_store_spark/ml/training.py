@@ -39,6 +39,8 @@ class TrainConfig:
     iqr_k: float = 3.0
     outlier_cols: list[str] = field(default_factory=list)
     splits: tuple[float, float, float] = (0.6, 0.2, 0.2)
+    encoder: str = "index"  # index (StringIndexer) | hash (FeatureHasher)
+    hash_dim: int = 256
 
 
 def impute_median(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -182,19 +184,40 @@ def build_pipeline(cfg: TrainConfig):
     StringIndexer (frequency order, ``handleInvalid='keep'`` so unseen
     categories at scoring time map to an 'unknown' index instead of
     failing) — the Spark form of the reference's LabelEncoder pass
-    (datasets.py:275-286); booleans are cast up by the assembler."""
+    (datasets.py:275-286); booleans are cast up by the assembler.
+
+    ``cfg.encoder="hash"`` swaps the StringIndexer for the hashing trick
+    (FeatureHasher → ``hash_dim`` sparse one-hot buckets): STATELESS, so
+    no full distinct pass over each categorical and no driver-held label
+    map — the right encoder when categorical cardinality is web-scale
+    (user ids, domains). Trade-off is hash collisions (bounded by
+    hash_dim) and the loss of per-category importances."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import (
         GBTClassifier,
         LogisticRegression,
         RandomForestClassifier,
     )
-    from pyspark.ml.feature import StandardScaler, StringIndexer, VectorAssembler
+    from pyspark.ml.feature import (
+        FeatureHasher,
+        StandardScaler,
+        StringIndexer,
+        VectorAssembler,
+    )
 
     stages = []
     numeric = [c for c in cfg.feature_cols if c not in cfg.categorical_cols]
     assembled = list(numeric)
-    if cfg.categorical_cols:
+    if cfg.categorical_cols and cfg.encoder == "hash":
+        stages.append(
+            FeatureHasher(
+                inputCols=cfg.categorical_cols,
+                outputCol="cat_hash",
+                numFeatures=cfg.hash_dim,
+            )
+        )
+        assembled.append("cat_hash")
+    elif cfg.categorical_cols:
         idx_cols = [f"{c}_idx" for c in cfg.categorical_cols]
         stages.append(
             StringIndexer(

@@ -3755,3 +3755,176 @@ def q96_next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         "label_key",
         F.col("asof_value").alias("next_value"),
     )
+
+
+@query(
+    "q97_regional_supplier_revenue",
+    sql=f"""
+    SELECT n_name,
+      {_DSUM6.format(c='l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q97_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where customer and supplier share the
+    nation, scoped to one region and one order-year. Join order matters at
+    scale: the year filter prunes orders AT THE SCAN, lineitem joins the
+    filtered orders first (the only fact-fact join), and every dimension
+    (supplier, customer, nation⨝region) broadcasts. The same-nation
+    constraint (c_nationkey = s_nationkey) is applied as a post-join
+    filter on two broadcast-joined columns, not a join key — no extra
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nat.join(
+        broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select("n_nationkey", "n_name")
+    rev = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(broadcast(asia_nations), sup.s_nationkey == F.col("n_nationkey"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@query(
+    "q98_returned_items_customers",
+    sql=f"""
+    SELECT c_custkey, c_name,
+      {_DSUM6.format(c='l_extendedprice * (1 - l_discount)')} AS revenue,
+      ROUND(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q98_returned_items_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in a quarter.
+    Both fact filters (quarter on orders, returnflag on lineitem) push to
+    the scans; the fact-fact join runs on the pruned sides; customer and
+    nation broadcast; the top-20 is a tiny final sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    rev = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q99_supplier_nation_year_revenue",
+    sql=f"""
+    SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      {_DSUM6.format(c='l_extendedprice * (1 - l_discount)')} AS revenue,
+      COUNT(*) AS n_lineitems
+    FROM lineitem, orders, supplier, nation
+    WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey
+    GROUP BY n_name, o_year
+    """,
+)
+def q99_supplier_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by nation × year; this corpus has no
+    supplycost, so the measure is discounted revenue): full-fact two-way
+    join with broadcast dimensions and a two-level group. The fact-fact
+    join shuffles once on orderkey; nation/supplier broadcast; the
+    nation×year result is tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(rev.alias("revenue"), F.count("*").alias("n_lineitems"))
+    )
+
+
+@query(
+    "q100_disjunctive_predicates",
+    sql=f"""
+    SELECT COUNT(*) AS n_items,
+      {_DSUM6.format(c='l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+)
+def q100_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive multi-column predicates across the join. The
+    optimizer-relevant part: Catalyst extracts the common sub-predicates —
+    the union of brands pushes to the part scan and the quantity hull to
+    the lineitem scan (verify: PushedFilters In(p_brand,...) / bounds on
+    l_quantity) — then evaluates the full disjunction after the broadcast
+    join. One scan each side, one agg, no shuffle beyond the final
+    one-row reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    p = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    rev = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return j.filter(p).agg(
+        F.count("*").alias("n_items"), rev.alias("revenue")
+    )

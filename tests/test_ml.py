@@ -242,3 +242,26 @@ def test_model_bundle_roundtrip(spark, tmp_path):
 
     _, m2 = load_model_bundle(spark, reg, version="v2")  # explicit pin
     assert m2["version"] == "v2"
+
+
+def test_train_with_hashed_categoricals(spark):
+    """encoder="hash": the FeatureHasher path must carry the categorical's
+    signal without any fitted label map (stateless hashing trick), and the
+    pipeline must contain no StringIndexer stage."""
+    from pyspark.ml.feature import FeatureHasher, StringIndexer
+
+    df = impute_mode(impute_median(_mixed_dataset(spark), ["f3"]), ["mcc"])
+    cfg = TrainConfig(
+        feature_cols=["f2", "f3", "mcc", "currency"],
+        categorical_cols=["mcc", "currency"],
+        algorithm="rf",
+        encoder="hash",
+        hash_dim=64,
+    )
+    train, _, test = stratified_split(df, "label", id_cols=["id"])
+    pipe = build_pipeline(cfg)
+    kinds = [type(s) for s in pipe.getStages()]
+    assert FeatureHasher in kinds and StringIndexer not in kinds
+    model = pipe.fit(train)
+    metrics = evaluate(model, test)
+    assert metrics["auc"] > 0.9, metrics
