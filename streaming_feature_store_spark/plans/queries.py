@@ -3928,3 +3928,153 @@ def q100_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(p).agg(
         F.count("*").alias("n_items"), rev.alias("revenue")
     )
+
+
+@query(
+    "q101_unigram_logprob",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, tok AS term
+      FROM documents,
+        UNNEST(string_split_regex(
+          lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS u(tok)
+      WHERE tok <> ''
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term
+    ), vc AS (
+      SELECT term, SUM(c) AS cnt FROM tf GROUP BY term
+    ), tot AS (
+      SELECT SUM(cnt) AS t FROM vc
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      ROUND(SUM(c * -LN(cnt / CAST(t AS DOUBLE))) / SUM(c), 6) AS mean_nll
+    FROM tf JOIN vc USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q101_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus unigram
+    model — the model-free stand-in for perplexity-based quality filtering
+    (rare-token-heavy docs score high). Same one-fact-pass layout as q88:
+    tf per (doc, term), vocabulary counts as a re-agg of tf, corpus total
+    as a broadcast scalar, NLL re-weighted by tf so each token instance
+    counts once. At 100 TB the vocab join is the only non-broadcast hash
+    join and AQE handles it."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace("text", "[^A-Za-z ]", " ")), " +"
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    vc = tf.groupBy("term").agg(F.sum("c").alias("cnt"))
+    tot = vc.agg(F.sum("cnt").alias("t"))
+    return (
+        tf.join(vc, on="term")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("c")
+                    * -F.log(F.col("cnt") / F.col("t").cast("double"))
+                )
+                / F.sum("c"),
+                6,
+            ).alias("mean_nll"),
+        )
+    )
+
+
+@query(
+    "q102_bigram_collocations",
+    sql="""
+    WITH dl AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(
+          lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +'),
+          t -> t <> '') AS l
+      FROM documents
+    ), uni AS (
+      SELECT unnest(l) AS w FROM dl
+    ), uc AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), tu AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uc
+    ), bgj AS (
+      SELECT unnest(generate_series(1, len(l) - 1)) AS j, l
+      FROM dl WHERE len(l) >= 2
+    ), bc AS (
+      SELECT l[j] AS a, l[j+1] AS b, COUNT(*) AS c_ab
+      FROM bgj GROUP BY a, b
+    ), tb AS (
+      SELECT CAST(SUM(c_ab) AS DOUBLE) AS tbi FROM bc
+    )
+    SELECT a, b, c_ab,
+      ROUND(LN((c_ab / tbi) / ((ca.c / t) * (cb.c / t))), 6) AS pmi
+    FROM bc
+    JOIN uc ca ON bc.a = ca.w
+    JOIN uc cb ON bc.b = cb.w
+    CROSS JOIN tu CROSS JOIN tb
+    WHERE c_ab >= 20
+    QUALIFY ROW_NUMBER() OVER (ORDER BY c_ab DESC, a, b) <= 20
+    """,
+)
+def q102_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by count with pointwise mutual information
+    (the phrase-mining step of corpus analysis). Token lists stay as array
+    columns; bigrams come from one ``transform(sequence(...))`` expression
+    per document (codegen — no self-join on positions); unigram and bigram
+    counts are two aggs over the same tokenized lineage; PMI joins the
+    tiny vocab tables. Ranking is on the integer count with lexicographic
+    tiebreaks, so cross-engine float noise cannot reorder; PMI is
+    display-rounded only."""
+    docs = _t(spark, sf_dir, "documents")
+    l = F.filter(
+        F.split(F.lower(F.regexp_replace("text", "[^A-Za-z ]", " ")), " +"),
+        lambda t: t != "",
+    )
+    dl = docs.select("doc_id", l.alias("l"))
+    uc = (
+        dl.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tu = uc.agg(F.sum("c").cast("double").alias("t"))
+    bg = dl.filter(F.size("l") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1),"
+                " j -> struct(element_at(l, j) AS a, element_at(l, j+1) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bc = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    tb = bc.agg(F.sum("c_ab").cast("double").alias("tbi"))
+    ca = uc.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    cb = uc.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    w = Window.orderBy(F.desc("c_ab"), "a", "b")
+    return (
+        bc.filter(F.col("c_ab") >= 20)
+        .join(broadcast(ca), on="a")
+        .join(broadcast(cb), on="b")
+        .crossJoin(broadcast(tu))
+        .crossJoin(broadcast(tb))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("tbi"))
+                    / ((F.col("c_a") / F.col("t")) * (F.col("c_b") / F.col("t")))
+                ),
+                6,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("a", "b", "c_ab", "pmi")
+    )
