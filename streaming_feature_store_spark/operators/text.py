@@ -429,3 +429,182 @@ def redact_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None
         "<IP>",
     )
     return df.withColumn(out, redacted)
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: TF-IDF keywords, unigram-LM scoring, PMI collocations
+# (q88/q101/q102 expose these; the probe in tools/scale_text_probe.py runs
+# them at 100k docs)
+# ---------------------------------------------------------------------------
+
+
+def alpha_tokens(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One (id, term) row per alphabetic token: non-letters → space,
+    lowercase, split. Pure codegen; the shared tokenizer for the corpus
+    statistics below."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace(text_col, "[^A-Za-z ]", " ")), " +"
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k terms per document by tf·idf (idf = ln(N/df)).
+
+    One fact pass: tf per (doc, term); document frequency is a re-agg of
+    tf (never a second corpus scan); the corpus size is a broadcast
+    scalar. Ranking is on the 6-decimal-ROUNDED score with term tiebreaks
+    so sub-1e-6 float noise cannot flip order across engines/runs."""
+    from pyspark.sql import Window
+
+    from pyspark import StorageLevel
+
+    n_docs = df.count()
+    # tf feeds BOTH the per-term document frequency and the final join;
+    # without an explicit persist Spark rebuilds the tokenize+explode+agg
+    # lineage per consumer (measured: zero ReusedExchange, 76 s first /
+    # 21 s warm at 100k docs — persist cut the warm pass to one tokenize).
+    # MEMORY_AND_DISK: tf is corpus-vocabulary x docs sized; spill, don't
+    # recompute. Released by Spark's LRU / session clearCache.
+    tf = (
+        alpha_tokens(df, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, on="term").select(
+        id_col,
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+def unigram_nll(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus unigram
+    model (perplexity-proxy quality score: rare-token-heavy docs score
+    high). Same layout as tfidf_top_terms — vocab counts re-aggregate tf,
+    the corpus total broadcasts, NLL is re-weighted by tf."""
+    from pyspark.sql.functions import broadcast
+
+    from pyspark import StorageLevel
+
+    # Persisted for the same three-consumer reason as tfidf_top_terms
+    # (join back, vocab counts, corpus total) — one tokenize pass, not 3.
+    tf = (
+        alpha_tokens(df, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vc = tf.groupBy("term").agg(F.sum("c").alias("cnt"))
+    tot = vc.agg(F.sum("cnt").alias("t"))
+    return (
+        tf.join(vc, on="term")
+        .crossJoin(broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * -F.log(F.col("cnt") / F.col("t").cast("double")))
+                / F.sum("c"),
+                6,
+            ).alias("mean_nll"),
+        )
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    min_count: int = 20,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigram collocations by count, scored with pointwise mutual
+    information. Bigrams come from one transform(sequence) expression per
+    document (codegen — no positional self-join); unigram/bigram counts
+    are two aggs over one tokenized lineage; PMI joins the tiny vocab
+    tables broadcast. The final rank is over the min_count-filtered set
+    (vocabulary-sized) on integer counts with lexicographic tiebreaks."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(text_col, "[^A-Za-z ]", " ")), " +"),
+        lambda t: t != "",
+    )
+    from pyspark import StorageLevel
+
+    dl = df.select(id_col, toks.alias("l"))
+    # uc fans out to 4 consumers (total, two vocab joins) and bc to 2;
+    # without persists every one rebuilds the full tokenize+explode+agg
+    # (measured 104 s warm at 100k docs; with the two vocabulary-sized
+    # persists the warm pass is the two inherent explodes, ~19 s). Both
+    # frames are vocabulary-bounded, far below corpus size.
+    uc = (
+        dl.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tu = uc.agg(F.sum("c").cast("double").alias("t"))
+    bg = dl.filter(F.size("l") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1),"
+                " j -> struct(element_at(l, j) AS a, element_at(l, j+1) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bc = (
+        bg.groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tb = bc.agg(F.sum("c_ab").cast("double").alias("tbi"))
+    ca = uc.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    cb = uc.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    w = Window.orderBy(F.desc("c_ab"), "a", "b")
+    return (
+        bc.filter(F.col("c_ab") >= min_count)
+        .join(broadcast(ca), on="a")
+        .join(broadcast(cb), on="b")
+        .crossJoin(broadcast(tu))
+        .crossJoin(broadcast(tb))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("tbi"))
+                    / ((F.col("c_a") / F.col("t")) * (F.col("c_b") / F.col("t")))
+                ),
+                6,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("a", "b", "c_ab", "pmi")
+    )

@@ -3384,33 +3384,9 @@ def q88_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering (q25's discipline). At 100 TB the tf agg is the one wide
     shuffle; the df side is vocabulary-sized and the join on term is
     AQE-broadcastable for real corpora vocabularies."""
-    docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(
-                F.lower(F.regexp_replace("text", "[^A-Za-z ]", " ")), " +"
-            )
-        ).alias("term"),
-    ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(df_, on="term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf")
-            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
-            6,
-        ).alias("tfidf"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 3)
-        .select("doc_id", "term", "tfidf", "rank")
-    )
+    from streaming_feature_store_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
 @query(
@@ -3960,34 +3936,9 @@ def q101_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a broadcast scalar, NLL re-weighted by tf so each token instance
     counts once. At 100 TB the vocab join is the only non-broadcast hash
     join and AQE handles it."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(
-                F.lower(F.regexp_replace("text", "[^A-Za-z ]", " ")), " +"
-            )
-        ).alias("term"),
-    ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
-    vc = tf.groupBy("term").agg(F.sum("c").alias("cnt"))
-    tot = vc.agg(F.sum("cnt").alias("t"))
-    return (
-        tf.join(vc, on="term")
-        .crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum(
-                    F.col("c")
-                    * -F.log(F.col("cnt") / F.col("t").cast("double"))
-                )
-                / F.sum("c"),
-                6,
-            ).alias("mean_nll"),
-        )
-    )
+    from streaming_feature_store_spark.operators.text import unigram_nll
+
+    return unigram_nll(_t(spark, sf_dir, "documents"))
 
 
 @query(
@@ -4033,48 +3984,6 @@ def q102_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny vocab tables. Ranking is on the integer count with lexicographic
     tiebreaks, so cross-engine float noise cannot reorder; PMI is
     display-rounded only."""
-    docs = _t(spark, sf_dir, "documents")
-    l = F.filter(
-        F.split(F.lower(F.regexp_replace("text", "[^A-Za-z ]", " ")), " +"),
-        lambda t: t != "",
-    )
-    dl = docs.select("doc_id", l.alias("l"))
-    uc = (
-        dl.select(F.explode("l").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
-    )
-    tu = uc.agg(F.sum("c").cast("double").alias("t"))
-    bg = dl.filter(F.size("l") >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(l) - 1),"
-                " j -> struct(element_at(l, j) AS a, element_at(l, j+1) AS b))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    bc = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
-    tb = bc.agg(F.sum("c_ab").cast("double").alias("tbi"))
-    ca = uc.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
-    cb = uc.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
-    w = Window.orderBy(F.desc("c_ab"), "a", "b")
-    return (
-        bc.filter(F.col("c_ab") >= 20)
-        .join(broadcast(ca), on="a")
-        .join(broadcast(cb), on="b")
-        .crossJoin(broadcast(tu))
-        .crossJoin(broadcast(tb))
-        .withColumn(
-            "pmi",
-            F.round(
-                F.log(
-                    (F.col("c_ab") / F.col("tbi"))
-                    / ((F.col("c_a") / F.col("t")) * (F.col("c_b") / F.col("t")))
-                ),
-                6,
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("a", "b", "c_ab", "pmi")
-    )
+    from streaming_feature_store_spark.operators.text import bigram_pmi
+
+    return bigram_pmi(_t(spark, sf_dir, "documents"), min_count=20, k=20)
