@@ -111,3 +111,33 @@ def test_salted_agg_matches_plain(spark, events, buckets):
         .collect()
     }
     assert salted == plain
+
+
+@given(feats=EVENTS, labels=EVENTS)
+@SLOW
+def test_asof_forward_matches_naive(spark, feats, labels):
+    fdf = spark.createDataFrame(
+        [(k, t, i, float(v)) for i, (k, t, v) in enumerate(feats)],
+        "user_id long, us long, event_id long, fval double",
+    )
+    ldf = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t, _) in enumerate(labels)],
+        "user_id long, us long, event_id long",
+    )
+    got = {
+        r["label_key"]: r["asof_fval"]
+        for r in asof_join(
+            ldf, fdf, "user_id", "us", "us", ["fval"], [],
+            "event_id", direction="forward",
+        ).collect()
+    }
+    # naive oracle: earliest feature (ts, then insertion id) at or after
+    # the label ts for the same entity
+    for i, (k, t, _) in enumerate(labels):
+        cands = [
+            (ft, fi, float(fv))
+            for fi, (fk, ft, fv) in enumerate(feats)
+            if fk == k and ft >= t
+        ]
+        expect = min(cands)[2] if cands else None
+        assert got[1000 + i] == expect, (k, t, cands)
