@@ -6,6 +6,7 @@
     python -m streaming_feature_store_spark.cli stream --src /tmp/incoming --latest /tmp/latest --log /tmp/log --checkpoint /tmp/ckpt
     python -m streaming_feature_store_spark.cli replay --log /tmp/log --latest /tmp/latest
     python -m streaming_feature_store_spark.cli query --name q01_pricing_summary --sf-dir /root/testdata/sf0.01
+    python -m streaming_feature_store_spark.cli profile --path /data/events.parquet
 """
 
 from __future__ import annotations
@@ -47,6 +48,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--name", required=True)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20)
+
+    pr = sub.add_parser(
+        "profile", help="per-column data-quality profile of any table"
+    )
+    pr.add_argument("--path", required=True)
+    pr.add_argument("--format", default="parquet")
+    pr.add_argument("--columns", default="", help="comma-separated subset")
 
     args = p.parse_args(argv)
 
@@ -100,6 +108,15 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"unknown query {args.name}; available: {sorted(QUERIES)}")
                 return 2
             QUERIES[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        elif args.cmd == "profile":
+            from streaming_feature_store_spark.operators.profile import (
+                profile_columns,
+            )
+            from streaming_feature_store_spark.sources.file import read_files
+
+            df = read_files(spark, args.path, format=args.format)
+            cols = [c for c in args.columns.split(",") if c] or None
+            profile_columns(df, cols).orderBy("column").show(100, truncate=False)
         return 0
     finally:
         spark.stop()
