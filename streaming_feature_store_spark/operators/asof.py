@@ -92,9 +92,12 @@ def asof_join(
     else:
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-    feature_us = F.when(F.col("_src") != 1, F.col("_us"))
     carried = [pick(c).alias(f"asof_{c}") for c in feature_cols]
-    carried.append(pick(feature_us).alias("_asof_us"))
+    if tolerance_us is not None:
+        # the matched feature's timestamp, carried only when a staleness
+        # bound needs it — the default path pays nothing extra
+        feature_us = F.when(F.col("_src") != 1, F.col("_us"))
+        carried.append(pick(feature_us).alias("_asof_us"))
     out = u.select("*", *carried).filter(F.col("_src") == 1)
     if tolerance_us is not None:
         dist = (

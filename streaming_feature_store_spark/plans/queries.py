@@ -3987,3 +3987,114 @@ def q102_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_feature_store_spark.operators.text import bigram_pmi
 
     return bigram_pmi(_t(spark, sf_dir, "documents"), min_count=20, k=20)
+
+
+@query(
+    "q103_first_touch_attribution",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, sid,
+        MIN(struct_pack(us := us, eid := event_id, t := event_type)).t AS first_type,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT first_type, COUNT(*) AS n_sessions,
+      CAST(SUM(purchased) AS BIGINT) AS n_converted,
+      ROUND(SUM(purchased) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate
+    FROM agg GROUP BY first_type
+    """,
+)
+def q103_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: which session-opening event type converts —
+    sessions (A15 gaps-and-islands machinery) reduced to (first event,
+    converted?) and rolled up per attribution source. The session's first
+    event is an argmin as ONE struct-MIN aggregate (no extra window pass
+    after the sessionization sort), and both engines order the identical
+    (us, event_id, type) struct lexicographically."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lag_us = F.lag("us").over(w)
+    new_sess = F.when(
+        lag_us.isNull() | (F.col("us") - lag_us > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "event_id", "event_type", "us",
+        F.sum(new_sess).over(run).alias("sid"),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.min(F.struct("us", "event_id", "event_type"))["event_type"].alias(
+            "first_type"
+        ),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "purchased"
+        ),
+    )
+    return per.groupBy("first_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("purchased").cast("bigint").alias("n_converted"),
+        F.round(
+            F.sum("purchased") / F.count("*").cast("double"), 6
+        ).alias("conversion_rate"),
+    )
+
+
+@query(
+    "q104_iqr_outlier_gate",
+    sql="""
+    WITH b AS (
+      SELECT event_type,
+        quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n_events,
+      CAST(SUM(CASE WHEN e.value < q1 - 3.0 * (q3 - q1)
+                      OR e.value > q3 + 3.0 * (q3 - q1)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      ROUND(b.q1, 6) AS q1, ROUND(b.q3, 6) AS q3
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.q1, b.q3
+    """,
+)
+def q104_iqr_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group IQR outlier gate (the M3 training guard as an oracled
+    table query): exact quartiles per event type, Tukey fences at 3×IQR,
+    outlier counts from one re-scan with the tiny fence table broadcast.
+    Fences derive from the same interpolated-percentile doubles in both
+    engines, so the strict inequalities cut identically."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ev.join(broadcast(b), on="event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                (
+                    (F.col("value") < F.col("q1") - 3.0 * iqr)
+                    | (F.col("value") > F.col("q3") + 3.0 * iqr)
+                ).cast("int")
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type", "n_events", "n_outliers",
+            F.round("q1", 6).alias("q1"), F.round("q3", 6).alias("q3"),
+        )
+    )
