@@ -96,3 +96,28 @@ class MetricsListener:
                 pass
 
         return _L()
+
+
+def with_observation(df, name: str, metrics: dict):
+    """Attach zero-cost inline metrics to a batch or streaming DataFrame
+    (T9's declarative form): ``df.observe`` evaluates the aggregate
+    expressions DURING the job that materializes ``df`` — no second scan,
+    no extra action — and surfaces them on an ``Observation`` handle
+    (batch) or in each micro-batch's ``QueryProgressEvent.observedMetrics``
+    (streaming, picked up by ``MetricsListener``-style listeners).
+
+    ``metrics`` maps output name → aggregate Column (count/sum/min/max
+    style). Returns ``(observed_df, observation)``; read
+    ``observation.get`` AFTER an action has run.
+
+    This is the engine-native replacement for the reference's side-channel
+    Prometheus counters incremented inside operators
+    (streaming/core/utils/metrics.py): the metric ride-along is part of
+    the plan, so it is exactly as distributed, partitioned and
+    fault-tolerant as the query itself.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *[v.alias(k) for k, v in metrics.items()])
+    return out, obs

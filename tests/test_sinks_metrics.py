@@ -218,3 +218,34 @@ def test_score_inside_foreach_batch(spark, tmp_path):
     rows = spark.read.parquet(out_path)
     assert rows.count() > 0
     assert rows.filter((F.col("score") < 0) | (F.col("score") > 1)).count() == 0
+
+
+def test_with_observation_rides_along(spark):
+    """observe() metrics must be collected by the SAME job that runs the
+    query (no second scan) and report aggregate values for exactly the
+    rows that flowed through."""
+    import pyspark.sql.functions as F
+
+    from streaming_feature_store_spark.sources.file import load_table
+    from streaming_feature_store_spark.streaming.watermarks import (
+        with_observation,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    observed, obs = with_observation(
+        ev.filter(F.col("event_type") == "purchase"),
+        "purchase_audit",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "value_sum": F.sum("value"),
+            "null_values": F.sum(F.col("value").isNull().cast("long")),
+        },
+    )
+    n_out = observed.count()  # the one and only action
+    got = obs.get
+    assert got["n_rows"] == n_out > 0
+    expected_sum = (
+        ev.filter(F.col("event_type") == "purchase").agg(F.sum("value")).first()[0]
+    )
+    assert abs(got["value_sum"] - expected_sum) < 1e-6
+    assert got["null_values"] == 0
