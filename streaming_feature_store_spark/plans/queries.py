@@ -4098,3 +4098,67 @@ def q104_iqr_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("q1", 6).alias("q1"), F.round("q3", 6).alias("q3"),
         )
     )
+
+
+@query(
+    "q105_market_share",
+    sql=f"""
+    WITH flat AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        l_extendedprice * (1 - l_discount) AS vol,
+        s_nationkey
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+      ROUND(CAST(SUM(CAST(CASE WHEN s_nationkey = 5 THEN vol ELSE 0 END
+                     AS DECIMAL(18,6))) AS DOUBLE)
+            / CAST(SUM(CAST(vol AS DECIMAL(18,6))) AS DOUBLE), 6)
+        AS mkt_share,
+      {_DSUM6.format(c='vol')} AS total_volume
+    FROM flat GROUP BY o_year
+    """,
+)
+def q105_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of a regional market's revenue
+    per year. The conditional-share pattern: ONE pass computes both the
+    nation-filtered numerator and the total denominator as conditional
+    decimal sums — no second scan, no self-join of the aggregate. All
+    dimensions broadcast; the date filter pushes to the orders scan; the
+    fact-fact join is the only shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust_nations = nat.join(
+        broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(asia_cust_nations), cust.c_nationkey == F.col("cn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("vol"),
+            "s_nationkey",
+        )
+    )
+    num = dsum(F.when(F.col("s_nationkey") == 5, F.col("vol")).otherwise(0.0), 6)
+    return flat.groupBy("o_year").agg(
+        F.round(num / dsum("vol", 6), 6).alias("mkt_share"),
+        dsum("vol", 6).alias("total_volume"),
+    )

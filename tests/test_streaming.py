@@ -306,3 +306,70 @@ def test_streaming_multi_horizon_matches_batch(spark, tmp_path):
     assert (mh[3]["cnt_5m"], mh[3]["cnt_30m"]) == (3, 3)   # cluster A
     assert (mh[5]["cnt_5m"], mh[5]["cnt_30m"]) == (2, 2)   # cluster B
     assert (mh[7]["cnt_5m"], mh[7]["cnt_30m"]) == (2, 2)   # user 2
+
+
+def test_trending_topk_stream_matches_batch(spark, tmp_path):
+    """Every window the trending stream finalizes must carry exactly the
+    batch-computed top-3 (append mode ⇒ a window's batch has all its keys,
+    so in-batch ranking is complete), with no window emitted twice."""
+    import pyspark.sql.functions as F
+
+    from streaming_feature_store_spark.sources.file import load_table
+    from streaming_feature_store_spark.streaming.topk import (
+        trending_topk_stream,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type"
+    )
+    src = str(tmp_path / "src")
+    # several files so availableNow runs >1 micro-batch and the watermark
+    # advances between them, finalizing most windows; RANGE-partitioned by
+    # ts so later batches only carry newer events — out-of-orderness stays
+    # inside the 30-minute delay and no event is watermark-dropped (a
+    # random file order would legitimately drop stragglers and the counts
+    # would diverge from batch)
+    ev.repartitionByRange(8, "ts").write.parquet(src)
+    out = str(tmp_path / "trending")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = trending_topk_stream(
+        spark,
+        stream,
+        out,
+        key_col="event_type",
+        ts_col="ts",
+        window="6 hours",
+        k=3,
+        delay="30 minutes",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).collect()
+    assert got, "stream emitted no finalized windows"
+    by_window = {}
+    for r in got:
+        by_window.setdefault(r["window_start_s"], []).append(
+            (r["rank"], r["event_type"], r["cnt"])
+        )
+    expected_all = (
+        ev.groupBy(
+            F.window("ts", "6 hours").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").cast("long").alias("ws"), "event_type", "cnt"
+        )
+        .collect()
+    )
+    exp_by_window = {}
+    for r in expected_all:
+        exp_by_window.setdefault(r["ws"], []).append((r["event_type"], r["cnt"]))
+    for ws, rows in by_window.items():
+        top = sorted(exp_by_window[ws], key=lambda t: (-t[1], t[0]))[:3]
+        want = [(i + 1, t, c) for i, (t, c) in enumerate(top)]
+        assert sorted(rows) == want, (ws, rows, want)
+        assert len(rows) == len({r[0] for r in rows})  # one rank each
