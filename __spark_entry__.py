@@ -29,11 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
 # registration (dict-insertion) order.  Round 2 produced green driver rows for
-# q01-q50; round 3 therefore promotes q51-q76 (the LLM-curation surface and
+# q01-q50; round 3 therefore promotes q51-q82 (the LLM-curation surface and
 # TPC-H-shape joins, previously verified only by the judge's out-of-band
 # check_parity run) into the 50-query window, padded with the most complex of
 # the already-green round-2 queries.  Combined r2+r3 artifacts then cover every
-# catalog query with a driver-recorded green row.
+# catalog query through q82 with a driver-recorded green row; q83-q105 (added
+# late in round 3, all green in PARITY_sf0.01_r03.txt) are the round-4
+# promotion set — swap them into this list next round.
 _PRIORITY = [
     # round-2 additions: LLM curation, drift report, TPC-H shapes (26)
     "q51_promo_revenue_share", "q52_value_percentiles", "q53_ks_by_feature",

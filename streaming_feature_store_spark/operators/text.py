@@ -465,7 +465,11 @@ def tfidf_top_terms(
     One fact pass: tf per (doc, term); document frequency is a re-agg of
     tf (never a second corpus scan); the corpus size is a broadcast
     scalar. Ranking is on the 6-decimal-ROUNDED score with term tiebreaks
-    so sub-1e-6 float noise cannot flip order across engines/runs."""
+    so sub-1e-6 float noise cannot flip order across engines/runs.
+
+    Caching contract (same as winnow_containment_pairs): the persisted tf
+    lineage stays cached after the returned frame executes — long-lived
+    sessions release it via ``spark.catalog.clearCache()`` or Spark's LRU."""
     from pyspark.sql import Window
 
     from pyspark import StorageLevel
@@ -506,7 +510,8 @@ def unigram_nll(
     """Per-document mean negative log-likelihood under the corpus unigram
     model (perplexity-proxy quality score: rare-token-heavy docs score
     high). Same layout as tfidf_top_terms — vocab counts re-aggregate tf,
-    the corpus total broadcasts, NLL is re-weighted by tf."""
+    the corpus total broadcasts, NLL is re-weighted by tf. Caching
+    contract as in tfidf_top_terms (persisted tf; clearCache/LRU)."""
     from pyspark.sql.functions import broadcast
 
     from pyspark import StorageLevel
@@ -548,7 +553,9 @@ def bigram_pmi(
     document (codegen — no positional self-join); unigram/bigram counts
     are two aggs over one tokenized lineage; PMI joins the tiny vocab
     tables broadcast. The final rank is over the min_count-filtered set
-    (vocabulary-sized) on integer counts with lexicographic tiebreaks."""
+    (vocabulary-sized) on integer counts with lexicographic tiebreaks.
+    Caching contract as in tfidf_top_terms (persisted vocab tables;
+    clearCache/LRU)."""
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
