@@ -4162,3 +4162,175 @@ def q105_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / dsum("vol", 6), 6).alias("mkt_share"),
         dsum("vol", 6).alias("total_volume"),
     )
+
+
+@query(
+    "q106_value_decile_lift",
+    sql="""
+    WITH b AS (
+      SELECT quantile_cont(value,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM events
+    ), bucketed AS (
+      SELECT CAST(1 + len(list_filter(qs, q -> value > q)) AS INTEGER)
+               AS decile,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purchased
+      FROM events CROSS JOIN b
+    ), g AS (
+      SELECT CAST(SUM(purchased) AS DOUBLE) / COUNT(*) AS base_rate
+      FROM bucketed
+    )
+    SELECT decile, COUNT(*) AS n_events,
+      CAST(SUM(purchased) AS BIGINT) AS n_purchases,
+      ROUND(SUM(purchased) / CAST(COUNT(*) AS DOUBLE), 6) AS purchase_rate,
+      ROUND((SUM(purchased) / CAST(COUNT(*) AS DOUBLE)) / MIN(base_rate), 6)
+        AS lift
+    FROM bucketed CROSS JOIN g
+    GROUP BY decile
+    """,
+)
+def q106_value_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table (the scoring-analytics report): bucket events into
+    value deciles and compare each decile's purchase rate to the base
+    rate. The NAIVE form is NTILE over a global sort — a single-partition
+    window that dies at scale; here the nine exact decile boundaries are
+    ONE percentile aggregate broadcast back, and bucketing is a pure
+    expression (count of boundaries below the value), so the fact is
+    scanned twice with no global sort anywhere. Both engines derive the
+    identical interpolated-boundary doubles, so the strict > cuts match."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr(
+            "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("qs")
+    )
+    purchased = (F.col("event_type") == "purchase").cast("int")
+    bucketed = ev.crossJoin(broadcast(b)).select(
+        (
+            1
+            + F.size(F.filter("qs", lambda q: F.col("value") > q))
+        ).cast("int").alias("decile"),
+        purchased.alias("purchased"),
+    )
+    g = bucketed.agg(
+        (F.sum("purchased").cast("double") / F.count("*")).alias("base_rate")
+    )
+    return (
+        bucketed.crossJoin(broadcast(g))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("purchased").cast("bigint").alias("n_purchases"),
+            F.round(
+                F.sum("purchased") / F.count("*").cast("double"), 6
+            ).alias("purchase_rate"),
+            F.round(
+                (F.sum("purchased") / F.count("*").cast("double"))
+                / F.first("base_rate"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q107_ordered_funnel_depth",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), s1 AS (
+      SELECT user_id, sid,
+        MIN(CASE WHEN event_type = 'view' THEN us END) AS v_us
+      FROM sess GROUP BY user_id, sid
+    ), s2 AS (
+      SELECT s.user_id, s.sid, s1.v_us,
+        MIN(CASE WHEN s.event_type = 'click' AND s.us > s1.v_us
+            THEN s.us END) AS c_us
+      FROM sess s JOIN s1 ON s.user_id = s1.user_id AND s.sid = s1.sid
+      GROUP BY s.user_id, s.sid, s1.v_us
+    ), s3 AS (
+      SELECT s.user_id, s.sid, s2.v_us, s2.c_us,
+        MIN(CASE WHEN s.event_type = 'purchase' AND s.us > s2.c_us
+            THEN s.us END) AS p_us
+      FROM sess s JOIN s2 ON s.user_id = s2.user_id AND s.sid = s2.sid
+      GROUP BY s.user_id, s.sid, s2.v_us, s2.c_us
+    )
+    SELECT
+      CASE WHEN p_us IS NOT NULL THEN 3
+           WHEN c_us IS NOT NULL THEN 2
+           WHEN v_us IS NOT NULL THEN 1
+           ELSE 0 END AS funnel_depth,
+      COUNT(*) AS n_sessions
+    FROM s3 GROUP BY funnel_depth
+    """,
+)
+def q107_ordered_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ORDERED funnel (view, then a click after it, then a
+    purchase after that — q08's funnel counts stages independently; this
+    one enforces sequence): per session, the first view, the first click
+    AFTER that view, the first purchase AFTER that click, each stage one
+    conditional MIN re-joined on the session key. Three aggregations over
+    the sessionized rows sharing one (user, sid) partitioning — integer
+    event-time comparisons throughout, no per-event Python, no
+    quadratic self-join on events."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lag_us = F.lag("us").over(w)
+    new_sess = F.when(
+        lag_us.isNull() | (F.col("us") - lag_us > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "event_id", "event_type", "us",
+        F.sum(new_sess).over(run).alias("sid"),
+    )
+    keys = ["user_id", "sid"]
+    s1 = sess.groupBy(*keys).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("v_us")
+    )
+    s2 = (
+        sess.join(s1, on=keys)
+        .groupBy(*keys, "v_us")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("us") > F.col("v_us")),
+                    F.col("us"),
+                )
+            ).alias("c_us")
+        )
+    )
+    s3 = (
+        sess.join(s2, on=keys)
+        .groupBy(*keys, "v_us", "c_us")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("c_us")),
+                    F.col("us"),
+                )
+            ).alias("p_us")
+        )
+    )
+    depth = (
+        F.when(F.col("p_us").isNotNull(), 3)
+        .when(F.col("c_us").isNotNull(), 2)
+        .when(F.col("v_us").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return s3.groupBy(depth.alias("funnel_depth")).agg(
+        F.count("*").alias("n_sessions")
+    )
