@@ -4334,3 +4334,48 @@ def q107_ordered_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s3.groupBy(depth.alias("funnel_depth")).agg(
         F.count("*").alias("n_sessions")
     )
+
+
+@query(
+    "q108_sketch_rollup",
+    sql="""
+    WITH w AS (
+      SELECT CAST(FLOOR(EXTRACT(epoch FROM ts) / 604800) AS BIGINT) AS week,
+        user_id
+      FROM events
+    )
+    SELECT week, COUNT(DISTINCT user_id) AS n_users, TRUE AS est_ok
+    FROM w GROUP BY week
+    """,
+)
+def q108_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE pattern that makes distinct counts
+    pre-aggregable at 100 TB: per-day Datasketches HLL sketches
+    (``hll_sketch_agg``) union into weekly estimates (``hll_union_agg``)
+    WITHOUT touching raw rows again — the materialized-daily-sketch path a
+    warehouse stores so any horizon (week/month/quarter) is a cheap sketch
+    union instead of a re-scan. A sketch estimate is engine-specific, so
+    the oracle checks the q45 contract: the exact weekly distinct count as
+    an ordinary value, plus the sketch estimate landing within the HLL
+    error bound (≤5 %, generous vs lgK=12's ~1.6 %)."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week")
+    day = F.to_date("ts").alias("day")
+    daily = ev.select(week, day, "user_id").groupBy("week", "day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    weekly_est = daily.groupBy("week").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = ev.select(week, "user_id").groupBy("week").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return exact.join(weekly_est, on="week").select(
+        "week",
+        "n_users",
+        (
+            F.abs(F.col("est") - F.col("n_users"))
+            / F.col("n_users").cast("double")
+            <= 0.05
+        ).alias("est_ok"),
+    )
