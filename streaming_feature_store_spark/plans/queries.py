@@ -4450,3 +4450,58 @@ def q109_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_ok"),
         )
     )
+
+
+@query(
+    "q110_kll_quantile_rollup",
+    sql="""
+    WITH w AS (
+      SELECT CAST(FLOOR(EXTRACT(epoch FROM ts) / 604800) AS BIGINT) AS week,
+        value
+      FROM events
+    )
+    SELECT week, COUNT(*) AS n_values,
+      ROUND(quantile_cont(value, 0.5), 4) AS p50,
+      TRUE AS rank_ok
+    FROM w GROUP BY week
+    """,
+)
+def q110_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile rollup (q108's pattern for percentiles): per-day
+    Datasketches KLL sketches of the value column merge into a weekly
+    median estimate without re-scanning raw rows — stored daily sketches
+    answer any horizon's quantiles, where exact percentiles would need a
+    full re-sort per horizon. The estimate is engine-specific, so the
+    oracle checks KLL's RANK GUARANTEE against the data itself: the true
+    fraction of the week's rows at or below the estimated median must sit
+    within ±0.05 of 0.5 (generous vs k=200's ~1.65 % rank error); the
+    exact interpolated median rides along as an ordinary cross-checked
+    value."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week")
+    day = F.to_date("ts").alias("day")
+    daily = ev.select(week, day, "value").groupBy("week", "day").agg(
+        F.expr("kll_sketch_agg_double(value)").alias("sk")
+    )
+    weekly_est = daily.groupBy("week").agg(
+        F.expr(
+            "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)"
+        ).alias("est")
+    )
+    ranked = (
+        ev.select(week, "value")
+        .join(broadcast(weekly_est), on="week")
+        .groupBy("week")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            (
+                (
+                    F.sum((F.col("value") <= F.col("est")).cast("long"))
+                    / F.count("*").cast("double")
+                    - 0.5
+                ).between(-0.05, 0.05)
+            ).alias("rank_ok"),
+        )
+    )
+    return ranked
