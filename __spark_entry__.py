@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # TPC-H-shape joins, previously verified only by the judge's out-of-band
 # check_parity run) into the 50-query window, padded with the most complex of
 # the already-green round-2 queries.  Combined r2+r3 artifacts then cover every
-# catalog query through q82 with a driver-recorded green row; q83-q110 (added
+# catalog query through q82 with a driver-recorded green row; q83-q111 (added
 # late in round 3, all green in PARITY_sf0.01_r03.txt) are the round-4
 # promotion set — swap them into this list next round.
 _PRIORITY = [

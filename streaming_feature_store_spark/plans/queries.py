@@ -4505,3 +4505,38 @@ def q110_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ranked
+
+
+@query(
+    "q111_heavy_hitters",
+    sql="""
+    SELECT user_id, cnt,
+      CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS INTEGER) AS rank
+    FROM (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ) t
+    QUALIFY rank <= 4
+    """,
+)
+def q111_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the frequent-items sketch (``approx_top_k``): the
+    top users by event count WITHOUT a full groupBy→sort — the sketch is
+    one mergeable aggregate whose state is bounded by maxItemsTracked,
+    not by the key cardinality, which is the point at 100 TB (a trending
+    keyspace of billions tracks only the configured capacity). Capacity
+    here (16k) exceeds this corpus's cardinality, so counts are exact and
+    the exact-SQL oracle compares directly; the exploded result is
+    re-ranked on (count DESC, id) so tie order inside the sketch's array
+    never leaks into the output. k=4 keeps the selection boundary
+    tie-free at every test scale factor."""
+    ev = _t(spark, sf_dir, "events")
+    tk = ev.agg(F.expr("approx_top_k(user_id, 4, 16384)").alias("tk"))
+    w = Window.orderBy(F.desc("cnt"), "user_id")
+    return (
+        tk.select(F.explode("tk").alias("s"))
+        .select(
+            F.col("s.item").alias("user_id"),
+            F.col("s.count").alias("cnt"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
