@@ -53,8 +53,9 @@ def asof_join(
       the source tag flips so an equal-timestamp feature stays inclusive.
     - ``tolerance_us``: max staleness/lead in micros (pandas ``merge_asof``
       tolerance ≙ Feast feature TTL): matches farther than this from the
-      label are nulled out. Evaluated from the carried feature timestamp —
-      no extra shuffle.
+      label are nulled out. Gated PER COLUMN against the timestamp of the
+      row that actually supplied that column's value (ignorenulls can
+      carry different columns from different rows) — no extra shuffle.
 
     Both inputs must carry exact integer event-time micros (see
     ``windows.with_event_micros``); equality/ordering on integers avoids any
@@ -92,26 +93,37 @@ def asof_join(
     else:
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-    carried = [pick(c).alias(f"asof_{c}") for c in feature_cols]
-    if tolerance_us is not None:
-        # the matched feature's timestamp, carried only when a staleness
-        # bound needs it — the default path pays nothing extra
-        feature_us = F.when(F.col("_src") != 1, F.col("_us"))
-        carried.append(pick(feature_us).alias("_asof_us"))
-    out = u.select("*", *carried).filter(F.col("_src") == 1)
-    if tolerance_us is not None:
-        dist = (
-            (F.col("_us") - F.col("_asof_us"))
-            if back
-            else (F.col("_asof_us") - F.col("_us"))
-        )
-        ok = F.col("_asof_us").isNotNull() & (dist <= tolerance_us)
+    if tolerance_us is None:
+        carried = [pick(c).alias(f"asof_{c}") for c in feature_cols]
+        out = u.select("*", *carried).filter(F.col("_src") == 1)
+    else:
+        # With ignorenulls each asof_<col> can come from an OLDER row than
+        # the nearest feature row, so a single carried timestamp would gate
+        # staleness against the wrong row.  Carry (ts, value) together as a
+        # struct per column: the struct is null exactly when the column is
+        # null, so ignorenulls picks the row that actually supplied the
+        # value, and the tolerance applies to that row's timestamp.
+        carried = [
+            pick(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.col("_us").alias("us"), F.col(c).alias("v")),
+                )
+            ).alias(f"_p_{c}")
+            for c in feature_cols
+        ]
+        out = u.select("*", *carried).filter(F.col("_src") == 1)
+        gated = []
+        for c in feature_cols:
+            p = F.col(f"_p_{c}")
+            dist = (F.col("_us") - p["us"]) if back else (p["us"] - F.col("_us"))
+            gated.append(
+                F.when(p.isNotNull() & (dist <= tolerance_us), p["v"]).alias(
+                    f"asof_{c}"
+                )
+            )
         out = out.select(
-            *[c for c in out.columns if not c.startswith("asof_")],
-            *[
-                F.when(ok, F.col(f"asof_{c}")).alias(f"asof_{c}")
-                for c in feature_cols
-            ],
+            *[c for c in out.columns if not c.startswith("_p_")], *gated
         )
     return out.select(
         F.col(entity_col),

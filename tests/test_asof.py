@@ -66,3 +66,41 @@ def test_asof_forward_and_tolerance(spark):
     assert tol[90]["asof_fval"] is None  # 150-100=50 > 40: stale
     assert tol[91]["asof_fval"] == 2.0   # exact hit, distance 0
     assert tol[92]["asof_fval"] is None  # 250-200=50 > 40: stale
+
+
+def test_asof_tolerance_per_column_null_carry(spark):
+    """Regression (ADVICE r3, medium): ignorenulls can carry a value from an
+    OLDER row than the nearest feature row; the tolerance must gate against
+    the timestamp of the row that supplied the value, per column."""
+    feats = _df(
+        spark,
+        [(1, 100, 10, 1.0, 7.0), (1, 200, 11, None, 8.0)],
+        "user_id long, us long, event_id long, fval double, gval double",
+    )
+    labels = _df(
+        spark,
+        [(1, 210, 90)],
+        "user_id long, us long, event_id long",
+    )
+    row = asof_join(
+        labels, feats, "user_id", "us", "us", ["fval", "gval"], [],
+        "event_id", tolerance_us=40,
+    ).collect()[0]
+    # fval comes from ts=100 (110us stale > 40) → null, like merge_asof;
+    # gval comes from ts=200 (10us stale) → survives.
+    assert row["asof_fval"] is None
+    assert row["asof_gval"] == 8.0
+
+    # forward direction, same principle: value from a farther-future row
+    # than the nearest one must be gated on its own timestamp
+    ffeats = _df(
+        spark,
+        [(1, 220, 10, None, 8.0), (1, 400, 11, 1.0, 9.0)],
+        "user_id long, us long, event_id long, fval double, gval double",
+    )
+    frow = asof_join(
+        labels, ffeats, "user_id", "us", "us", ["fval", "gval"], [],
+        "event_id", direction="forward", tolerance_us=40,
+    ).collect()[0]
+    assert frow["asof_fval"] is None   # from ts=400, 190us ahead
+    assert frow["asof_gval"] == 8.0    # from ts=220, 10us ahead
