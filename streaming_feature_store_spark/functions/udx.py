@@ -46,7 +46,9 @@ def mad_udf():
     def mad(v: pd.Series) -> float:
         x = v.dropna()
         if x.empty:
-            return float("nan")
+            # SQL-agg semantics: empty/all-null group yields NULL, not NaN
+            # (NaN compares/join-matches differently downstream — ADVICE r3)
+            return None
         med = x.median()
         return float((x - med).abs().median())
 

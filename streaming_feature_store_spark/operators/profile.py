@@ -27,9 +27,36 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
     n_distinct). Distinct counts ignore nulls (SQL COUNT(DISTINCT)
     semantics). Values are melted to STRING for the distinct pass — exact
     because distinctness is preserved by the cast for the primitive types
-    profiled here (int/bigint/double/string/timestamp render injectively).
+    profiled here (validated in code; floats are normalized with ``+ 0.0``
+    first so -0.0 and 0.0 collapse exactly as native grouping equality
+    does). Non-primitive columns raise rather than silently cast.
     """
+    dtypes = dict(df.dtypes)
     cols = columns or [c for c, _ in df.dtypes]
+    # The melt-to-string distinct pass is exact only when the cast renders
+    # values injectively AND agrees with native grouping equality.  Enforce
+    # the primitive set in code (not just the docstring), and normalize
+    # floats so -0.0/0.0 — distinct strings, equal natively — collapse
+    # before the cast (ADVICE r3).
+    supported = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "string", "boolean", "date", "timestamp", "timestamp_ntz",
+    }
+    for c in cols:
+        dt = dtypes.get(c, "?")
+        if dt not in supported and not dt.startswith("decimal"):
+            raise ValueError(
+                f"profile_columns: column {c!r} has non-primitive type {dt};"
+                " the string-melt distinct pass is only exact for "
+                f"{sorted(supported)} / decimal"
+            )
+
+    def _melt_value(c: str) -> F.Column:
+        v = F.col(c)
+        if dtypes[c] in ("float", "double"):
+            v = v + F.lit(0.0)  # IEEE: -0.0 + 0.0 == 0.0; NaN stays NaN
+        return v.cast("string")
+
     base = df.select(
         F.count(F.lit(1)).alias("n_rows"),
         *[
@@ -43,7 +70,7 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
                 *[
                     F.struct(
                         F.lit(c).alias("column"),
-                        F.col(c).cast("string").alias("value"),
+                        _melt_value(c).alias("value"),
                     )
                     for c in cols
                 ]

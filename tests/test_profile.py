@@ -25,6 +25,26 @@ def test_profile_columns_known_answer(spark):
     assert abs(rows["s"]["null_frac"] - 0.25) < 1e-9
 
 
+def test_profile_columns_negative_zero_and_type_gate(spark):
+    """Regression (ADVICE r3): -0.0 and 0.0 render as distinct strings but
+    compare equal natively — the melt must normalize floats first; and
+    non-primitive columns must raise instead of silently string-casting."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, -0.0), (2, 0.0), (3, 1.5), (4, None)], "id bigint, v double"
+    )
+    rows = {r["column"]: r for r in profile_columns(df).collect()}
+    # native COUNT(DISTINCT v) = 2 (-0.0 == 0.0, null ignored)
+    native = df.select(F.countDistinct("v")).collect()[0][0]
+    assert native == 2
+    assert rows["v"]["n_distinct"] == 2
+
+    arr = df.select("id", F.array("v").alias("a"))
+    with pytest.raises(ValueError, match="non-primitive"):
+        profile_columns(arr)
+
+
 def test_numeric_ranges_known_answer(spark):
     df = spark.createDataFrame(
         [(1.0, 10), (3.0, 20), (None, 30)], "x double, y bigint"

@@ -19,6 +19,10 @@ def test_mad_grouped_agg(spark):
     assert abs(out["a"] - 1.0) < 1e-9
     # group b: single non-null value -> deviation 0
     assert out["b"] == 0.0
+    # all-null group: SQL-agg semantics — NULL, never NaN (ADVICE r3)
+    allnull = spark.createDataFrame([("c", None), ("c", None)], "k string, v double")
+    row = allnull.groupBy("k").agg(mad("v").alias("m")).collect()[0]
+    assert row["m"] is None
 
 
 def test_udtf_chunker_matches_codegen(spark):
