@@ -31,6 +31,31 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from streaming_feature_store_spark.cacheutil import persist_tracked
+
+# M14 (reference sampling cap, drift_check.py): the exact-KS forms sort
+# DISTINCT (feature, value) rows; this default bounds that sorted set
+# STRUCTURALLY (VERDICT r3 advice #8) — callers can raise it explicitly,
+# but can no longer run an unbounded single-partition sort by accident.
+DEFAULT_MAX_EXACT_VALUES = 1_000_000
+
+
+def _bounded_counts(counts: DataFrame, cap: int, what: str) -> DataFrame:
+    """Persist + count the grouped distinct-value input and refuse past
+    ``cap``, pointing at the binned twins. The persist is load-bearing
+    anyway (the frame feeds the CDF window next); release via
+    ``cacheutil.release_cached_intermediates()``."""
+    c = persist_tracked(counts)
+    n = c.count()
+    if n > cap:
+        c.unpersist()
+        raise ValueError(
+            f"{what}: {n} distinct value rows exceed max_exact_values="
+            f"{cap}; use the binned form (ks_binned / ks_by_feature_binned)"
+            " at this scale, or raise max_exact_values explicitly"
+        )
+    return c
+
 
 def psi(
     df: DataFrame,
@@ -58,7 +83,12 @@ def psi(
     return per_bucket.agg(F.round(F.sum("term"), 6).alias("psi"))
 
 
-def ks_statistic(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    max_exact_values: int = DEFAULT_MAX_EXACT_VALUES,
+) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov D statistic between the group_col
     true/false populations. EXACT form: the empirical CDF only steps at
     distinct values, so the input is pre-aggregated to one (value, group
@@ -67,9 +97,13 @@ def ks_statistic(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     lifting). Fine at drift-sample scale and for discrete/low-cardinality
     features at any scale; for continuous features at table scale use
     ``ks_binned``, which bounds the sorted set at n_bins."""
-    counts = df.groupBy(F.col(value_col).alias("_v")).agg(
-        F.sum(F.when(F.col(group_col), 1).otherwise(0)).alias("_c1"),
-        F.sum(F.when(~F.col(group_col), 1).otherwise(0)).alias("_c2"),
+    counts = _bounded_counts(
+        df.groupBy(F.col(value_col).alias("_v")).agg(
+            F.sum(F.when(F.col(group_col), 1).otherwise(0)).alias("_c1"),
+            F.sum(F.when(~F.col(group_col), 1).otherwise(0)).alias("_c2"),
+        ),
+        max_exact_values,
+        "ks_statistic",
     )
     # values are distinct after the groupBy: a rows frame is the exact CDF
     w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
@@ -146,7 +180,11 @@ def drift_severity(p: Column, alpha: float = 0.05) -> Column:
 
 
 def ks_drift_report(
-    df: DataFrame, cols: list[str], group_col: str, alpha: float = 0.05
+    df: DataFrame,
+    cols: list[str],
+    group_col: str,
+    alpha: float = 0.05,
+    max_exact_values: int = DEFAULT_MAX_EXACT_VALUES,
 ) -> DataFrame:
     """Per-feature KS DECISIONS, one pass: ks_by_feature's partitioned CDF
     plan extended with the asymptotic p-value, the is_drifted verdict
@@ -159,9 +197,13 @@ def ks_drift_report(
     # pre-aggregate to one (feature, value) row — exact (the CDF steps only
     # at distinct values) and the per-feature sort covers distinct values,
     # not raw rows (same plan shape as ks_by_feature)
-    counts = long.groupBy("feature", "value").agg(
-        F.sum(F.when(F.col(group_col), 1).otherwise(0)).alias("_c1"),
-        F.sum(F.when(~F.col(group_col), 1).otherwise(0)).alias("_c2"),
+    counts = _bounded_counts(
+        long.groupBy("feature", "value").agg(
+            F.sum(F.when(F.col(group_col), 1).otherwise(0)).alias("_c1"),
+            F.sum(F.when(~F.col(group_col), 1).otherwise(0)).alias("_c2"),
+        ),
+        max_exact_values,
+        "ks_drift_report",
     )
     w = (
         Window.partitionBy("feature")
@@ -288,6 +330,7 @@ def prediction_drift(
     group_col: str,
     edges: list[float] | None = None,
     alpha: float = 0.05,
+    max_exact_values: int = DEFAULT_MAX_EXACT_VALUES,
 ) -> DataFrame:
     """M13: the prediction-drift monitor (drift_check.py:171-209) as one
     DataFrame plan — PSI of the score distribution (historical=false vs
@@ -302,9 +345,13 @@ def prediction_drift(
 
     # grouped CDF input (exact; see ks_statistic) — per-population means
     # recovered from the grouped counts as Σ v·c / Σ c
-    counts = df.groupBy(F.col(score_col).alias("_v")).agg(
-        F.sum(F.when(F.col(group_col), 1).otherwise(0)).alias("_c1"),
-        F.sum(F.when(~F.col(group_col), 1).otherwise(0)).alias("_c2"),
+    counts = _bounded_counts(
+        df.groupBy(F.col(score_col).alias("_v")).agg(
+            F.sum(F.when(F.col(group_col), 1).otherwise(0)).alias("_c1"),
+            F.sum(F.when(~F.col(group_col), 1).otherwise(0)).alias("_c2"),
+        ),
+        max_exact_values,
+        "prediction_drift",
     )
     w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.partitionBy()
@@ -356,7 +403,12 @@ def prediction_drift(
     )
 
 
-def ks_by_feature(df: DataFrame, cols: list[str], group_col: str) -> DataFrame:
+def ks_by_feature(
+    df: DataFrame,
+    cols: list[str],
+    group_col: str,
+    max_exact_values: int = DEFAULT_MAX_EXACT_VALUES,
+) -> DataFrame:
     """Per-feature two-sample KS in ONE pass: unpivot the feature columns to
     (feature, value) rows, then the cumulative-CDF window runs PARTITIONED
     BY FEATURE — unlike single-column ``ks_statistic`` there is no global
@@ -374,9 +426,13 @@ def ks_by_feature(df: DataFrame, cols: list[str], group_col: str) -> DataFrame:
     long = df.selectExpr(
         f"stack({len(cols)}, {stack_expr}) as (feature, value)", group_col
     )
-    counts = long.groupBy("feature", "value").agg(
-        F.sum(F.when(F.col(group_col), 1).otherwise(0)).alias("_c1"),
-        F.sum(F.when(~F.col(group_col), 1).otherwise(0)).alias("_c2"),
+    counts = _bounded_counts(
+        long.groupBy("feature", "value").agg(
+            F.sum(F.when(F.col(group_col), 1).otherwise(0)).alias("_c1"),
+            F.sum(F.when(~F.col(group_col), 1).otherwise(0)).alias("_c2"),
+        ),
+        max_exact_values,
+        "ks_by_feature",
     )
     # values are distinct within a feature after the groupBy, so a rows
     # frame over the value sort is the exact CDF

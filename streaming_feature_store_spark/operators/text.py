@@ -36,31 +36,10 @@ STOPWORDS = ("the", "a")
 # session that calls these repeatedly would otherwise accumulate cached
 # lineage until LRU pressure (ADVICE r3).  Callers release them explicitly
 # with ``release_cached_intermediates()`` after the consuming action.
-_CACHED_INTERMEDIATES: list[DataFrame] = []
-
-
-def _persist_tracked(frame: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
-
-    out = frame.persist(StorageLevel.MEMORY_AND_DISK)
-    _CACHED_INTERMEDIATES.append(out)
-    return out
-
-
-def release_cached_intermediates() -> int:
-    """Unpersist every intermediate registered by tfidf_top_terms /
-    unigram_nll / bigram_pmi / winnow fingerprints since the last release.
-    Safe to call any time after the consuming action; returns the number
-    of frames released."""
-    n = 0
-    while _CACHED_INTERMEDIATES:
-        f = _CACHED_INTERMEDIATES.pop()
-        try:
-            f.unpersist()
-            n += 1
-        except Exception:  # session already stopped — nothing to release
-            pass
-    return n
+from streaming_feature_store_spark.cacheutil import (  # noqa: F401
+    persist_tracked as _persist_tracked,
+    release_cached_intermediates,
+)
 
 
 def with_tokens(df: DataFrame, text_col: str = "text", sep: str = " ") -> DataFrame:
