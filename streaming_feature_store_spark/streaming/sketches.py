@@ -1,0 +1,113 @@
+"""Streaming mergeable-sketch rollup — the streaming half of q108.
+
+The whole point of the Datasketches family (q108-q111) is MERGEABILITY:
+partial sketches built on disjoint slices union into the exact same
+sketch state as one pass over all rows. In streaming that property is the
+freshness path the reference serves from Redis (streaming/core/sinks/
+redis_sink.py:131-151 keeps per-entity aggregates fresh per batch): each
+micro-batch reduces to per-day HLL sketch PARTIALS (bytes, not rows) and
+appends them to a daily partial log; any read horizon (day / week /
+month) is then a cheap ``hll_union_agg`` over the partials — never a
+re-scan of raw events.
+
+Why append-only partials rather than read-modify-write of a merged daily
+table:
+
+- an HLL sketch is a SET summary, so union is IDEMPOTENT over re-inserted
+  values — a replayed/retried micro-batch appends a duplicate partial and
+  the merged estimate is unchanged. Effectively-once for free, with no
+  dynamic-partition-overwrite machinery in the hot path;
+- appends are safe against concurrent readers (no in-place overwrite of
+  a parquet table a reader may be scanning);
+- the log stays tiny: one row per (day, batch) at ~lgK·bytes each; a
+  periodic ``compact_partials`` (same union expression, overwrite into a
+  fresh generation) bounds it if batches are very frequent.
+
+At 100 TB scale the per-batch reduction is a map-side partial aggregate
+over the batch only; shuffle volume is days × sketch bytes per batch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def hll_partials_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    out_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Start the sketch-partial pipeline; returns the StreamingQuery.
+
+    Each micro-batch appends (day, sk: binary, batch_id) rows — one HLL
+    sketch per day touched by the batch. No watermark is needed: a late
+    event simply contributes another partial to its (old) day, and the
+    read-side union folds it in — sketches make late data a non-event
+    instead of a dropped row.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select(F.to_date(ts_col).alias("day"), F.col(key_col))
+            .groupBy("day")
+            .agg(F.expr(f"hll_sketch_agg({key_col})").alias("sk"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = events.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hll_estimate(
+    spark: SparkSession, partials_path: str, horizon: str = "day"
+) -> DataFrame:
+    """Distinct-count estimates over the partial log at any horizon
+    without re-scanning events: ``day`` → (day, est) or ``week`` →
+    (week, est), where week is the same epoch-week bucket q108 uses
+    (floor(epoch_seconds / 604800))."""
+    p = spark.read.parquet(partials_path)
+    if horizon == "day":
+        g = p.groupBy("day")
+    elif horizon == "week":
+        g = p.withColumn(
+            "week",
+            F.floor(F.unix_timestamp(F.col("day").cast("timestamp")) / 604800).cast(
+                "long"
+            ),
+        ).groupBy("week")
+    else:
+        raise ValueError(f"horizon must be day|week, got {horizon}")
+    return g.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("est")
+    )
+
+
+def compact_partials(spark: SparkSession, partials_path: str, out_path: str) -> None:
+    """Fold the partial log down to one sketch per day (same union
+    expression the estimates use), written to a fresh generation — run
+    periodically when micro-batches are frequent enough for the log to
+    matter. ``out_path`` must differ from ``partials_path``: parquet
+    cannot be overwritten while a job is reading it."""
+    if out_path == partials_path:
+        raise ValueError("compact_partials: out_path must be a fresh generation")
+    (
+        spark.read.parquet(partials_path)
+        .groupBy("day")
+        .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

@@ -373,3 +373,80 @@ def test_trending_topk_stream_matches_batch(spark, tmp_path):
         want = [(i + 1, t, c) for i, (t, c) in enumerate(top)]
         assert sorted(rows) == want, (ws, rows, want)
         assert len(rows) == len({r[0] for r in rows})  # one rank each
+
+
+def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
+    """VERDICT r3 item #6: per-micro-batch HLL sketch partials appended in
+    foreachBatch, merged at read time, must equal the batch q108-style
+    estimate on the same data — and stay correct when the same partial is
+    appended twice (union idempotency = effectively-once for free)."""
+    from streaming_feature_store_spark.streaming.sketches import (
+        compact_partials,
+        hll_estimate,
+        hll_partials_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    # three files -> maxFilesPerTrigger=1 forces three micro-batches,
+    # spanning two days and overlapping user sets across batches
+    _write_batch(
+        spark,
+        src,
+        [(i, i % 7, BASE + dt.timedelta(minutes=i), 1.0, "view") for i in range(20)],
+    )
+    _write_batch(
+        spark,
+        src,
+        [(100 + i, i % 11, BASE + dt.timedelta(minutes=i), 1.0, "buy")
+         for i in range(20)],
+    )
+    _write_batch(
+        spark,
+        src,
+        [(200 + i, 50 + i, BASE + dt.timedelta(days=1, minutes=i), 1.0, "view")
+         for i in range(5)],
+    )
+
+    stream = read_file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = hll_partials_stream(spark, stream, out, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 2  # really merged
+
+    batch_truth = {
+        r["day"]: r["n"]
+        for r in spark.createDataFrame(
+            [(i, i % 7, BASE + dt.timedelta(minutes=i), 1.0, "view") for i in range(20)]
+            + [(100 + i, i % 11, BASE + dt.timedelta(minutes=i), 1.0, "buy")
+               for i in range(20)]
+            + [(200 + i, 50 + i, BASE + dt.timedelta(days=1, minutes=i), 1.0, "view")
+               for i in range(5)],
+            SCHEMA,
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {r["day"]: r["est"] for r in hll_estimate(spark, out, "day").collect()}
+    # at these cardinalities (11 and 55 distinct) lgK=12 HLL is exact
+    assert est == batch_truth
+
+    # idempotency: re-append an existing partial (a replayed batch) — the
+    # union must not change any estimate
+    one = spark.read.parquet(out).limit(1)
+    one.write.mode("append").parquet(out)
+    est2 = {r["day"]: r["est"] for r in hll_estimate(spark, out, "day").collect()}
+    assert est2 == batch_truth
+
+    # weekly horizon unions across days; compaction preserves estimates
+    wk = hll_estimate(spark, out, "week").collect()
+    assert sum(r["est"] for r in wk) >= max(batch_truth.values())
+    gen2 = str(tmp_path / "partials_gen2")
+    compact_partials(spark, out, gen2)
+    est3 = {r["day"]: r["est"] for r in hll_estimate(spark, gen2, "day").collect()}
+    assert est3 == batch_truth
