@@ -322,3 +322,53 @@ def sample_exact_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window sequence packing — the step between chunking and the
+    trainer: documents are concatenated in deterministic (group, id) order
+    and split at fixed ``budget``-token boundaries (the standard
+    concatenate-then-split packing LLM pretraining uses; nothing is padded,
+    a document may straddle two windows).
+
+    Emits one row per document with its placement in the packed stream:
+    n_tokens, start_offset (tokens before it in its group's stream),
+    first_pack / last_pack (window indices it lands in, 0-based) and
+    n_packs_spanned. A trainer (or the chunker) can materialize window
+    contents from these offsets without re-tokenizing.
+
+    Scale shape: the running total is a window partitioned by
+    ``group_col`` (shard/source) — packing is per-shard by construction,
+    exactly how a distributed tokenizer job shards, so there is no global
+    sort; skew follows shard sizes. One shuffle, arithmetic in codegen.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(group_col, id_col, n_tok.alias("n_tokens"))
+        .withColumn("start_offset", (cum - F.col("n_tokens")).cast("long"))
+        .withColumn(
+            "first_pack", F.floor(F.col("start_offset") / budget).cast("long")
+        )
+        .withColumn(
+            "last_pack",
+            F.floor(
+                (F.col("start_offset") + F.col("n_tokens") - 1) / budget
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_packs_spanned",
+            (F.col("last_pack") - F.col("first_pack") + 1).cast("long"),
+        )
+    )

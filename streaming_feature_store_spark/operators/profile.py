@@ -136,3 +136,94 @@ def numeric_ranges(df: DataFrame, columns: list[str]) -> DataFrame:
             )
         ).alias("s")
     ).select("s.column", "s.min_value", "s.max_value", "s.avg_value")
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Robust per-group summary: exact (lo, hi) percentiles, values clamped
+    to that range (winsorization — the standard outlier treatment when you
+    want bounded influence WITHOUT dropping rows, vs the IQR gate's
+    drop/flag), then mean over the clamped values plus how many rows each
+    tail clamped.
+
+    Exact ``percentile`` implies a per-group sort of that group's values —
+    fine for bounded per-entity groups; at open-ended table scale swap in
+    ``approx_percentile`` (same plan otherwise, q81's path). Two passes by
+    construction: percentiles are rank statistics, so the clamp cannot
+    fuse into the pass that computes them.
+    """
+    pcts = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("_plo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("_phi"),
+        F.count(value_col).alias("n"),
+    )
+    v = F.col(value_col)
+    clamped = F.least(F.greatest(v, F.col("_plo")), F.col("_phi"))
+    # decimal accumulation over 6dp-rounded clamps: the mean is then exact
+    # given its inputs, so cross-engine/run FP summation order can't move
+    # the rounded result (the dsum discipline, functions/exprs.py)
+    return (
+        df.join(pcts, on=group_col)
+        .groupBy(group_col, "_plo", "_phi", "n")
+        .agg(
+            F.round(
+                F.avg(F.round(clamped, 6).cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("winsorized_mean"),
+            F.sum((v < F.col("_plo")).cast("long")).alias("n_clamped_low"),
+            F.sum((v > F.col("_phi")).cast("long")).alias("n_clamped_high"),
+        )
+        .select(
+            group_col,
+            "n",
+            F.round(F.col("_plo"), 6).alias("p_lo"),
+            F.round(F.col("_phi"), 6).alias("p_hi"),
+            "winsorized_mean",
+            "n_clamped_low",
+            "n_clamped_high",
+        )
+    )
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, n_bins: int = 20
+) -> DataFrame:
+    """Equi-width histogram over [min, max] — the profiling companion to
+    ``numeric_ranges`` (and the same fixed-bin discipline as
+    ``drift.ks_binned``): bin edges from an exact min/max pass, then one
+    map-side grouped count keyed by bin. Empty bins are filled in with a
+    broadcast sequence join so the output is always exactly ``n_bins``
+    rows — a plot/report consumer never has to infer gaps.
+
+    Deterministic and SQL-reproducible: integer bin ids via floor division
+    with the max value clamped into the last bin.
+    """
+    lo, hi = df.agg(F.min(value_col), F.max(value_col)).first()
+    lo = float(lo)
+    hi = float(hi)
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    b = F.least(
+        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    spark = df.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").alias("bin"))
+    return (
+        bins.join(counts, on="bin", how="left")
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("bin_hi"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )

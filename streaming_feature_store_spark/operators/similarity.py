@@ -603,3 +603,51 @@ def train_centroids(
     return vecs.sparkSession.createDataFrame(
         rows, f"{id_col} long, {vec_col} array<double>"
     )
+
+
+def cluster_cohesion(
+    vecs: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster quality report for an embedding clustering: member
+    count, mean cosine of members to their centroid (cohesion — the
+    intra-cluster tightness number an IVF/diversity-sampling pipeline
+    watches), and the worst member's cosine (the radius proxy).
+
+    Reuses ``assign_clusters`` (same deterministic seeding contract), then
+    one broadcast join back to the centroid vectors and one grouped agg —
+    cost is the assignment's |vecs|·k scoring pass; everything after is
+    centroid-bounded.
+    """
+    if centroids is None:
+        centroids = vecs.orderBy(id_col).limit(k)
+    assigned = assign_clusters(vecs, centroids, k, id_col, vec_col)
+    v = as_double_vec(vecs, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_vn")
+    )
+    c = as_double_vec(centroids, vec_col).select(
+        F.col(id_col).alias("cluster_id"),
+        F.col(vec_col).alias("_c"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    cos = F.round(
+        _dot(F.col("_v"), F.col("_c")) / (F.col("_vn") * F.col("_cn")), 6
+    )
+    return (
+        assigned.join(v, on=id_col)
+        .join(broadcast(c), on="cluster_id")
+        .withColumn("_cos", cos)
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            # decimal accumulation of the already-rounded cosines: exact
+            # mean, immune to FP summation order (dsum discipline)
+            F.round(
+                F.avg(F.col("_cos").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("mean_cosine"),
+            F.min("_cos").alias("min_cosine"),
+        )
+    )

@@ -625,3 +625,55 @@ def bigram_pmi(
         .limit(k)
         .select("a", "b", "c_ab", "pmi")
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level overlap matrix: exact Jaccard similarity between the
+    distinct n-gram shingle SETS of every pair of sources — the
+    contamination/redundancy audit run before mixing corpora (is crawl B
+    just crawl A re-scraped?), the set-level companion of per-document
+    near-dup detection.
+
+    Plan: distinct (source, shingle) relation (corpus-bounded, one
+    explode + distinct), per-source set sizes (tiny), intersections via a
+    shingle-keyed self-join that only materializes co-occurring pairs —
+    |sources|²-bounded output, never a document cross join. The same
+    sketch upgrade as q109 applies at extreme scale (theta sketches per
+    source, intersection estimates), traded here for exactness.
+    """
+    sh = (
+        shingles(df, text_col, n=n, distinct=False)
+        .select(F.col(group_col).alias("g"), F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("g").agg(F.count("*").alias("nsh"))
+    a = sh.select(F.col("g").alias("source_a"), "s")
+    b = sh.select(F.col("g").alias("source_b"), "s")
+    inter = (
+        a.join(b, on="s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("g").alias("source_a"), F.col("nsh").alias("_na"))
+    sb = sizes.select(F.col("g").alias("source_b"), F.col("nsh").alias("_nb"))
+    return (
+        inter.join(sa, on="source_a")
+        .join(sb, on="source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

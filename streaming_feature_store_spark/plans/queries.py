@@ -4540,3 +4540,210 @@ def q111_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: packing, SCD2 history, robust profiling, corpus overlap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q112_sequence_packing",
+    sql="""
+    WITH d AS (
+      SELECT source, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tokens,
+        SUM(n_tokens) OVER (
+          PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+        ) - n_tokens AS start_offset
+      FROM d
+    )
+    SELECT source, doc_id, n_tokens,
+      CAST(start_offset AS BIGINT) AS start_offset,
+      CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS first_pack,
+      CAST(FLOOR((start_offset + n_tokens - 1) / 512.0) AS BIGINT) AS last_pack,
+      CAST(FLOOR((start_offset + n_tokens - 1) / 512.0)
+           - FLOOR(start_offset / 512.0) + 1 AS BIGINT) AS n_packs_spanned
+    FROM c
+    """,
+)
+def q112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing (concatenate-then-split, per-source
+    streams, 512-token windows): every document's placement in the packed
+    token stream — the step between chunking and the trainer. Packing is
+    per-shard (source) so there is no global sort at any scale."""
+    from streaming_feature_store_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
+
+
+@query(
+    "q113_scd2_history",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value,
+        CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events
+    )
+    SELECT user_id, event_id, event_type, value,
+      us AS valid_from_us,
+      LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        AS valid_to_us,
+      LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        AS is_current
+    FROM e
+    """,
+)
+def q113_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: the event log interval-versioned per user
+    (valid_from/valid_to via one lead window — no self-join, no range
+    join; same single-sort discipline as the as-of join). The warehouse
+    completion of the reference's latest-only feature view (S7)."""
+    from streaming_feature_store_spark.operators.history import scd2_history
+
+    ev = _t(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    return scd2_history(ev, "user_id", "us", ["event_type", "value"], "event_id")
+
+
+@query(
+    "q114_winsorized_stats",
+    sql="""
+    WITH p AS (
+      SELECT event_type,
+        quantile_cont(value, 0.05) AS plo,
+        quantile_cont(value, 0.95) AS phi,
+        COUNT(value) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, n,
+      ROUND(plo, 6) AS p_lo,
+      ROUND(phi, 6) AS p_hi,
+      ROUND(CAST(AVG(CAST(ROUND(LEAST(GREATEST(e.value, plo), phi), 6)
+                          AS DECIMAL(18,6))) AS DOUBLE), 6)
+        AS winsorized_mean,
+      CAST(SUM(CASE WHEN e.value < plo THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clamped_low,
+      CAST(SUM(CASE WHEN e.value > phi THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clamped_high
+    FROM events e JOIN p ON e.event_type = p.event_type
+    GROUP BY e.event_type, n, plo, phi
+    """,
+)
+def q114_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group summary: exact 5/95 percentiles, values clamped
+    into that range, decimal-exact mean of the clamps plus tail-clamp
+    counts — bounded-influence outlier treatment (profile family, the
+    keep-rows twin of the IQR drop gate M3)."""
+    from streaming_feature_store_spark.operators.profile import winsorized_stats
+
+    return winsorized_stats(
+        _t(spark, sf_dir, "events"), "value", "event_type", lo=0.05, hi=0.95
+    )
+
+
+@query(
+    "q115_value_histogram",
+    sql="""
+    WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS BIGINT),
+                   19) AS bin,
+        COUNT(*) AS cnt
+      FROM events, s WHERE value IS NOT NULL GROUP BY 1
+    )
+    , grid AS (
+      SELECT r.range AS bin, lo, hi FROM range(20) r CROSS JOIN s
+    )
+    SELECT g.bin,
+      ROUND(lo + g.bin * ((hi - lo) / 20.0), 6) AS bin_lo,
+      ROUND(lo + (g.bin + 1) * ((hi - lo) / 20.0), 6) AS bin_hi,
+      COALESCE(cnt, CAST(0 AS BIGINT)) AS cnt
+    FROM grid g LEFT JOIN b ON g.bin = b.bin
+    """,
+)
+def q115_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event values (exact min/max edges,
+    map-side grouped counts, empty bins filled) — ks_binned's fixed-bin
+    discipline as a first-class profiling report."""
+    from streaming_feature_store_spark.operators.profile import value_histogram
+
+    return value_histogram(_t(spark, sf_dir, "events"), "value", n_bins=20)
+
+
+@query(
+    "q116_source_overlap",
+    sql=f"""
+    WITH tok AS (
+      SELECT source, string_split(text, ' ') AS l FROM documents
+    ), shx AS (
+      SELECT source, {_SHINGLES_SQL} AS sh FROM tok
+    ), sh AS (
+      SELECT DISTINCT source AS g, unnest(sh) AS s FROM shx
+    ), sizes AS (
+      SELECT g, COUNT(*) AS nsh FROM sh GROUP BY g
+    ), inter AS (
+      SELECT a.g AS source_a, b.g AS source_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+      ROUND(n_common / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE), 6)
+        AS jaccard
+    FROM inter
+      JOIN sizes sa ON source_a = sa.g
+      JOIN sizes sb ON source_b = sb.g
+    """,
+)
+def q116_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level source-overlap matrix: exact Jaccard between the
+    distinct 3-shingle sets of every source pair (the pre-mixing
+    contamination/redundancy audit; theta sketches are the extreme-scale
+    swap, q109)."""
+    from streaming_feature_store_spark.operators.text import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q117_cluster_cohesion",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS centroid_id, v AS cv, list_dot_product(v, v) AS cc
+      FROM (SELECT vec_id, v,
+              ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+      WHERE rn <= 8
+    ), scored AS (
+      SELECT e.vec_id, centroid_id,
+        ROUND(list_dot_product(e.v, e.v)
+              - 2 * list_dot_product(e.v, cv) + cc, 6) AS dist2,
+        ROUND(list_dot_product(e.v, cv)
+              / (sqrt(list_dot_product(e.v, e.v)) * sqrt(cc)), 6) AS cos
+      FROM e CROSS JOIN c
+    ), assigned AS (
+      SELECT vec_id, centroid_id AS cluster_id, cos,
+        ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rk
+      FROM scored
+    )
+    SELECT cluster_id,
+      COUNT(*) AS n_members,
+      ROUND(CAST(AVG(CAST(cos AS DECIMAL(18,6))) AS DOUBLE), 6)
+        AS mean_cosine,
+      MIN(cos) AS min_cosine
+    FROM assigned WHERE rk = 1 GROUP BY cluster_id
+    """,
+)
+def q117_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cohesion report over the embedding corpus (member
+    count, decimal-exact mean cosine to centroid, worst member) — the
+    clustering-quality number an IVF/diversity pipeline watches."""
+    from streaming_feature_store_spark.operators.similarity import (
+        cluster_cohesion,
+    )
+
+    return cluster_cohesion(_t(spark, sf_dir, "embeddings"), k=8)
