@@ -227,3 +227,50 @@ def value_histogram(
             F.coalesce("cnt", F.lit(0)).alias("cnt"),
         )
     )
+
+
+def gini_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    tiebreak_col: str,
+    min_rows: int = 2,
+) -> DataFrame:
+    """Per-group Gini concentration index of ``value_col`` — how unequally
+    a group's mass is spread over its members (basket value concentration,
+    per-user spend inequality; a standard fraud/quality feature).
+
+    Sample definition over ascending values (1-based rank i):
+    ``G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n`` — rank via a group-partitioned
+    window ordered (value, tiebreak), so groups sort independently (no
+    global sort; skew follows group sizes). Both weighted and plain sums
+    are decimal-accumulated so FP order can't move the rounded result.
+    Groups smaller than ``min_rows`` (and zero-sum groups) are dropped:
+    concentration is undefined there.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(value_col, tiebreak_col)
+    ranked = df.select(
+        group_col,
+        F.col(value_col).alias("_x"),
+        F.row_number().over(w).alias("_i"),
+    )
+    g = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_x").cast("decimal(28,6)")).alias("_sx"),
+        F.sum((F.col("_i") * F.col("_x")).cast("decimal(28,6)")).alias("_six"),
+    )
+    return (
+        g.filter((F.col("n") >= min_rows) & (F.col("_sx") != 0))
+        .select(
+            group_col,
+            "n",
+            F.round(
+                2.0 * F.col("_six").cast("double")
+                / (F.col("n") * F.col("_sx").cast("double"))
+                - (F.col("n") + 1) / F.col("n").cast("double"),
+                6,
+            ).alias("gini"),
+        )
+    )

@@ -677,3 +677,58 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Market-basket co-occurrence with lift: for item pairs appearing
+    together in at least ``min_count`` baskets, ``lift = P(a,b) /
+    (P(a)·P(b))`` over basket counts — the order-level twin of
+    ``bigram_pmi`` (PMI is log-lift over adjacent tokens; this is set
+    co-occurrence over baskets).
+
+    Plan: distinct (basket, item) relation once; item supports are a tiny
+    re-agg joined broadcast; pair counts via a basket-keyed self-join
+    whose output is bounded by Σ items_per_basket² (the classic basket
+    shuffle — bounded by basket width, never corpus-quadratic). Final
+    top-k is a distributed TakeOrdered on (count, pair) like bigram_pmi.
+    """
+    from pyspark.sql.functions import broadcast as _bc
+
+    bi = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_baskets = bi.select("_b").distinct().count()
+    supp = bi.groupBy("_i").agg(F.count("*").alias("c"))
+    a = bi.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = bi.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, on="_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    sa = supp.select(F.col("_i").alias("item_a"), F.col("c").alias("_ca"))
+    sb = supp.select(F.col("_i").alias("item_b"), F.col("c").alias("_cb"))
+    return (
+        pairs.join(_bc(sa), on="item_a")
+        .join(_bc(sb), on="item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "c_ab",
+            F.round(
+                (F.col("c_ab").cast("double") * n_baskets)
+                / (F.col("_ca") * F.col("_cb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("c_ab"), "item_a", "item_b")
+        .limit(k)
+    )

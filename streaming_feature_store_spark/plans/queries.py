@@ -4747,3 +4747,222 @@ def q117_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cluster_cohesion(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+@query(
+    "q118_order_value_gini",
+    sql="""
+    WITH r AS (
+      SELECT l_orderkey, l_extendedprice AS x,
+        ROW_NUMBER() OVER (
+          PARTITION BY l_orderkey ORDER BY l_extendedprice, l_linenumber
+        ) AS i
+      FROM lineitem
+    ), g AS (
+      SELECT l_orderkey, COUNT(*) AS n,
+        SUM(CAST(x AS DECIMAL(28,6))) AS sx,
+        SUM(CAST(i * x AS DECIMAL(28,6))) AS six
+      FROM r GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, n,
+      ROUND(2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+            - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+    FROM g WHERE n >= 2 AND sx != 0
+    """,
+)
+def q118_order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order Gini concentration of line value — is an order's value
+    spread evenly or dominated by one line (a fraud/quality shape
+    feature). Group-partitioned rank windows, decimal-accumulated sums,
+    no global sort."""
+    from streaming_feature_store_spark.operators.profile import gini_by_group
+
+    return gini_by_group(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+@query(
+    "q119_brand_basket_lift",
+    sql="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, p_brand AS i
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), n AS (SELECT COUNT(DISTINCT b) AS nb FROM bi),
+    supp AS (SELECT i, COUNT(*) AS c FROM bi GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS c_ab
+      FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, c_ab,
+      ROUND(c_ab * CAST(nb AS DOUBLE) / (sa.c * sb.c), 6) AS lift
+    FROM pairs CROSS JOIN n
+      JOIN supp sa ON item_a = sa.i
+      JOIN supp sb ON item_b = sb.i
+    ORDER BY c_ab DESC, item_a, item_b LIMIT 20
+    """,
+)
+def q119_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand co-occurrence with lift over orders — set
+    co-occurrence twin of bigram PMI (q102): basket-keyed self-join
+    bounded by basket width, broadcast supports, TakeOrdered top-k."""
+    from streaming_feature_store_spark.operators.text import cooccurrence_lift
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    baskets = li.join(broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return cooccurrence_lift(baskets, "l_orderkey", "p_brand", min_count=2, k=20)
+
+
+@query(
+    "q120_last_touch_attribution",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, sid,
+        MAX(struct_pack(us := us, eid := event_id, t := event_type)).t
+          AS last_type,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT last_type, COUNT(*) AS n_sessions,
+      CAST(SUM(purchased) AS BIGINT) AS n_converted,
+      ROUND(SUM(purchased) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate
+    FROM agg GROUP BY last_type
+    """,
+)
+def q120_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — q103's mirror: the session's CLOSING event
+    type as an argmax struct-MAX in the same single sessionization pass."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lag_us = F.lag("us").over(w)
+    new_sess = F.when(
+        lag_us.isNull() | (F.col("us") - lag_us > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "event_id", "event_type", "us",
+        F.sum(new_sess).over(run).alias("sid"),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.max(F.struct("us", "event_id", "event_type"))["event_type"].alias(
+            "last_type"
+        ),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("purchased"),
+    )
+    return per.groupBy("last_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("purchased").cast("bigint").alias("n_converted"),
+        F.round(F.sum("purchased") / F.count("*").cast("double"), 6).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+@query(
+    "q121_user_adoption_curve",
+    sql="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+    ), d AS (
+      SELECT day, COUNT(*) AS n_new_users FROM f GROUP BY day
+    )
+    SELECT day, n_new_users,
+      CAST(SUM(n_new_users) OVER (
+        ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum_users
+    FROM d
+    """,
+)
+def q121_user_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative user adoption: first-seen day per user (one distributed
+    agg — never events × days), daily new-user counts, and a running
+    total whose window runs over the DAY-bounded frame only (bounded
+    single partition, like the calendar itself)."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first.groupBy("day").agg(F.count("*").alias("n_new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("bigint").alias("n_cum_users"),
+    )
+
+
+@query(
+    "q122_session_bounce_rate",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), per AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+        CAST(make_timestamp(MIN(us)) AS DATE) AS day
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT day, COUNT(*) AS n_sessions,
+      CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_bounce,
+      ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+    FROM per GROUP BY day
+    """,
+)
+def q122_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: single-event sessions over total sessions by
+    session-start day — the engagement-quality rollup on top of the A15
+    sessionization pass (one sort, two grouped reductions)."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lag_us = F.lag("us").over(w)
+    new_sess = F.when(
+        lag_us.isNull() | (F.col("us") - lag_us > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "event_id", "us", F.sum(new_sess).over(run).alias("sid")
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        F.to_date(F.timestamp_micros(F.min("us"))).alias("day"),
+    )
+    return per.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("int")).cast("bigint").alias(
+            "n_bounce"
+        ),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("int"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+    )
