@@ -640,16 +640,31 @@ def source_overlap(
     just crawl A re-scraped?), the set-level companion of per-document
     near-dup detection.
 
-    Plan: distinct (source, shingle) relation (corpus-bounded, one
-    explode + distinct), per-source set sizes (tiny), intersections via a
-    shingle-keyed self-join that only materializes co-occurring pairs —
-    |sources|²-bounded output, never a document cross join. The same
-    sketch upgrade as q109 applies at extreme scale (theta sketches per
-    source, intersection estimates), traded here for exactness.
+    Plan: distinct (source, shingle-hash) relation via the Arrow shingle
+    kernel + JVM xxhash64 (dedup._shingle_index — the r3 rewrite that took
+    the index build from ~80 s to ~4 s at 100 k docs; the self-join then
+    shuffles 8-byte longs, not ~25-char strings, with ~1e-7 64-bit
+    collision odds at millions of shingles), per-source set sizes (tiny),
+    intersections via a shingle-keyed self-join that only materializes
+    co-occurring pairs — |sources|²-bounded output, never a document
+    cross join. The same sketch upgrade as q109 applies at extreme scale
+    (theta sketches per source, intersection estimates), traded here for
+    exactness.
     """
-    sh = (
-        shingles(df, text_col, n=n, distinct=False)
-        .select(F.col(group_col).alias("g"), F.explode("shingles").alias("s"))
+    from streaming_feature_store_spark.operators.dedup import _shingle_index
+
+    # sh feeds three consumers (sizes + both self-join sides); persist the
+    # bounded distinct relation once (zero-ReusedExchange lesson, r3).
+    # Keying the kernel by source gives per-DOC distinct grams; the
+    # relation distinct() collapses them to per-source sets.
+    sh = _persist_tracked(
+        _shingle_index(
+            df.select(F.col(group_col).alias("g"), F.col(text_col)),
+            text_col,
+            "g",
+            n,
+        )
+        .select("g", F.col("sh").alias("s"))
         .distinct()
     )
     sizes = sh.groupBy("g").agg(F.count("*").alias("nsh"))
@@ -700,9 +715,12 @@ def cooccurrence_lift(
     """
     from pyspark.sql.functions import broadcast as _bc
 
-    bi = df.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
+    # bi feeds four consumers (count action, supports, both join sides)
+    bi = _persist_tracked(
+        df.select(
+            F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+        ).distinct()
+    )
     n_baskets = bi.select("_b").distinct().count()
     supp = bi.groupBy("_i").agg(F.count("*").alias("c"))
     a = bi.select(F.col("_b"), F.col("_i").alias("item_a"))
