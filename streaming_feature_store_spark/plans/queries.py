@@ -4966,3 +4966,109 @@ def q122_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bounce_rate"),
     )
+
+
+@query(
+    "q123_payload_stats",
+    sql="""
+    SELECT source,
+      COUNT(*) AS n_payloads,
+      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      COUNT(DISTINCT text) AS n_distinct_payloads,
+      CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def q123_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column family, driver-verifiable form: documents
+    re-shaped as binary payloads, pushed through the REAL Arrow
+    mapInPandas payload-feature kernel (multimodal.extract_payload_
+    features — sha1 + byte size per payload, batched, never row-tripped),
+    then rolled up per source. The oracle checks byte totals directly and
+    payload distinctness through the sha1 (injective in practice), so the
+    multimodal plumbing — binary schema, Arrow batch shape, kernel
+    output contract — gets a hard correctness signal without any decode
+    library."""
+    from streaming_feature_store_spark.operators.multimodal import (
+        extract_payload_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        "source",
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = extract_payload_features(media.select("media_id", "payload"))
+    return (
+        feats.join(media.select("media_id", "source"), on="media_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
+            F.countDistinct("payload_sha1").alias("n_distinct_payloads"),
+            F.max("payload_bytes").cast("bigint").alias("max_bytes"),
+        )
+    )
+
+
+@query(
+    "q124_grouping_sets_stats",
+    sql=f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+      {_DSUM.format(c='n_chars')} AS chars_sum,
+      CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+      CAST(GROUPING(source) AS INTEGER) AS g_source
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    """,
+)
+def q124_grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third grouping construct next to q49's
+    ROLLUP and q75's CUBE): (lang, source) detail, lang subtotals and the
+    grand total in ONE Expand-based pass with GROUPING() disambiguating
+    real NULLs from subtotal rows — one scan instead of three unioned
+    aggregations."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupingSets([["lang", "source"], ["lang"], []], "lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dsum(F.col("n_chars")).alias("chars_sum"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+        )
+    )
+
+
+@query(
+    "q125_supplier_top_part",
+    sql="""
+    WITH per AS (
+      SELECT l_suppkey, l_partkey,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    )
+    SELECT l_suppkey,
+      MAX(struct_pack(rev := rev, pk := l_partkey)).pk AS top_partkey,
+      ROUND(MAX(struct_pack(rev := rev, pk := l_partkey)).rev, 2)
+        AS top_part_revenue
+    FROM per GROUP BY l_suppkey
+    """,
+)
+def q125_supplier_top_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max without a rank window: each supplier's highest-revenue part
+    via ONE struct-MAX aggregate over decimal-exact per-(supplier, part)
+    revenue — two hash aggregations sharing the l_suppkey partitioning,
+    no per-group sort anywhere (the A13 mode/arg-max family at join
+    scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey", "l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    s = F.max(F.struct(F.col("rev"), F.col("l_partkey").alias("pk")))
+    return per.groupBy("l_suppkey").agg(
+        s["pk"].alias("top_partkey"),
+        F.round(s["rev"], 2).alias("top_part_revenue"),
+    )
