@@ -111,3 +111,64 @@ def compact_partials(spark: SparkSession, partials_path: str, out_path: str) -> 
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def sketch_partials_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    out_path: str,
+    agg_sql: str,
+    ts_col: str = "ts",
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Generic form of ``hll_partials_stream`` for the whole mergeable
+    Datasketches family: ``agg_sql`` is any sketch aggregate over the
+    batch's columns (e.g. ``kll_sketch_agg_double(value)`` for streaming
+    quantiles, ``theta_sketch_agg(user_id)`` for streaming set algebra).
+    Each micro-batch appends one (day, sk, batch_id) partial per day; the
+    matching union/estimate expression runs at read time
+    (``merge_estimate`` below). Same replay story as HLL: theta union is
+    value-idempotent like HLL; KLL union is NOT (re-inserting a replayed
+    partial re-weights ranks), so KLL deployments key the log by
+    (day, batch_id) and let ``merge_estimate`` dedup on it — which the
+    append schema already supports and the test exercises.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.withColumn("day", F.to_date(ts_col))
+            .groupBy("day")
+            .agg(F.expr(agg_sql).alias("sk"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = events.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merge_estimate(
+    spark: SparkSession,
+    partials_path: str,
+    estimate_sql: str,
+    dedup_replays: bool = True,
+) -> DataFrame:
+    """Per-day estimates over a generic sketch-partial log:
+    ``estimate_sql`` is the union+extract expression over column ``sk``
+    (e.g. ``kll_sketch_get_quantile_double(kll_merge_agg_double(sk),
+    0.5)``). ``dedup_replays`` drops duplicate (day, batch_id) partials
+    first — a no-op for idempotent unions (HLL/theta), load-bearing for
+    rank sketches (KLL) where a replayed partial would re-weight the
+    merged distribution."""
+    p = spark.read.parquet(partials_path)
+    if dedup_replays:
+        p = p.dropDuplicates(["day", "batch_id"])
+    return p.groupBy("day").agg(F.expr(estimate_sql).alias("est"))

@@ -72,3 +72,48 @@ def test_sample_exact_per_group_quota_and_determinism(spark):
     assert {(r["doc_id"], r["source"]) for r in out1} == {
         (r["doc_id"], r["source"]) for r in out2
     }
+
+
+def test_value_histogram_constant_and_fill(spark):
+    """hi == lo degenerates to width 1 (all mass in bin 0); empty bins are
+    filled so the output is always exactly n_bins rows."""
+    from streaming_feature_store_spark.operators.profile import value_histogram
+
+    const = spark.createDataFrame([(5.0,), (5.0,), (None,)], "v double")
+    rows = value_histogram(const, "v", n_bins=4).orderBy("bin").collect()
+    assert [r["cnt"] for r in rows] == [2, 0, 0, 0]
+    assert len(rows) == 4
+    # gappy data: bins between clusters exist with cnt=0
+    gappy = spark.createDataFrame([(0.0,), (10.0,)], "v double")
+    rows = value_histogram(gappy, "v", n_bins=5).orderBy("bin").collect()
+    assert [r["cnt"] for r in rows] == [1, 0, 0, 0, 1]
+    assert rows[0]["bin_lo"] == 0.0 and rows[-1]["bin_hi"] == 10.0
+
+
+def test_winsorized_stats_clamps_tails(spark):
+    from streaming_feature_store_spark.operators.profile import winsorized_stats
+
+    vals = [float(i) for i in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    r = winsorized_stats(df, "v", "g", lo=0.10, hi=0.90).collect()[0]
+    # exact interpolated p10 of 1..100 = 10.9; p90 = 90.1
+    assert abs(r["p_lo"] - 10.9) < 1e-6 and abs(r["p_hi"] - 90.1) < 1e-6
+    assert r["n_clamped_low"] == 10 and r["n_clamped_high"] == 10
+    # winsorized mean: clamp 1..10 -> 10.9, 91..100 -> 90.1
+    expected = (10 * 10.9 + sum(range(11, 91)) + 10 * 90.1) / 100
+    assert abs(r["winsorized_mean"] - round(expected, 6)) < 1e-6
+
+
+def test_gini_known_answers(spark):
+    from streaming_feature_store_spark.operators.profile import gini_by_group
+
+    df = spark.createDataFrame(
+        [("eq", i, 5.0) for i in range(4)]
+        + [("uneq", 0, 0.0), ("uneq", 1, 0.0), ("uneq", 2, 0.0), ("uneq", 3, 10.0)]
+        + [("single", 0, 3.0)],
+        "g string, tb long, x double",
+    )
+    out = {r["g"]: r for r in gini_by_group(df, "x", "g", "tb").collect()}
+    assert out["eq"]["gini"] == 0.0          # perfectly equal
+    assert abs(out["uneq"]["gini"] - 0.75) < 1e-6  # all mass on one of 4
+    assert "single" not in out               # below min_rows

@@ -450,3 +450,53 @@ def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
     compact_partials(spark, out, gen2)
     est3 = {r["day"]: r["est"] for r in hll_estimate(spark, gen2, "day").collect()}
     assert est3 == batch_truth
+
+
+def test_streaming_kll_quantile_matches_batch(spark, tmp_path):
+    """Generic sketch-partial stream with a RANK sketch (KLL): per-batch
+    quantile partials merged at read time must match the batch KLL median
+    on the same data, and a replayed partial must be neutralized by the
+    (day, batch_id) dedup — KLL union, unlike HLL/theta, is not
+    value-idempotent."""
+    from streaming_feature_store_spark.streaming.sketches import (
+        merge_estimate,
+        sketch_partials_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    rows1 = [(i, 1, BASE + dt.timedelta(minutes=i), float(i), "view")
+             for i in range(50)]
+    rows2 = [(100 + i, 2, BASE + dt.timedelta(minutes=i), float(50 + i), "view")
+             for i in range(50)]
+    _write_batch(spark, src, rows1)
+    _write_batch(spark, src, rows2)
+
+    stream = read_file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = sketch_partials_stream(
+        spark, stream, out, "kll_sketch_agg_double(value)", checkpoint=ckpt
+    )
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 2
+
+    est_sql = "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)"
+    streamed = merge_estimate(spark, out, est_sql).collect()[0]["est"]
+    batch = (
+        spark.createDataFrame(rows1 + rows2, SCHEMA)
+        .agg(F.expr(
+            "kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.5)"
+        ).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert streamed == batch
+
+    # replay: duplicate one partial row. Without dedup the re-weighted
+    # merge may move the median; with the (day, batch_id) dedup it cannot.
+    spark.read.parquet(out).limit(1).write.mode("append").parquet(out)
+    replayed = merge_estimate(spark, out, est_sql, dedup_replays=True).collect()
+    assert replayed[0]["est"] == batch
