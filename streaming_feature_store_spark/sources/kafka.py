@@ -71,7 +71,9 @@ def decode_avro(raw: DataFrame, avro_schema_json: str, value_col: str = "value")
     except ImportError as e:  # pragma: no cover
         raise RuntimeError(
             "spark-avro package required: submit with "
-            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
+            "(or use sources.avro_codec.decode_avro_py, the jar-free "
+            "pure-Python datum codec)"
         ) from e
     return raw.select(from_avro(F.col(value_col), avro_schema_json).alias("r")).select("r.*")
 
@@ -83,7 +85,9 @@ def encode_avro(df: DataFrame, avro_schema_json: str) -> DataFrame:
     except ImportError as e:  # pragma: no cover
         raise RuntimeError(
             "spark-avro package required: submit with "
-            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
+            "(or use sources.avro_codec.encode_avro_py, the jar-free "
+            "pure-Python datum codec)"
         ) from e
     return df.select(to_avro(F.struct(*df.columns), avro_schema_json).alias("value"))
 
