@@ -5072,3 +5072,121 @@ def q125_supplier_top_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         s["pk"].alias("top_partkey"),
         F.round(s["rev"], 2).alias("top_part_revenue"),
     )
+
+
+@query(
+    "q126_value_percent_rank",
+    sql="""
+    SELECT event_id, event_type, value,
+      ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value), 6)
+        AS pr,
+      ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value), 6)
+        AS cd
+    FROM events
+    """,
+)
+def q126_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist (the two remaining ranking-window
+    mechanisms next to row_number/rank/ntile): each event's value
+    percentile within its type. Ties collapse by definition, so the
+    result is deterministic with no tiebreak. Scale note: partitions
+    here are the (few) event types, so each is one sorted partition —
+    the q106 broadcast-quantile-boundary rewrite is the 100 TB form;
+    this query exists to pin the exact windowed semantics."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "q127_mad_by_group",
+    sql="""
+    SELECT event_type, ROUND(mad(value), 6) AS mad_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q127_mad_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.8 grouped-agg pandas UDAF (mad_udf — median absolute
+    deviation) under a DuckDB oracle (its native ``mad``): custom Python
+    aggregates carry the same correctness gate as builtins. Arrow moves
+    each group's values to one worker; both engines interpolate the
+    median identically."""
+    from streaming_feature_store_spark.functions.udx import mad_udf
+
+    mad = mad_udf()
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(mad("value"), 6).alias("mad_value")
+    )
+
+
+@query(
+    "q128_locf_gap_fill",
+    sql="""
+    WITH sparse AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        CASE WHEN event_id % 3 = 0 THEN value END AS reading
+      FROM events
+    )
+    SELECT user_id, event_id, us, reading,
+      LAST_VALUE(reading IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS reading_filled
+    FROM sparse
+    """,
+)
+def q128_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) gap fill over a sparse
+    reading stream — the sensor forward-fill every telemetry pipeline
+    needs, and the same last(ignorenulls) machinery the as-of join is
+    built on (one entity-partitioned sort, no self-join). The sparse
+    column is carved deterministically (every third event carries a
+    reading) so the fill path is exercised on every entity."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    sparse = ev.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("reading"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sparse.withColumn(
+        "reading_filled", F.last("reading", ignorenulls=True).over(w)
+    )
+
+
+@query(
+    "q129_complete_users",
+    sql="""
+    WITH total AS (SELECT COUNT(DISTINCT event_type) AS t FROM events)
+    SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+    FROM events CROSS JOIN total
+    GROUP BY user_id, t
+    HAVING COUNT(DISTINCT event_type) = t
+    """,
+)
+def q129_complete_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: users who performed EVERY event type — the
+    set-containment join expressed as one grouped distinct count against
+    a broadcast global scalar (never a per-user NOT EXISTS double
+    anti-join)."""
+    ev = _t(spark, sf_dir, "events")
+    total = ev.agg(F.countDistinct("event_type").alias("t"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_types"))
+        .crossJoin(broadcast(total))
+        .filter(F.col("n_types") == F.col("t"))
+        .select("user_id", "n_types")
+    )
