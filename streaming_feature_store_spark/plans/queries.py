@@ -5190,3 +5190,157 @@ def q129_complete_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_types") == F.col("t"))
         .select("user_id", "n_types")
     )
+
+
+@query(
+    "q130_priority_shipment_classes",
+    sql="""
+    SELECT l_returnflag,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate
+    GROUP BY l_returnflag
+    """,
+)
+def q130_priority_shipment_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (this corpus has no l_shipmode/commitdate, so the
+    class column is l_returnflag and the lateness predicate is ship-after-
+    order): per shipment class, how many line items belonged to
+    high-priority vs low-priority orders within one ship year. The year
+    filter is pushed to the lineitem scan before the join; the non-equi
+    lateness predicate rides on the equi join; the conditional counts are
+    one hash aggregate (reference Q12 analog: batch/jobs/feature_backfill
+    conditional-ratio pattern).  Completes the TPC-H shape set together
+    with q131/q132."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q131_part_supplier_counts",
+    sql="""
+    SELECT p_brand, p_type, p_size,
+      COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q131_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp reconstructed as DISTINCT (partkey,
+    suppkey) pairs from lineitem): how many qualifying suppliers can
+    supply each surviving (brand, type, size) combination, excluding
+    deadbeat suppliers (NOT IN → left-anti join on the filtered supplier
+    dim).  All part predicates are pushed to the dim scan; the anti-join
+    build side is the bounded negative-balance supplier subset (strategy
+    left to AQE — at warehouse scale the list is dim-bounded, not
+    fact-proportional)."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q132_concentrated_suppliers",
+    sql="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+        CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-01-01'
+                       THEN l_quantity ELSE 0 END AS DECIMAL(18,4)))
+             AS DOUBLE) AS qty_1996
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    WHERE s_nationkey < 10
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM ps
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%' AND qty_1996 > 0.5 * total_qty)
+    """,
+)
+def q132_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty reconstructed as the pair's all-time
+    shipped quantity): suppliers in low-key nations that concentrated
+    more than half of some red part's lifetime volume into one ship
+    year.  The correlated nested aggregate decorrelates into ONE
+    per-(part, supplier) hash aggregate computing both the lifetime and
+    windowed sums in a single pass, a semi-join against the filtered
+    part dim, then a semi-join into the supplier dim — no correlated
+    re-scan anywhere.  Quantity sums are decimal-exact before the
+    half-volume comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    in_1996 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum("l_quantity").alias("total_qty"),
+        dsum(F.when(in_1996, F.col("l_quantity")).otherwise(0.0)).alias(
+            "qty_1996"
+        ),
+    )
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    qual = (
+        ps.join(red, ps.l_partkey == red.p_partkey, "left_semi")
+        .filter(F.col("qty_1996") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 10)
+    return (
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
