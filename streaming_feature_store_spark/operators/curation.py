@@ -372,3 +372,42 @@ def pack_sequences(
             (F.col("last_pack") - F.col("first_pack") + 1).cast("long"),
         )
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col,
+    id_col: str = "event_id",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — Sequential
+    Poisson sampling (Ohlsson 1998): each row gets priority ``w / u`` with
+    ``u`` a uniform derived from md5(id), and the top-k priorities per
+    stratum are kept.  Inclusion probability is ~proportional to weight,
+    and the scheme is order-, partitioning- and ENGINE-independent: the
+    uniform comes from the first 8 md5 hex digits (exact integer), and
+    ``w / u`` uses only IEEE-correctly-rounded ops (one add, one divide) —
+    so a DuckDB oracle reproduces the sample bit-for-bit, unlike any
+    ``ln``-based A-ES/A-Res key.
+
+    Scale shape: priorities are pure codegen; selection is one hash
+    partition per stratum + top-k (rank ≤ k). For huge groups with tiny k,
+    the same md5-threshold pre-filter as ``sample_exact_per_group``
+    applies. Weights must be > 0 (clamp before calling).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)
+    prio = (
+        weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    ) / u
+    keys = [strata_col] if strata_col else []
+    w = Window.partitionBy(*keys).orderBy(F.desc("_prio"), id_col)
+    return (
+        df.withColumn("_prio", prio)
+        .withColumn("samp_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("samp_rank") <= k)
+        .drop("_prio")
+    )

@@ -58,3 +58,28 @@ def point_lookup(
     """J3: serve features for a batch of entity keys — broadcast hash join of
     the request set against the latest view (keys are the small side)."""
     return latest_view.join(broadcast(request_keys), key_col, "right")
+
+
+def interval_join(
+    events: DataFrame,
+    spans: DataFrame,
+    event_key: str,
+    span_key: str,
+    event_us: str = "us",
+    span_start_us: str = "start_us",
+    span_end_us: str = "end_us",
+) -> DataFrame:
+    """Batch interval join (the J2 stream-stream interval join's offline
+    twin): each event matches every span of the same key whose
+    ``[start_us, end_us)`` window contains the event's timestamp.  With an
+    equi key present this is ONE hash join carrying the two range
+    predicates as residual conditions — no binning needed; the purely
+    temporal (keyless) case should bucket the time axis first (the LSH
+    banding trick on time) to avoid a broadcast-nested-loop.
+    """
+    cond = (
+        (events[event_key] == spans[span_key])
+        & (events[event_us] >= spans[span_start_us])
+        & (events[event_us] < spans[span_end_us])
+    )
+    return events.join(spans, cond)

@@ -170,3 +170,45 @@ def zscore_vs_entity(
     )
     sd = F.stddev_samp(value_col).over(w)
     return df.withColumn("zscore", (F.col(value_col) - mu) / sd)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str = "reading",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Linear interpolation of a sparse reading column per entity — the
+    telemetry resampling step one rung above LOCF: a null reading becomes
+    the time-weighted blend of its nearest non-null neighbours
+    (``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)``); before
+    the first / after the last observation it falls back to
+    nearest-observation fill.  Everything is two frames over ONE
+    entity-partitioned sort (last-ignorenulls backward, first-ignorenulls
+    forward) — no self-join, no per-entity collect; arithmetic stays in
+    codegen and uses only IEEE-exact ops so results are engine-portable.
+    """
+    df = with_event_micros(df, ts_col)
+    base = Window.partitionBy(entity_col).orderBy("us", order_tiebreak)
+    back = base.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    v = F.col(value_col)
+    obs_us = F.when(v.isNotNull(), F.col("us"))
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_us = F.last(obs_us, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_us = F.first(obs_us, ignorenulls=True).over(fwd)
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(next_us == prev_us, prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * (F.col("us") - prev_us)
+            / (next_us - prev_us)
+        )
+    )
+    return df.withColumn(value_col + "_interp", interp)

@@ -27,6 +27,7 @@ from streaming_feature_store_spark.functions.exprs import dsum
 from streaming_feature_store_spark.operators.asof import asof_join
 from streaming_feature_store_spark.operators.sessions import funnel_features
 from streaming_feature_store_spark.operators.windows import (
+    interpolate_linear,
     multi_horizon_counts,
     rolling_last_n,
     sliding_stats,
@@ -5344,3 +5345,152 @@ def q132_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
     )
+
+
+@query(
+    "q133_post_purchase_activity",
+    sql="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS start_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT purchase_id,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+    FROM p JOIN events e
+      ON e.user_id = p.user_id
+     AND epoch_us(e.ts) >= p.start_us
+     AND epoch_us(e.ts) < p.start_us + 3600000000
+     AND e.event_id <> p.purchase_id
+    GROUP BY purchase_id
+    """,
+)
+def q133_post_purchase_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval join (J2's offline twin, via
+    ``operators.enrich.interval_join``): per purchase, the same user's
+    event count and decimal-exact value sum in the hour FOLLOWING it.
+    One hash join on the user key with the range predicates as residual
+    conditions — the time axis never becomes a join key, so there is no
+    binning shuffle; integer-micros comparisons throughout. The span side
+    is a filtered projection of the same fact table (a self interval
+    join), the shape post-conversion attribution runs at warehouse
+    scale."""
+    from streaming_feature_store_spark.operators.enrich import interval_join
+
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    spans = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("span_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("start_us"),
+        (F.col("us") + F.lit(3_600_000_000)).alias("end_us"),
+    )
+    side = ev.select("user_id", "event_id", "us", "value")
+    return (
+        interval_join(side, spans, "user_id", "span_user")
+        .filter(F.col("event_id") != F.col("purchase_id"))
+        .groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("val_sum"),
+        )
+    )
+
+
+@query(
+    "q134_linear_interpolation",
+    sql="""
+    WITH sparse AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        CASE WHEN event_id % 3 = 0 THEN value END AS reading
+      FROM events
+    ), n AS (
+      SELECT *,
+        LAST_VALUE(reading IGNORE NULLS) OVER wb AS prev_v,
+        LAST_VALUE(CASE WHEN reading IS NOT NULL THEN us END IGNORE NULLS)
+          OVER wb AS prev_us,
+        FIRST_VALUE(reading IGNORE NULLS) OVER wf AS next_v,
+        FIRST_VALUE(CASE WHEN reading IS NOT NULL THEN us END IGNORE NULLS)
+          OVER wf AS next_us
+      FROM sparse
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id, us, reading,
+      ROUND(CASE
+        WHEN reading IS NOT NULL THEN reading
+        WHEN prev_v IS NULL THEN next_v
+        WHEN next_v IS NULL THEN prev_v
+        WHEN next_us = prev_us THEN prev_v
+        ELSE prev_v + (next_v - prev_v) * (us - prev_us)
+                      / (next_us - prev_us)
+      END, 6) AS reading_interp
+    FROM n
+    """,
+)
+def q134_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of the q128 sparse reading
+    stream (``operators.windows.interpolate_linear``): nulls become the
+    blend of nearest non-null neighbours, nearest-fill at the edges. Two
+    frames over one entity sort; the FP expression uses only
+    IEEE-correctly-rounded ops in an identical shape on both engines, so
+    the oracle matches bit-for-bit before the presentation ROUND."""
+    ev = _t(spark, sf_dir, "events")
+    sparse = with_event_micros(ev).select(
+        "user_id",
+        "event_id",
+        "us",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("reading"),
+    )
+    out = interpolate_linear(sparse, "user_id", "reading")
+    return out.select(
+        "user_id",
+        "event_id",
+        "us",
+        "reading",
+        F.round("reading_interp", 6).alias("reading_interp"),
+    )
+
+
+@query(
+    "q135_weighted_sample",
+    sql="""
+    WITH s AS (
+      SELECT event_type, event_id, value,
+        GREATEST(COALESCE(value, 0.0), 0.0) + 1.0 AS w,
+        (CAST(('0x' || SUBSTR(md5(CAST(event_id AS VARCHAR)), 1, 8))
+              AS BIGINT) + 1.0) / 4294967296.0 AS u
+      FROM events
+    ), ranked AS (
+      SELECT event_type, event_id, value,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY w / u DESC, event_id
+        ) AS INT) AS samp_rank
+      FROM s
+    )
+    SELECT event_type, event_id, value, samp_rank
+    FROM ranked WHERE samp_rank <= 20
+    """,
+)
+def q135_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (``operators.curation.weighted_priority_sample`` — Sequential Poisson
+    sampling): 20 events per type with inclusion probability proportional
+    to clamped value.  The priority ``w / u`` uses one add and one divide
+    on an md5-derived exact integer, all IEEE-correctly-rounded, so the
+    DuckDB oracle selects the IDENTICAL sample — a reproducibility bar
+    ln-based weighted-reservoir keys cannot meet across engines."""
+    from streaming_feature_store_spark.operators.curation import (
+        weighted_priority_sample,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = F.greatest(F.coalesce(F.col("value"), F.lit(0.0)), F.lit(0.0)) + F.lit(
+        1.0
+    )
+    return weighted_priority_sample(
+        ev, 20, w, id_col="event_id", strata_col="event_type"
+    ).select("event_type", "event_id", "value", "samp_rank")
