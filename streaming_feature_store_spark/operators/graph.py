@@ -1,0 +1,95 @@
+"""Iterative graph analytics on DataFrames — PageRank.
+
+Together with ``dedup.dedup_clusters`` (connected components via pointer
+jumping) this is the repo's iterative-algorithm surface: fixed-point loops
+expressed as a sequence of joins/aggregations that Catalyst plans per
+round, with lineage truncation so the plan does not double per iteration.
+
+Beyond-reference analytics breadth: the reference engine (BASELINE.json)
+has no graph surface; the implementation follows the original published
+PageRank formulation (damping + uniform teleport, dangling mass
+redistributed uniformly) — the variant GraphX/GraphFrames document.
+
+Scale shape per iteration: ONE shuffle (contributions aggregated by dst)
+plus a broadcast of two scalars (node count, dangling mass). Edge weights
+are normalized once up front. ``localCheckpoint`` every few rounds keeps
+the plan flat, exactly as the CC loop does (dedup.py) — measured there to
+be the difference between flat per-round cost and exponential re-analysis.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import broadcast
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Weighted PageRank over ``edges``; returns ``(node, rank)``.
+
+    - Nodes are the distinct union of src and dst.
+    - Out-edge weights are normalized per source (uniform if ``weight`` is
+      None), so each node distributes its full rank.
+    - Dangling nodes (no out-edges) redistribute their rank uniformly, so
+      total rank mass stays 1 every iteration (the standard formulation).
+
+    Rank sums per target are plain double aggregation: in-degree-bounded
+    FP reassociation error (~1e-16 per term) is far below any sensible
+    presentation rounding; callers compare at a rounded precision, as the
+    q136 oracle does.
+    """
+    e = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("_w"),
+    )
+    out_sum = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
+    norm = e.join(out_sum, "_src").select(
+        "_src", "_dst", (F.col("_w") / F.col("_out")).alias("_p")
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    norm = norm.persist()
+    sources = out_sum.select(F.col("_src").alias("node"))
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for i in range(iterations):
+        dangling = (
+            ranks.join(sources, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            ranks.join(norm, ranks.node == norm._src)
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("_p")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

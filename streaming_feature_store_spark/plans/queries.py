@@ -5494,3 +5494,88 @@ def q135_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_priority_sample(
         ev, 20, w, id_col="event_id", strata_col="event_type"
     ).select("event_type", "event_id", "value", "samp_rank")
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled 3-iteration PageRank twin. The teleport and init constants
+    are computed in PYTHON double arithmetic and embedded by repr, because
+    e.g. DuckDB's decimal (1.0-0.85)/25 and IEEE double (1.0-0.85)/25
+    differ in the last ulp — both engines must use the identical
+    bit-pattern for the hash gate to hold at 6 dp on every node."""
+    n, d = 25, 0.85
+    init = repr(1.0 / n)
+    tp = repr((1.0 - d) / n)
+    nn = repr(float(n))
+    dsum6 = _DSUM6.format(c="l_extendedprice * (1 - l_discount)")
+    it = """
+    d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r{i}
+             WHERE node NOT IN (SELECT DISTINCT src FROM edges)),
+    c{i} AS (SELECT dst AS node, SUM(rank * p) AS c
+             FROM r{i} JOIN norm ON r{i}.node = norm.src GROUP BY dst),
+    r{j} AS (SELECT n.node,
+               {tp} + 0.85 * (COALESCE(c, CAST(0.0 AS DOUBLE))
+                              + dm / {nn}) AS rank
+             FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node
+             CROSS JOIN d{i})"""
+    iters = ",".join(
+        it.format(i=i, j=i + 1, tp=tp, nn=nn) for i in range(3)
+    )
+    return f"""
+    WITH edges AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, {dsum6} AS w
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY cn.n_name, sn.n_name
+    ), norm AS (
+      SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM edges
+    ), nodes AS (
+      SELECT DISTINCT node FROM
+        (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+    ), r0 AS (SELECT node, CAST({init} AS DOUBLE) AS rank FROM nodes),
+    {iters}
+    SELECT node, ROUND(rank, 6) AS rank FROM r3
+    """
+
+
+@query("q136_nation_pagerank", sql=_pagerank_oracle_sql())
+def q136_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (customer nation →
+    supplier nation, edge weight = decimal-exact trade volume), 3
+    iterations, damping 0.85, dangling mass redistributed — the original
+    published formulation via ``operators.graph.pagerank``.  Each
+    iteration is ONE contribution shuffle plus two broadcast scalars; the
+    oracle unrolls the identical recurrence in SQL.  Second iterative
+    algorithm on the DataFrame fixed-point pattern next to q67's
+    connected components."""
+    from streaming_feature_store_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    cn = na.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = na.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(cn), c.c_nationkey == F.col("c_nk"))
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(broadcast(sn), su.s_nationkey == F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6
+            ).alias("w")
+        )
+    )
+    out = pagerank(edges, "src", "dst", weight="w", iterations=3)
+    return out.select("node", F.round("rank", 6).alias("rank"))
