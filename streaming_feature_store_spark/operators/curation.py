@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import broadcast
 
 from streaming_feature_store_spark.operators.dedup import (
     dedup_exact,
@@ -410,4 +411,83 @@ def weighted_priority_sample(
         .withColumn("samp_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("samp_rank") <= k)
         .drop("_prio")
+    )
+
+
+def negative_sample(
+    interactions: DataFrame,
+    items: DataFrame,
+    k: int,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    oversample: int = 2,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / recommender
+    training: for each user, ``k`` items they have NOT interacted with.
+
+    The scale-correct construction NEVER materializes the user x item
+    cross space: each user draws ``oversample * k`` pseudo-random item
+    INDICES via md5(user, draw) mod |items| (exact integer arithmetic, so
+    any engine reproduces the draw), joins them to a dense item index,
+    anti-joins the user's positives, dedups repeated draws keeping the
+    earliest, and keeps the first ``k`` survivors in draw order.  Cost is
+    O(users * k) rows end-to-end — at a 10^9 x 10^8 user-item scale the
+    cross join is 10^17 rows while this stays at ~users * 2k.
+
+    Collisions with positives / repeated draws shrink a user's sample
+    below k only if ``oversample * k`` draws don't yield k distinct
+    negatives — raise ``oversample`` for catalogs where positives are a
+    large fraction of all items.
+
+    The dense index comes from ROW_NUMBER over item-id order: a one-time
+    global sort of the ITEM DIM (not the fact table), the standard
+    embedding-table id-compaction step this op shares with a trainer.
+    """
+    m = items.select(item_col).distinct()
+    idx = m.select(
+        F.col(item_col).alias("_neg_item"),
+        (
+            F.row_number().over(Window.orderBy(item_col)) - 1
+        ).alias("_iidx"),
+    )
+    n_items = idx.count()
+    users = interactions.select(user_col).distinct()
+    draws = users.select(
+        user_col,
+        F.explode(F.sequence(F.lit(0), F.lit(oversample * k - 1))).alias(
+            "_draw"
+        ),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(user_col).cast("string"), F.col("_draw")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = draws.select(
+        user_col, "_draw", (h % F.lit(n_items)).alias("_iidx")
+    ).join(broadcast(idx), "_iidx")
+    pos = interactions.select(
+        user_col, F.col(item_col).alias("_neg_item")
+    ).distinct()
+    neg = cand.join(pos, [user_col, "_neg_item"], "left_anti")
+    first_draw = neg.groupBy(user_col, "_neg_item").agg(
+        F.min("_draw").alias("_d")
+    )
+    w = Window.partitionBy(user_col).orderBy("_d", "_neg_item")
+    return (
+        first_draw.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            user_col,
+            F.col("_neg_item").alias(item_col),
+            "neg_rank",
+        )
     )

@@ -5579,3 +5579,112 @@ def q136_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank(edges, "src", "dst", weight="w", iterations=3)
     return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "q137_user_event_sequences",
+    sql="""
+    WITH r AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+      STRING_AGG(event_type, '|' ORDER BY us, event_id) AS seq,
+      CAST(COUNT(*) AS INT) AS seq_len
+    FROM r WHERE rn <= 10 GROUP BY user_id
+    """,
+)
+def q137_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-sequence assembly for sequential/transformer recommenders:
+    each user's last 10 events as an ordered type sequence.  One
+    entity-partitioned rank prunes to the tail (WindowGroupLimit pushes
+    the top-10 into each map partition before the shuffle), then
+    collect_list + sort_array on (us, event_id, type) structs rebuilds
+    chronological order — per-user state is bounded at 10 rows, never the
+    full history."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    last10 = (
+        ev.select("user_id", "event_type", "us", "event_id")
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= 10)
+    )
+    return last10.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("us", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            "|",
+        ).alias("seq"),
+        F.count("*").cast("int").alias("seq_len"),
+    )
+
+
+@query(
+    "q138_negative_samples",
+    sql="""
+    WITH items AS (
+      SELECT p_partkey AS item_id,
+        CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS BIGINT) AS iidx
+      FROM (SELECT DISTINCT p_partkey FROM part)
+    ), n AS (SELECT COUNT(*) AS m FROM items),
+    pos AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), users AS (SELECT DISTINCT user_id FROM pos),
+    draws AS (
+      SELECT user_id, d.generate_series AS draw
+      FROM users CROSS JOIN generate_series(0, 9) d
+    ), cand AS (
+      SELECT user_id, draw,
+        CAST(('0x' || SUBSTR(md5(CAST(user_id AS VARCHAR) || ':'
+                                 || CAST(draw AS VARCHAR)), 1, 8))
+             AS BIGINT) % m AS iidx
+      FROM draws CROSS JOIN n
+    ), neg AS (
+      SELECT c.user_id, i.item_id, MIN(c.draw) AS d
+      FROM cand c JOIN items i USING (iidx)
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.user_id = c.user_id
+                          AND p.item_id = i.item_id)
+      GROUP BY c.user_id, i.item_id
+    )
+    SELECT user_id, item_id, neg_rank FROM (
+      SELECT user_id, item_id,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY d, item_id) AS INT) AS neg_rank
+      FROM neg
+    ) WHERE neg_rank <= 5
+    """,
+)
+def q138_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender / contrastive
+    training (``curation.negative_sample``): 5 parts each customer never
+    purchased, drawn via md5(user, draw) mod |items| — O(users x k) rows
+    end-to-end, the user x item cross space is never materialized.  The
+    md5 draw is exact integer arithmetic, so the oracle reproduces the
+    identical sample; the oracle's NOT EXISTS is the anti-join."""
+    from streaming_feature_store_spark.operators.curation import (
+        negative_sample,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    inter = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+    )
+    items = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item_id")
+    )
+    return negative_sample(inter, items, k=5, oversample=2)

@@ -102,3 +102,28 @@ def test_interval_join_boundaries(spark):
     )
     # start inclusive, end exclusive; key must match
     assert got == [("a", 100), ("a", 150)]
+
+
+def test_negative_sample_excludes_positives_exact_k(spark):
+    import pyspark.sql.functions as F
+
+    from streaming_feature_store_spark.operators.curation import (
+        negative_sample,
+    )
+
+    items = spark.range(100).select(F.col("id").alias("item_id"))
+    # each user interacted with 10 items
+    inter = spark.range(5).select(F.col("id").alias("user_id")).crossJoin(
+        spark.range(10).select((F.col("id") * 7).alias("item_id"))
+    )
+    out = negative_sample(inter, items, k=6, oversample=3)
+    rows = out.collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["item_id"])
+    assert all(len(v) == 6 for v in per_user.values()) and len(per_user) == 5
+    pos = {(r["user_id"], r["item_id"]) for r in inter.collect()}
+    assert all((r["user_id"], r["item_id"]) not in pos for r in rows)
+    # deterministic under repartition
+    out2 = negative_sample(inter.repartition(4), items, k=6, oversample=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
