@@ -189,7 +189,8 @@ def interpolate_linear(
     forward) — no self-join, no per-entity collect; arithmetic stays in
     codegen and uses only IEEE-exact ops so results are engine-portable.
     """
-    df = with_event_micros(df, ts_col)
+    if "us" not in df.columns:
+        df = with_event_micros(df, ts_col)
     base = Window.partitionBy(entity_col).orderBy("us", order_tiebreak)
     back = base.rowsBetween(Window.unboundedPreceding, 0)
     fwd = base.rowsBetween(0, Window.unboundedFollowing)

@@ -138,12 +138,22 @@ def write_files(
     format: str = "parquet",
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
+    sort_by: tuple[str, ...] = (),
     **options,
 ) -> None:
     """Format-matrix batch write. ``partition_by`` produces the
     hive-layout directory partitioning that makes downstream partition
     pruning work (the 100 TB default is partition-by-date); csv gets a
-    header so files round-trip through ``read_files`` with a DDL schema."""
+    header so files round-trip through ``read_files`` with a DDL schema.
+
+    ``sort_by`` clusters rows WITHIN each output file
+    (``sortWithinPartitions`` — no extra shuffle) so parquet row-group
+    min/max statistics become selective: a point/range filter on the sort
+    key then skips row groups at scan time, the second data-skipping
+    lever next to directory partitioning.  Sort by the columns your
+    selective predicates actually use (entity id, event time)."""
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.format(format.lower()).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
