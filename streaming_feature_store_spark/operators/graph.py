@@ -31,7 +31,7 @@ def pagerank(
     weight: str | None = None,
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Weighted PageRank over ``edges``; returns ``(node, rank)``.
 
@@ -46,23 +46,32 @@ def pagerank(
     presentation rounding; callers compare at a rounded precision, as the
     q136 oracle does.
     """
+    # e is the root of four derivations (out_sum, norm, nodes, sources):
+    # persist it so an expensive upstream edge construction (q136's 5-way
+    # join) executes ONCE, not once per derivation (q136 warm 5.2 s ->
+    # 3.6 s; what remains is per-iteration job-scheduling floor, which
+    # vanishes relative to data work at real graph sizes — 2 M edges x 5
+    # iterations measured 2.3 s total in tools/scale_new_ops_probe.py).
     e = edges.select(
         F.col(src).alias("_src"),
         F.col(dst).alias("_dst"),
         (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("_w"),
-    )
+    ).persist()
     out_sum = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
     norm = e.join(out_sum, "_src").select(
         "_src", "_dst", (F.col("_w") / F.col("_out")).alias("_p")
     )
+    # nodes / sources / norm are each consumed EVERY iteration; persist
+    # them so each round touches only cached frames.
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
+        .persist()
     )
     n_nodes = nodes.count()
     norm = norm.persist()
-    sources = out_sum.select(F.col("_src").alias("node"))
+    sources = out_sum.select(F.col("_src").alias("node")).persist()
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for i in range(iterations):
@@ -90,6 +99,12 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+        # ranks is consumed three times next round (dangling, contrib,
+        # next-ranks): materialize every round or the plan tree triples
+        # per iteration. O(nodes) storage — the same contract as the CC
+        # loop's per-round localCheckpoint.
+        if (i + 1) % checkpoint_every == 0 or i + 1 == iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    for f in (e, norm, nodes, sources):
+        f.unpersist()
     return ranks
