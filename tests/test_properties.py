@@ -141,3 +141,90 @@ def test_asof_forward_matches_naive(spark, feats, labels):
         ]
         expect = min(cands)[2] if cands else None
         assert got[1000 + i] == expect, (k, t, cands)
+
+
+@given(events=EVENTS)
+@SLOW
+def test_interpolate_linear_matches_naive(spark, events):
+    from streaming_feature_store_spark.operators.windows import (
+        interpolate_linear,
+    )
+
+    # every third insertion id carries a reading (mirrors q128/q134 carve)
+    rows = [
+        (k, t, i, float(v) if i % 3 == 0 else None)
+        for i, (k, t, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, us long, event_id long, reading double"
+    )
+    got = {
+        r["event_id"]: r["reading_interp"]
+        for r in interpolate_linear(df, "user_id").collect()
+    }
+    # naive oracle over the per-entity (us, event_id) order
+    by_key = {}
+    for k, t, i, v in rows:
+        by_key.setdefault(k, []).append((t, i, v))
+    for k, seq in by_key.items():
+        seq.sort()
+        for pos, (t, i, v) in enumerate(seq):
+            if v is not None:
+                want = v
+            else:
+                prevs = [
+                    (pt, pv) for pt, _, pv in seq[:pos] if pv is not None
+                ]
+                nexts = [
+                    (nt, nv) for nt, _, nv in seq[pos + 1:] if nv is not None
+                ]
+                if not prevs and not nexts:
+                    want = None
+                elif not prevs:
+                    want = nexts[0][1]
+                elif not nexts:
+                    want = prevs[-1][1]
+                else:
+                    (pt, pv), (nt, nv) = prevs[-1], nexts[0]
+                    want = pv if nt == pt else pv + (nv - pv) * (t - pt) / (nt - pt)
+            if want is None:
+                assert got[i] is None, (k, t, i)
+            else:
+                assert got[i] is not None and abs(got[i] - want) < 1e-9, (
+                    k, t, i, got[i], want,
+                )
+
+
+@given(events=EVENTS, k=st.integers(min_value=1, max_value=5))
+@SLOW
+def test_weighted_sample_is_topk_by_priority(spark, events, k):
+    import hashlib
+
+    from streaming_feature_store_spark.operators.curation import (
+        weighted_priority_sample,
+    )
+
+    rows = [
+        (i, k_ % 2, abs(v) + 1.0) for i, (k_, _, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, grp int, w double")
+    got = {
+        (r["grp"], r["event_id"]): r["samp_rank"]
+        for r in weighted_priority_sample(
+            df, k, "w", "event_id", "grp"
+        ).collect()
+    }
+
+    def prio(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return w / ((h + 1.0) / 4294967296.0)
+
+    by_grp = {}
+    for i, g, w in rows:
+        by_grp.setdefault(g, []).append((prio(i, w), -i))
+    want = {}
+    for g, ps in by_grp.items():
+        ps.sort(reverse=True)
+        for rank, (_, negi) in enumerate(ps[:k], 1):
+            want[(g, -negi)] = rank
+    assert got == want
