@@ -17,7 +17,7 @@ swap the exact distinct for `approx_count_distinct` (same melt, HLL merge).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -272,5 +272,88 @@ def gini_by_group(
                 - (F.col("n") + 1) / F.col("n").cast("double"),
                 6,
             ).alias("gini"),
+        )
+    )
+
+
+def categorical_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (nats) and Gini impurity per categorical column —
+    the diversity half of a table profile (label balance checks, feature
+    pre-screening, corpus source-mix monitoring).  One count aggregation
+    per column unioned into a single frame; probabilities and the
+    -Σ p·ln p / 1-Σ p² reductions are pure codegen over the per-column
+    value-count frames (cardinality-bounded — never the raw rows twice).
+    NULL is counted as its own category, as a profiler should."""
+    outs = []
+    for c in cols:
+        counts = (
+            df.select(F.col(c).cast("string").alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").alias("n"))
+        )
+        outs.append(
+            counts.select(
+                F.lit(c).alias("column"),
+                F.col("n"),
+                F.sum("n").over(Window.partitionBy()).alias("total"),
+            )
+            .select(
+                "column",
+                (F.col("n") / F.col("total")).alias("p"),
+            )
+            .groupBy("column")
+            .agg(
+                F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
+                F.round(1 - F.sum(F.col("p") * F.col("p")), 6).alias(
+                    "gini_impurity"
+                ),
+                F.count("*").cast("int").alias("n_categories"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def benford_digit_stats(
+    df: DataFrame, value_col: str, min_value: float = 1.0
+) -> DataFrame:
+    """Leading-digit distribution vs Benford's law — the classic
+    fabricated-amounts screen in fraud analytics: naturally occurring
+    multi-scale amounts follow P(d)=log10(1+1/d); invented ones don't.
+    Output: one row per digit 1-9 with observed share, expected share and
+    the digit's chi-square contribution n·(obs-exp)²/exp.  One filter +
+    one 9-group aggregation; the digit is substring arithmetic in
+    codegen."""
+    d = F.substring(
+        F.abs(F.col(value_col)).cast("decimal(18,4)").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        df.filter(F.abs(F.col(value_col)) >= min_value)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy()
+    expected = F.log10(1 + 1 / F.col("digit"))
+    return (
+        obs.select(
+            "digit",
+            "n",
+            (F.col("n") / F.sum("n").over(tot)).alias("observed_p"),
+            F.sum("n").over(tot).alias("total"),
+        )
+        .select(
+            "digit",
+            F.round("observed_p", 6).alias("observed_p"),
+            F.round(expected, 6).alias("benford_p"),
+            F.round(
+                F.col("total")
+                * (F.col("observed_p") - expected)
+                * (F.col("observed_p") - expected)
+                / expected,
+                6,
+            ).alias("chi2_contribution"),
         )
     )

@@ -5688,3 +5688,106 @@ def q138_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("item_id")
     )
     return negative_sample(inter, items, k=5, oversample=2)
+
+
+@query(
+    "q139_feature_correlations",
+    sql="""
+    SELECT
+      ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      ROUND(corr(l_extendedprice, l_discount), 6) AS corr_price_discount,
+      ROUND(corr(l_quantity, l_tax), 6) AS corr_qty_tax
+    FROM lineitem
+    """,
+)
+def q139_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations across fact numerics — the feature
+    pre-screen every training pipeline runs before assembling a model
+    frame (drop near-duplicate features, sanity-check leakage).  One
+    scan, all three moments-based correlations in a single hash
+    aggregate; at any scale this is map-side partials + one merge."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias(
+            "corr_price_discount"
+        ),
+        F.round(F.corr("l_quantity", "l_tax"), 6).alias("corr_qty_tax"),
+    )
+
+
+@query(
+    "q140_categorical_entropy",
+    sql="""
+    WITH u AS (
+      SELECT 'event_type' AS col, CAST(event_type AS VARCHAR) AS v
+      FROM events
+      UNION ALL
+      SELECT 'hour_of_day', CAST(EXTRACT(hour FROM ts) AS VARCHAR)
+      FROM events
+    ), counts AS (
+      SELECT col, v, COUNT(*) AS n FROM u GROUP BY col, v
+    ), p AS (
+      SELECT col, n / SUM(n) OVER (PARTITION BY col) AS p FROM counts
+    )
+    SELECT col AS "column",
+      ROUND(-SUM(p * LN(p)), 6) AS entropy,
+      ROUND(1 - SUM(p * p), 6) AS gini_impurity,
+      CAST(COUNT(*) AS INT) AS n_categories
+    FROM p GROUP BY col
+    """,
+)
+def q140_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + Gini impurity per categorical column
+    (``profile.categorical_entropy``): label-balance / source-mix
+    diversity monitoring.  The reductions run over the cardinality-
+    bounded per-column value counts, never the raw rows twice."""
+    from streaming_feature_store_spark.operators.profile import (
+        categorical_entropy,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    )
+    return categorical_entropy(ev, ["event_type", "hour_of_day"])
+
+
+@query(
+    "q141_benford_digits",
+    sql="""
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ABS(o_totalprice) AS DECIMAL(18,4))
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE ABS(o_totalprice) >= 1.0
+    ), obs AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), t AS (
+      SELECT digit, n,
+        n / SUM(n) OVER () AS observed_p,
+        SUM(n) OVER () AS total
+      FROM obs
+    )
+    SELECT digit,
+      ROUND(observed_p, 6) AS observed_p,
+      ROUND(LOG10(1 + 1 / CAST(digit AS DOUBLE)), 6) AS benford_p,
+      ROUND(total * (observed_p - LOG10(1 + 1 / CAST(digit AS DOUBLE)))
+                  * (observed_p - LOG10(1 + 1 / CAST(digit AS DOUBLE)))
+                  / LOG10(1 + 1 / CAST(digit AS DOUBLE)), 6)
+        AS chi2_contribution
+    FROM t
+    """,
+)
+def q141_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit screen over order totals
+    (``profile.benford_digit_stats``) — the classic fabricated-amounts
+    detector in fraud analytics (the reference's domain): naturally
+    occurring multi-scale amounts follow P(d)=log10(1+1/d).  One filter,
+    one 9-group aggregate, digit extraction in codegen."""
+    from streaming_feature_store_spark.operators.profile import (
+        benford_digit_stats,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_digit_stats(o, "o_totalprice")
