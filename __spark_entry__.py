@@ -38,11 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # struct-MAX arg-max, percent_rank, MAD UDAF, LOCF, relational division,
 # and the TPC-H Q12/Q16/Q20 shapes that complete the 22-shape set).  After
 # this round every catalog query q01-q132 has a driver green row across
-# r2+r3+r4; all 138 are additionally pinned by the committed
-# PARITY_sf0.01_r04.txt run.  The nine late round-4 additions (q133-q141:
+# r2+r3+r4; the full catalog is additionally pinned by the committed
+# PARITY_sf0.01_r04.txt run.  The ten late round-4 additions (q133-q142:
 # interval join, interpolation, weighted sampling, PageRank, behavior
-# sequences, negative sampling, correlations, entropy, Benford) are the
-# round-5 promotion set.
+# sequences, negative sampling, correlations, entropy, Benford, MI +
+# Cramér's V association) are the round-5 promotion set.
 _PRIORITY = [
     # round-3 late additions (29) — first driver-recorded verification
     "q83_inactive_high_balance", "q84_order_count_distribution",

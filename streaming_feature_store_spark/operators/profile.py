@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import broadcast
 
 
 def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -356,4 +357,76 @@ def benford_digit_stats(
                 6,
             ).alias("chi2_contribution"),
         )
+    )
+
+
+def categorical_association(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Association strength between two categorical columns: mutual
+    information (nats) and Cramér's V — the feature-selection screen for
+    categorical features against a label (q139's correlation matrix is
+    the numeric counterpart).
+
+    One scan builds the (a, b) contingency counts; marginals derive from
+    the joint by two more cardinality-bounded aggregations, never a
+    second pass over the rows.  MI = Σ p(a,b)·ln(p(a,b)/(p(a)p(b)));
+    Cramér's V = sqrt(χ² / (n·(min(|A|,|B|)-1))).  NULL is a category.
+    """
+    joint = (
+        df.select(
+            F.col(col_a).cast("string").alias("a"),
+            F.col(col_b).cast("string").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    # cardinality-bounded; tracked so long-lived sessions can release it
+    # (cacheutil.release_cached_intermediates — the ADVICE r3 contract)
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    joint = persist_tracked(joint)
+    ma = joint.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    mb = joint.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = Window.partitionBy()
+    j = (
+        joint.join(broadcast(ma), "a")
+        .join(broadcast(mb), "b")
+        .withColumn("n", F.sum("n_ab").over(tot))
+    )
+    p_ab = F.col("n_ab") / F.col("n")
+    p_a = F.col("n_a") / F.col("n")
+    p_b = F.col("n_b") / F.col("n")
+    e_ab = F.col("n_a") * F.col("n_b") / F.col("n")
+    out = j.agg(
+        F.round(
+            F.sum(p_ab * F.log(p_ab / (p_a * p_b))), 6
+        ).alias("mutual_information"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("n_ab") - e_ab) * (F.col("n_ab") - e_ab) / e_ab
+                )
+                / (
+                    F.first("n")
+                    * (
+                        F.least(
+                            F.countDistinct("a"), F.countDistinct("b")
+                        )
+                        - 1
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.countDistinct("a").cast("int").alias("card_a"),
+        F.countDistinct("b").cast("int").alias("card_b"),
+    )
+    return out.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        "mutual_information",
+        "cramers_v",
+        "card_a",
+        "card_b",
     )

@@ -5791,3 +5791,47 @@ def q141_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     return benford_digit_stats(o, "o_totalprice")
+
+
+@query(
+    "q142_feature_association",
+    sql="""
+    WITH joint AS (
+      SELECT CAST(event_type AS VARCHAR) AS a,
+             CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS b,
+             COUNT(*) AS n_ab
+      FROM events GROUP BY 1, 2
+    ), ma AS (SELECT a, SUM(n_ab) AS n_a FROM joint GROUP BY a),
+    mb AS (SELECT b, SUM(n_ab) AS n_b FROM joint GROUP BY b),
+    j AS (
+      SELECT joint.*, n_a, n_b, SUM(n_ab) OVER () AS n
+      FROM joint JOIN ma USING (a) JOIN mb USING (b)
+    )
+    SELECT 'event_type' AS col_a, 'hour_of_day' AS col_b,
+      ROUND(SUM((n_ab / n) * LN((n_ab / n)
+                / ((n_a / n) * (n_b / n)))), 6) AS mutual_information,
+      ROUND(SQRT(SUM((n_ab - n_a * n_b / n) * (n_ab - n_a * n_b / n)
+                     / (n_a * n_b / n))
+                 / (ANY_VALUE(n)
+                    * (LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1))),
+            6) AS cramers_v,
+      CAST(COUNT(DISTINCT a) AS INT) AS card_a,
+      CAST(COUNT(DISTINCT b) AS INT) AS card_b
+    FROM j
+    """,
+)
+def q142_feature_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association screen
+    (``profile.categorical_association``): mutual information and
+    Cramér's V between event type and hour of day — the categorical
+    counterpart of q139's numeric correlation pre-screen.  Marginals
+    derive from the persisted joint contingency counts (one row scan
+    total); everything downstream is cardinality-bounded."""
+    from streaming_feature_store_spark.operators.profile import (
+        categorical_association,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    )
+    return categorical_association(ev, "event_type", "hour_of_day")
