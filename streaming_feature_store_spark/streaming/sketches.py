@@ -172,3 +172,80 @@ def merge_estimate(
     if dedup_replays:
         p = p.dropDuplicates(["day", "batch_id"])
     return p.groupBy("day").agg(F.expr(estimate_sql).alias("est"))
+
+
+def priority_sample_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    out_path: str,
+    k: int,
+    weight_sql: str,
+    id_col: str = "event_id",
+    strata_col: str | None = None,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming weighted sampling without replacement — the streaming
+    twin of ``curation.weighted_priority_sample``, on the same partial-log
+    pattern as the sketch rollups above. A Sequential-Poisson priority
+    sample IS a mergeable summary: priority ``w/u`` is row-intrinsic, so
+    top-k(slice₁ ∪ slice₂) = top-k(top-k(slice₁) ∪ top-k(slice₂)).  Each
+    micro-batch appends its per-stratum top-k candidate rows (≤ k rows per
+    stratum per batch — bytes, not the batch); ``priority_sample_merge``
+    re-ranks the log at read time. Replays are idempotent after the
+    merge-side dedup on the row id (same md5 → same priority).
+
+    ``weight_sql`` is a SQL expression over the batch columns (e.g.
+    ``greatest(coalesce(value, 0.0), 0.0) + 1.0``); weights must be > 0.
+    """
+    from streaming_feature_store_spark.operators.curation import (
+        weighted_priority_sample,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            weighted_priority_sample(
+                batch_df,
+                k,
+                F.expr(weight_sql),
+                id_col=id_col,
+                strata_col=strata_col,
+            )
+            .drop("samp_rank")
+            .withColumn("_w", F.expr(weight_sql))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = events.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def priority_sample_merge(
+    spark: SparkSession,
+    partials_path: str,
+    k: int,
+    id_col: str = "event_id",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Global top-k over the candidate log — identical selection to the
+    batch ``weighted_priority_sample`` over all rows ever streamed (the
+    test asserts set equality). Dedup on the row id first makes replayed
+    batches a no-op (same id → same md5 priority → same rank)."""
+    from streaming_feature_store_spark.operators.curation import (
+        weighted_priority_sample,
+    )
+
+    p = spark.read.parquet(partials_path).dropDuplicates(
+        [c for c in ([strata_col] if strata_col else []) + [id_col]]
+    )
+    return weighted_priority_sample(
+        p, k, F.col("_w"), id_col=id_col, strata_col=strata_col
+    ).drop("_w", "batch_id")

@@ -500,3 +500,68 @@ def test_streaming_kll_quantile_matches_batch(spark, tmp_path):
     spark.read.parquet(out).limit(1).write.mode("append").parquet(out)
     replayed = merge_estimate(spark, out, est_sql, dedup_replays=True).collect()
     assert replayed[0]["est"] == batch
+
+
+def test_streaming_priority_sample_matches_batch(spark, tmp_path):
+    """The Sequential-Poisson sample is a mergeable summary: per-batch
+    top-k candidate partials re-ranked at read time must select the
+    IDENTICAL rows as the batch sampler over all streamed rows — and a
+    replayed partial must change nothing (id dedup -> same priority)."""
+    from streaming_feature_store_spark.operators.curation import (
+        weighted_priority_sample,
+    )
+    from streaming_feature_store_spark.streaming.sketches import (
+        priority_sample_merge,
+        priority_sample_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    rows = []
+    for b in range(3):
+        batch = [
+            (b * 1000 + i, i % 5, BASE + dt.timedelta(minutes=i),
+             float((i * 7 + b) % 23), "view" if i % 3 else "buy")
+            for i in range(40)
+        ]
+        rows += batch
+        _write_batch(spark, src, batch)
+
+    w_sql = "greatest(coalesce(value, 0.0), 0.0) + 1.0"
+    stream = read_file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = priority_sample_stream(
+        spark, stream, out, k=7, weight_sql=w_sql,
+        id_col="event_id", strata_col="event_type", checkpoint=ckpt,
+    )
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 2
+
+    got = {
+        (r["event_type"], r["event_id"], r["samp_rank"])
+        for r in priority_sample_merge(
+            spark, out, 7, "event_id", "event_type"
+        ).collect()
+    }
+    batch_df = spark.createDataFrame(rows, SCHEMA)
+    want = {
+        (r["event_type"], r["event_id"], r["samp_rank"])
+        for r in weighted_priority_sample(
+            batch_df, 7, F.expr(w_sql), "event_id", "event_type"
+        ).select("event_type", "event_id", "samp_rank").collect()
+    }
+    assert got == want
+
+    # replay: duplicate one partial file's rows -> merged sample unchanged
+    partials.limit(3).write.mode("append").parquet(out)
+    got2 = {
+        (r["event_type"], r["event_id"], r["samp_rank"])
+        for r in priority_sample_merge(
+            spark, out, 7, "event_id", "event_type"
+        ).collect()
+    }
+    assert got2 == want
