@@ -503,3 +503,43 @@ def ks_by_feature_binned(
         .groupBy("feature")
         .agg(F.round(F.max("_d"), 6).alias("ks_stat"))
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+) -> DataFrame:
+    """CUSUM change-point screen over a daily series — the classic
+    level-shift detector that complements the distributional drift tests
+    above (PSI/KS/chi² ask "did the distribution change"; CUSUM asks
+    "WHEN did the level shift").  The daily metric is COUNT(*) or a
+    decimal-exact SUM of ``value_col``; the cumulative sum of deviations
+    from the series mean peaks at the change point.
+
+    Output: one row per day with the daily metric, its deviation and the
+    running CUSUM, plus ``is_peak`` marking the argmax of |CUSUM| (the
+    estimated change point).  Plan: one day-grain aggregation (map-side
+    partials), then a single-partition ordered window over the DAYS —
+    bounded by the calendar (365 rows/year), never the events."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    if value_col is None:
+        daily = df.groupBy(day).agg(F.count("*").cast("double").alias("m"))
+    else:
+        from streaming_feature_store_spark.functions.exprs import dsum
+
+        daily = df.groupBy(day).agg(dsum(value_col).alias("m"))
+    w_all = Window.partitionBy()
+    w_run = Window.partitionBy().orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mean = F.avg("m").over(w_all)
+    cusum = F.sum(F.col("m") - mean).over(w_run)
+    out = daily.select(
+        "day",
+        F.round("m", 6).alias("daily_metric"),
+        F.round(F.col("m") - mean, 6).alias("deviation"),
+        F.round(cusum, 6).alias("cusum"),
+    )
+    peak = F.max(F.abs(F.col("cusum"))).over(w_all)
+    return out.withColumn("is_peak", F.abs(F.col("cusum")) == peak)

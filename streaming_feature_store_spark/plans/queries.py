@@ -5835,3 +5835,39 @@ def q142_feature_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.hour("ts").alias("hour_of_day")
     )
     return categorical_association(ev, "event_type", "hour_of_day")
+
+
+@query(
+    "q143_cusum_changepoint",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS m
+      FROM events GROUP BY 1
+    ), mu AS (SELECT AVG(m) AS mean_m FROM daily),
+    c AS (
+      SELECT day,
+        ROUND(m, 6) AS daily_metric,
+        ROUND(m - mean_m, 6) AS deviation,
+        ROUND(SUM(m - mean_m) OVER (
+          ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ), 6) AS cusum
+      FROM daily CROSS JOIN mu
+    )
+    SELECT day, daily_metric, deviation, cusum,
+      ABS(cusum) = MAX(ABS(cusum)) OVER () AS is_peak
+    FROM c
+    """,
+)
+def q143_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection over the daily event series
+    (``drift.cusum_changepoint``): the running sum of deviations from the
+    series mean peaks at the change point — the WHEN companion to the
+    PSI/KS/chi² WHETHER tests.  The ordered window runs over calendar
+    days (bounded), never events; both engines accumulate in day order so
+    the running double sums agree bit-for-bit before rounding."""
+    from streaming_feature_store_spark.operators.drift import (
+        cusum_changepoint,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoint(ev)
