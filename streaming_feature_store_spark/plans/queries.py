@@ -5871,3 +5871,120 @@ def q143_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return cusum_changepoint(ev)
+
+
+@query(
+    "q144_feature_service_read",
+    sql="""
+    WITH labels AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id
+      FROM events WHERE event_type = 'purchase'
+    ), ua AS (
+      SELECT user_id, epoch_us(ts) AS us, 0 AS src, event_id,
+             value AS fval
+      FROM events WHERE event_type <> 'purchase'
+      UNION ALL SELECT user_id, us, 1, event_id, NULL FROM labels
+    ), ca AS (
+      SELECT *, LAST_VALUE(fval IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY us, src, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+      FROM ua
+    ), ra AS (
+      SELECT user_id, us, event_id, asof_value FROM ca WHERE src = 1
+    ), daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+        CAST(COUNT(*) AS BIGINT) AS daily_cnt,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS daily_sum
+      FROM events GROUP BY 1, 2
+    ), fb AS (
+      SELECT user_id,
+        epoch_us(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) AS us,
+        0 AS src,
+        CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS tb,
+        daily_cnt, daily_sum
+      FROM daily
+    ), ub AS (
+      SELECT user_id, us, src, tb, daily_cnt, daily_sum FROM fb
+      UNION ALL
+      SELECT user_id, us, 1, event_id, NULL, NULL FROM labels
+    ), cb AS (
+      SELECT *,
+        LAST_VALUE(daily_cnt IGNORE NULLS) OVER w AS asof_daily_cnt,
+        LAST_VALUE(daily_sum IGNORE NULLS) OVER w AS asof_daily_sum
+      FROM ub WINDOW w AS (
+        PARTITION BY user_id ORDER BY us, src, tb
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), rb AS (
+      SELECT user_id, tb AS event_id, asof_daily_cnt, asof_daily_sum
+      FROM cb WHERE src = 1
+    )
+    SELECT ra.user_id, ra.event_id AS label_key, ra.us AS label_ts_us,
+      ra.asof_value, rb.asof_daily_cnt, rb.asof_daily_sum
+    FROM ra JOIN rb
+      ON ra.user_id = rb.user_id AND ra.event_id = rb.event_id
+    """,
+)
+def q144_feature_service_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-STORE training read (Feast feature-service semantics,
+    feast/feature_views.py:220-248): one label frame enriched from TWO
+    feature views by chained point-in-time joins — the raw event-value
+    view (event-grain, q14's view) and a daily-aggregate view whose rows
+    only become available at the FOLLOWING midnight (so a mid-day label
+    sees yesterday's daily features — the no-leakage availability
+    semantics a feature store exists to enforce; first-day labels get
+    NULL).  Each as-of join is the linear union+last_value pattern: two
+    entity-partitioned sorts total, no join explosion."""
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    labels = ev.filter(F.col("event_type") == "purchase")
+    feat_a = ev.filter(F.col("event_type") != "purchase").withColumnRenamed(
+        "value", "fval"
+    )
+    r1 = asof_join(
+        labels,
+        feat_a,
+        entity_col="user_id",
+        label_ts_us="us",
+        feature_ts_us="us",
+        feature_cols=["fval"],
+        label_cols=[],
+        tiebreak_col="event_id",
+    )
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("daily_cnt"),
+        dsum("value").alias("daily_sum"),
+    )
+    feat_b = daily.select(
+        "user_id",
+        F.unix_micros(
+            F.col("day").cast("timestamp") + F.expr("INTERVAL 1 DAY")
+        ).alias("fus"),
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("event_id"),
+        "daily_cnt",
+        "daily_sum",
+    )
+    labels2 = r1.select(
+        "user_id",
+        F.col("label_ts_us").alias("us"),
+        F.col("label_key").alias("event_id"),
+        F.col("asof_fval").alias("asof_value"),
+    )
+    r2 = asof_join(
+        labels2,
+        feat_b,
+        entity_col="user_id",
+        label_ts_us="us",
+        feature_ts_us="fus",
+        feature_cols=["daily_cnt", "daily_sum"],
+        label_cols=["asof_value"],
+        tiebreak_col="event_id",
+    )
+    return r2.select(
+        "user_id",
+        F.col("label_key"),
+        "label_ts_us",
+        "asof_value",
+        F.col("asof_daily_cnt"),
+        "asof_daily_sum",
+    )
