@@ -535,11 +535,14 @@ def cusum_changepoint(
     )
     mean = F.avg("m").over(w_all)
     cusum = F.sum(F.col("m") - mean).over(w_run)
+    # + 0.0 collapses IEEE negative zero (the exact-cancellation case at
+    # the series end: sum of deviations == 0) so engines/partitionings
+    # agree on the rendered value
     out = daily.select(
         "day",
         F.round("m", 6).alias("daily_metric"),
-        F.round(F.col("m") - mean, 6).alias("deviation"),
-        F.round(cusum, 6).alias("cusum"),
+        (F.round(F.col("m") - mean, 6) + F.lit(0.0)).alias("deviation"),
+        (F.round(cusum, 6) + F.lit(0.0)).alias("cusum"),
     )
     peak = F.max(F.abs(F.col("cusum"))).over(w_all)
     return out.withColumn("is_peak", F.abs(F.col("cusum")) == peak)

@@ -5847,10 +5847,10 @@ def q142_feature_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (
       SELECT day,
         ROUND(m, 6) AS daily_metric,
-        ROUND(m - mean_m, 6) AS deviation,
+        ROUND(m - mean_m, 6) + 0.0 AS deviation,
         ROUND(SUM(m - mean_m) OVER (
           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ), 6) AS cusum
+        ), 6) + 0.0 AS cusum
       FROM daily CROSS JOIN mu
     )
     SELECT day, daily_metric, deviation, cusum,
