@@ -249,3 +249,56 @@ def priority_sample_merge(
     return weighted_priority_sample(
         p, k, F.col("_w"), id_col=id_col, strata_col=strata_col
     ).drop("_w", "batch_id")
+
+
+def daily_metric_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    out_path: str,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming feed for the CUSUM/level monitors (drift.py): per-batch
+    (day, n, v_sum) partials — counts and decimal-exact sums are the
+    simplest mergeable summaries of all, so the monitor's daily series is
+    maintained without ever re-scanning events.  Unlike the set sketches,
+    COUNT/SUM partials are NOT replay-idempotent; the log keys rows by
+    (day, batch_id) and ``daily_metric_series`` dedups on it, the same
+    contract as the KLL partials."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        v = (
+            F.sum(F.col(value_col).cast("decimal(18,4)"))
+            if value_col
+            else F.lit(None).cast("decimal(18,4)")
+        )
+        (
+            batch_df.withColumn("day", F.to_date(ts_col))
+            .groupBy("day")
+            .agg(F.count("*").alias("n"), v.alias("v_sum"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = events.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def daily_metric_series(spark: SparkSession, partials_path: str) -> DataFrame:
+    """Merge the partial log to the (day, m) series ``drift.
+    cusum_changepoint``-style monitors consume — COUNT partials sum;
+    replayed (day, batch_id) rows dedup first."""
+    p = spark.read.parquet(partials_path).dropDuplicates(["day", "batch_id"])
+    return p.groupBy("day").agg(
+        F.sum("n").cast("double").alias("m"),
+        F.sum("v_sum").cast("double").alias("v_sum"),
+    )

@@ -565,3 +565,68 @@ def test_streaming_priority_sample_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got2 == want
+
+
+def test_streaming_daily_metric_feeds_cusum(spark, tmp_path):
+    """The monitor feed: per-batch (day, count) partials merged at read
+    time must give the same CUSUM series as drift.cusum_changepoint over
+    the raw events — and a replayed partial must change nothing."""
+    from streaming_feature_store_spark.operators.drift import (
+        cusum_changepoint,
+    )
+    from streaming_feature_store_spark.streaming.sketches import (
+        daily_metric_series,
+        daily_metric_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    rows = []
+    for b in range(3):
+        batch = [
+            (b * 1000 + i, i % 5,
+             BASE + dt.timedelta(days=(i + b) % 4, minutes=i), 1.0, "view")
+            for i in range(30)
+        ]
+        rows += batch
+        _write_batch(spark, src, batch)
+
+    stream = read_file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = daily_metric_stream(spark, stream, out, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 2
+    # same day split across batches -> merge is load-bearing
+    assert partials.groupBy("day").count().filter("count > 1").count() > 0
+
+    def cusum_rows(daily):
+        import pyspark.sql.functions as SF
+        from pyspark.sql import Window as W
+
+        mean = SF.avg("m").over(W.partitionBy())
+        run = W.partitionBy().orderBy("day").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        return sorted(
+            (str(r["day"]), r["c"])
+            for r in daily.select(
+                "day",
+                (SF.round(SF.sum(SF.col("m") - mean).over(run), 6) + SF.lit(0.0)).alias("c"),
+            ).collect()
+        )
+
+    got = cusum_rows(daily_metric_series(spark, out).select("day", "m"))
+    batch_truth = cusum_rows(
+        cusum_changepoint(spark.createDataFrame(rows, SCHEMA))
+        .select("day", F.col("daily_metric").alias("m"))
+    )
+    assert got == batch_truth
+
+    # replay a partial -> dedup on (day, batch_id) keeps the series fixed
+    partials.limit(2).write.mode("append").parquet(out)
+    got2 = cusum_rows(daily_metric_series(spark, out).select("day", "m"))
+    assert got2 == batch_truth
