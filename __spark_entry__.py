@@ -39,11 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # and the TPC-H Q12/Q16/Q20 shapes that complete the 22-shape set).  After
 # this round every catalog query q01-q132 has a driver green row across
 # r2+r3+r4; the full catalog is additionally pinned by the committed
-# PARITY_sf0.01_r04.txt run.  The round-4 late additions (q133-q144:
+# PARITY_sf0.01_r04.txt run.  The round-4 late additions (q133-q145:
 # interval join, interpolation, weighted sampling, PageRank, behavior
 # sequences, negative sampling, correlations, entropy, Benford, MI +
 # Cramér's V association, CUSUM change point, two-view feature-service
-# read) are the round-5 promotion set.
+# read, edit-distance fuzzy join) are the round-5 promotion set.
 _PRIORITY = [
     # round-3 late additions (29) — first driver-recorded verification
     "q83_inactive_high_balance", "q84_order_count_distribution",

@@ -750,3 +750,58 @@ def cooccurrence_lift(
         .orderBy(F.desc("c_ab"), "item_a", "item_b")
         .limit(k)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str = "name",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: all distinct value pairs within
+    Levenshtein distance ``max_dist`` (1 or 2), via SymSpell
+    deletion-neighborhood blocking — two strings within edit distance k
+    share at least one key in their ≤k-deletion neighborhoods, so
+    candidate generation is an equi-join on deletion keys, never the
+    quadratic value cross join; an exact ``levenshtein`` check verifies
+    candidates (q39's detect-by-blocks / verify-exactly discipline).
+
+    Neighborhood generation is pure codegen (SQL higher-order functions
+    over ``sequence``): ~L keys at k=1, ~L²/2 at k=2 per value, over the
+    VOCABULARY (distinct values) — at catalog scale the index is
+    |vocab|·L² rows with 8-byte hashed keys, the same shape as the
+    shingle index. Output: (name_a, name_b, dist), name_a < name_b.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+    names = df.select(F.col(col).alias("name")).distinct()
+    del1 = (
+        "transform(sequence(1, length(name)), i ->"
+        " concat(substring(name, 1, i-1),"
+        " substring(name, i+1, length(name))))"
+    )
+    if max_dist == 1:
+        keys = f"array_union(array(name), {del1})"
+    else:
+        keys = (
+            f"array_distinct(concat(array(name), {del1},"
+            f" flatten(transform({del1}, d ->"
+            " transform(sequence(1, length(d)), i ->"
+            " concat(substring(d, 1, i-1),"
+            " substring(d, i+1, length(d))))))))"
+        )
+    idx = names.select(
+        "name", F.explode(F.expr(keys)).alias("k")
+    ).select("name", F.xxhash64("k").alias("kh"))
+    a = idx.select(F.col("name").alias("name_a"), "kh")
+    b = idx.select(F.col("name").alias("name_b"), "kh")
+    cand = (
+        a.join(b, "kh")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

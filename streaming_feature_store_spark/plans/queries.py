@@ -5988,3 +5988,28 @@ def q144_feature_service_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_daily_cnt"),
         "asof_daily_sum",
     )
+
+
+@query(
+    "q145_fuzzy_name_pairs",
+    sql="""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+      CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM names a JOIN names b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def q145_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join (``text.edit_distance_pairs``): part
+    name pairs within Levenshtein distance 2, found by SymSpell
+    deletion-neighborhood blocking + exact verify.  The ORACLE is the
+    quadratic levenshtein join — so the parity gate doubles as an
+    empirical completeness proof that the blocking drops no pair."""
+    from streaming_feature_store_spark.operators.text import (
+        edit_distance_pairs,
+    )
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_name").alias("name"))
+    out = edit_distance_pairs(p, "name", max_dist=2)
+    return out.select("name_a", "name_b", F.col("dist").cast("int"))

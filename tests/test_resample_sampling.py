@@ -127,3 +127,27 @@ def test_negative_sample_excludes_positives_exact_k(spark):
     # deterministic under repartition
     out2 = negative_sample(inter.repartition(4), items, k=6, oversample=3)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
+
+
+def test_edit_distance_pairs_planted_typos(spark):
+    from streaming_feature_store_spark.operators.text import (
+        edit_distance_pairs,
+    )
+
+    names = [
+        "acme corporation", "acme corpration",   # deletion (d=1)
+        "acme korporation",                       # substitution vs #1 (d=1)
+        "globex", "globex inc",                   # d=4: not a pair
+        "initech", "initechh",                    # insertion (d=1)
+        "unrelated name",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in edit_distance_pairs(df, "name", max_dist=2).collect()
+    }
+    assert ("acme corporation", "acme corpration", 1) in got
+    assert ("acme corporation", "acme korporation", 1) in got
+    assert ("acme corpration", "acme korporation", 2) in got
+    assert ("initech", "initechh", 1) in got
+    assert not any("globex" in a or "globex" in b for a, b, _ in got)
