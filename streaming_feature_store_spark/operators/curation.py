@@ -405,7 +405,10 @@ def weighted_priority_sample(
     consumer is Spark-only.
     """
     if hash_fn == "xxhash64":
-        h = (F.abs(F.xxhash64(F.col(id_col))) % F.lit(4294967296)).cast(
+        # Top 32 bits via unsigned shift: uniform on [0, 2^32) for EVERY
+        # input including the Long.MIN_VALUE hash (abs() overflows there
+        # and throws under ANSI mode / corrupts the priority otherwise).
+        h = F.shiftrightunsigned(F.xxhash64(F.col(id_col)), 32).cast(
             "double"
         )
     else:
@@ -451,18 +454,51 @@ def negative_sample(
     negatives — raise ``oversample`` for catalogs where positives are a
     large fraction of all items.
 
-    The dense index comes from ROW_NUMBER over item-id order: a one-time
-    global sort of the ITEM DIM (not the fact table), the standard
-    embedding-table id-compaction step this op shares with a trainer.
+    The dense index is the rank of each item in item-id order (the
+    standard embedding-table id-compaction step this op shares with a
+    trainer), computed WITHOUT a single-partition global sort: the item
+    dim is range-partitioned on the id, each partition ranks locally,
+    and exclusive per-partition offsets (a #partitions-bounded scalar
+    table, broadcast) lift local ranks to the identical global rank —
+    the DataFrame form of zipWithIndex.  RangePartitioner assigns
+    ascending key ranges to ascending partition ids, so offset + local
+    rank == ROW_NUMBER() OVER (ORDER BY item) - 1 exactly, which is what
+    the q138 DuckDB oracle computes; a 10^8-item catalog sorts as
+    hundreds of parallel partitions instead of one.
     """
     m = items.select(item_col).distinct()
-    idx = m.select(
-        F.col(item_col).alias("_neg_item"),
-        (
-            F.row_number().over(Window.orderBy(item_col)) - 1
-        ).alias("_iidx"),
+    ranked = (
+        m.repartitionByRange(F.col(item_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrow",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(item_col)
+            ),
+        )
     )
-    n_items = idx.count()
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    ranked = persist_tracked(ranked)
+    # Exclusive offsets are computed driver-side from the per-partition
+    # counts — a #partitions-bounded collect (the same bounded-collect
+    # class as bucket ids / IVF centroids), no window at all.
+    counts = sorted(
+        ranked.groupBy("_pid").agg(F.count("*").alias("_c")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    acc, offset_rows = 0, []
+    for r in counts:
+        offset_rows.append((r["_pid"], acc))
+        acc += r["_c"]
+    n_items = acc
+    offs = items.sparkSession.createDataFrame(
+        offset_rows, "_pid int, _off long"
+    )
+    idx = ranked.join(broadcast(offs), "_pid").select(
+        F.col(item_col).alias("_neg_item"),
+        (F.col("_off") + F.col("_lrow") - 1).alias("_iidx"),
+    )
     users = interactions.select(user_col).distinct()
     draws = users.select(
         user_col,

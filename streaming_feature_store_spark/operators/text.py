@@ -707,14 +707,16 @@ def cooccurrence_lift(
     ``bigram_pmi`` (PMI is log-lift over adjacent tokens; this is set
     co-occurrence over baskets).
 
-    Plan: distinct (basket, item) relation once; item supports are a tiny
-    re-agg joined broadcast; pair counts via a basket-keyed self-join
-    whose output is bounded by Σ items_per_basket² (the classic basket
-    shuffle — bounded by basket width, never corpus-quadratic). Final
-    top-k is a distributed TakeOrdered on (count, pair) like bigram_pmi.
+    Plan: distinct (basket, item) relation once; item supports are an
+    |items|-bounded re-agg joined WITHOUT a forced broadcast hint — AQE's
+    runtime size gate picks broadcast when supports fit (the common case:
+    brands, SKUs) and a shuffled join on a web-scale catalog, the same
+    policy as ``dedup_survivors``; pair counts via a basket-keyed
+    self-join whose output is bounded by Σ items_per_basket² (the classic
+    basket shuffle — bounded by basket width, never corpus-quadratic).
+    Final top-k is a distributed TakeOrdered on (count, pair) like
+    bigram_pmi.
     """
-    from pyspark.sql.functions import broadcast as _bc
-
     # bi feeds four consumers (count action, supports, both join sides)
     bi = _persist_tracked(
         df.select(
@@ -735,8 +737,8 @@ def cooccurrence_lift(
     sa = supp.select(F.col("_i").alias("item_a"), F.col("c").alias("_ca"))
     sb = supp.select(F.col("_i").alias("item_b"), F.col("c").alias("_cb"))
     return (
-        pairs.join(_bc(sa), on="item_a")
-        .join(_bc(sb), on="item_b")
+        pairs.join(sa, on="item_a")
+        .join(sb, on="item_b")
         .select(
             "item_a",
             "item_b",

@@ -5497,15 +5497,17 @@ def q135_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle_sql() -> str:
-    """Unrolled 3-iteration PageRank twin. The teleport and init constants
-    are computed in PYTHON double arithmetic and embedded by repr, because
-    e.g. DuckDB's decimal (1.0-0.85)/25 and IEEE double (1.0-0.85)/25
-    differ in the last ulp — both engines must use the identical
-    bit-pattern for the hash gate to hold at 6 dp on every node."""
-    n, d = 25, 0.85
-    init = repr(1.0 / n)
-    tp = repr((1.0 - d) / n)
-    nn = repr(float(n))
+    """Unrolled 3-iteration PageRank twin. The node count is DERIVED from
+    the nodes CTE (a scalar ``nc`` cross-joined everywhere) rather than
+    hardcoded, so the oracle tracks the engine's dynamic ``n_nodes`` at
+    any scale factor — if some nation had no trade edges, both sides see
+    the same smaller graph.  Every arithmetic step is forced to DOUBLE
+    (``CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)`` etc.) because e.g.
+    DuckDB's decimal (1.0-0.85)/n and the engine's IEEE-double Python
+    ``(1.0-0.85)/n`` differ in the last ulp — identical IEEE ops give
+    identical bit patterns, which the 6-dp hash gate needs on every
+    node."""
+    tp = "((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nm)"
     dsum6 = _DSUM6.format(c="l_extendedprice * (1 - l_discount)")
     it = """
     d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r{i}
@@ -5514,12 +5516,10 @@ def _pagerank_oracle_sql() -> str:
              FROM r{i} JOIN norm ON r{i}.node = norm.src GROUP BY dst),
     r{j} AS (SELECT n.node,
                {tp} + 0.85 * (COALESCE(c, CAST(0.0 AS DOUBLE))
-                              + dm / {nn}) AS rank
+                              + dm / nm) AS rank
              FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node
-             CROSS JOIN d{i})"""
-    iters = ",".join(
-        it.format(i=i, j=i + 1, tp=tp, nn=nn) for i in range(3)
-    )
+             CROSS JOIN d{i} CROSS JOIN nc)"""
+    iters = ",".join(it.format(i=i, j=i + 1, tp=tp) for i in range(3))
     return f"""
     WITH edges AS (
       SELECT cn.n_name AS src, sn.n_name AS dst, {dsum6} AS w
@@ -5535,7 +5535,9 @@ def _pagerank_oracle_sql() -> str:
     ), nodes AS (
       SELECT DISTINCT node FROM
         (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
-    ), r0 AS (SELECT node, CAST({init} AS DOUBLE) AS rank FROM nodes),
+    ), nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nm FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nm AS rank
+           FROM nodes CROSS JOIN nc),
     {iters}
     SELECT node, ROUND(rank, 6) AS rank FROM r3
     """

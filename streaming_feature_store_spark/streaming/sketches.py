@@ -238,13 +238,27 @@ def priority_sample_merge(
     """Global top-k over the candidate log — identical selection to the
     batch ``weighted_priority_sample`` over all rows ever streamed (the
     test asserts set equality). Dedup on the row id first makes replayed
-    batches a no-op (same id → same md5 priority → same rank)."""
+    batches a no-op (same id → same md5 priority → same rank); the
+    surviving weight is picked DETERMINISTICALLY (max_by on batch_id, ties
+    on the larger weight) so an id streamed across batches with a changed
+    weight — outside the documented same-id-same-weight contract — still
+    yields one reproducible answer (latest write wins) instead of a
+    partition-order-dependent one."""
     from streaming_feature_store_spark.operators.curation import (
         weighted_priority_sample,
     )
 
-    p = spark.read.parquet(partials_path).dropDuplicates(
-        [c for c in ([strata_col] if strata_col else []) + [id_col]]
+    keys = ([strata_col] if strata_col else []) + [id_col]
+    raw = spark.read.parquet(partials_path)
+    rest = [c for c in raw.columns if c not in keys]
+    p = (
+        raw.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*rest), F.struct("batch_id", "_w")
+            ).alias("_r")
+        )
+        .select(*keys, *[F.col("_r")[c].alias(c) for c in rest])
     )
     return weighted_priority_sample(
         p, k, F.col("_w"), id_col=id_col, strata_col=strata_col
