@@ -25,6 +25,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructField, StructType
 
 
+def kafka_source_options(
+    brokers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The consumer plan contract as a plain dict — the exact options the
+    readStream plan carries (subscribe list, startingOffsets, the
+    maxOffsetsPerTrigger backpressure knob).  Factored out of
+    ``read_kafka_stream`` so the contract is pinned by a test without a
+    broker or the kafka connector jar on the classpath."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -32,15 +53,15 @@ def read_kafka_stream(
     starting_offsets: str = "latest",
     max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
-    r = (
+    return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
+        .options(
+            **kafka_source_options(
+                brokers, topics, starting_offsets, max_offsets_per_trigger
+            )
+        )
+        .load()
     )
-    if max_offsets_per_trigger is not None:
-        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return r.load()
 
 
 def decode_json(raw: DataFrame, schema: StructType, value_col: str = "value") -> DataFrame:
@@ -92,6 +113,31 @@ def encode_avro(df: DataFrame, avro_schema_json: str) -> DataFrame:
     return df.select(to_avro(F.struct(*df.columns), avro_schema_json).alias("value"))
 
 
+def kafka_sink_options(
+    brokers: str, topic: str, checkpoint: str
+) -> dict[str, str]:
+    """The producer plan contract as a plain dict (broker list, topic,
+    checkpoint location) — testable without a broker, same split as
+    ``kafka_source_options``."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
+def kafka_message_frame(df: DataFrame, key_col: str) -> DataFrame:
+    """The producer's (key, value) projection: key = entity id as a string
+    (per-key partition ordering, the reference's producer contract —
+    generators/txgen.py:329-331), value = the full row as JSON.  Pure
+    DataFrame transform, so the payload shape is pinned by a batch test
+    that round-trips it through ``decode_json``."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[c for c in df.columns])).alias("value"),
+    )
+
+
 def write_kafka(
     df: DataFrame,
     brokers: str,
@@ -102,14 +148,9 @@ def write_kafka(
     """Keyed producer sink (S6): key by entity id so downstream consumers see
     per-entity ordering, exactly what the reference's partition-by-key
     producers guarantee."""
-    out = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*[c for c in df.columns])).alias("value"),
-    )
     return (
-        out.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+        kafka_message_frame(df, key_col)
+        .writeStream.format("kafka")
+        .options(**kafka_sink_options(brokers, topic, checkpoint))
         .start()
     )

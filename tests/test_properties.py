@@ -228,3 +228,105 @@ def test_weighted_sample_is_topk_by_priority(spark, events, k):
         for rank, (_, negi) in enumerate(ps[:k], 1):
             want[(g, -negi)] = rank
     assert got == want
+
+
+WORDS = st.lists(
+    st.text(alphabet="abcd", min_size=0, max_size=6),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(words=WORDS, k=st.integers(min_value=1, max_value=2))
+@SLOW
+def test_edit_distance_pairs_matches_brute_force(spark, words, k):
+    """SymSpell deletion-key blocking must find EXACTLY the pairs the
+    quadratic levenshtein join finds — blocking is a completeness
+    optimization, never a semantics change."""
+    from streaming_feature_store_spark.operators.text import (
+        edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame([(w,) for w in words], "name string")
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in edit_distance_pairs(df, "name", max_dist=k).collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    vocab = sorted(set(words))
+    want = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if 0 < lev(a, b) <= k
+    }
+    assert got == want
+
+
+GRAPHS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(edges=GRAPHS, iters=st.integers(min_value=1, max_value=4))
+@SLOW
+def test_pagerank_conserves_mass_and_matches_naive(spark, edges, iters):
+    """Total rank mass must stay exactly 1 (±FP) every configuration, and
+    the distributed fixed point must match a dict-based reference
+    implementation of the same recurrence."""
+    from streaming_feature_store_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, "src", "dst", weight="w", iterations=iters
+        ).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # naive oracle in plain dicts
+    out_w: dict = {}
+    for s, d, w in edges:
+        out_w.setdefault(s, {})
+        out_w[s][d] = out_w[s].get(d, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(rank[v] for v in nodes if v not in out_w)
+        contrib = {v: 0.0 for v in nodes}
+        for s, outs in out_w.items():
+            tot = sum(outs.values())
+            for d, w in outs.items():
+                contrib[d] += rank[s] * (w / tot)
+        rank = {
+            v: (1.0 - 0.85) / n + 0.85 * (contrib[v] + dm / n)
+            for v in nodes
+        }
+    assert set(got) == set(rank)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
