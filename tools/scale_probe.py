@@ -75,6 +75,80 @@ def main():
     )
     print(f"asof_join ({labels.count():,} labels): {time.time()-t0:.2f}s")
 
+    # ---- adversarial skew: zipf-ish (log-uniform) entity distribution ----
+    # user = floor(entities^u), u ~ U[0,1): key frequency ~ 1/key, and the
+    # hottest key alone carries ~ln(2)/ln(entities) of ALL rows (~6% at
+    # 100k entities) — the worst realistic power-law hot key. Every scale
+    # claim elsewhere assumes benign keys; this section checks the two
+    # mitigations the repo actually ships: the salted two-phase aggregate
+    # (operators/skew.salted_agg) and AQE's skew-join split.
+    from streaming_feature_store_spark.operators.skew import salted_agg
+
+    h2 = F.abs(F.xxhash64("event_id"))
+    skew = ev.withColumn(
+        "user_id",
+        F.floor(
+            F.pow(F.lit(float(entities)), (h2 % 1_000_000) / 1_000_000.0)
+        ).cast("long"),
+    ).persist()
+    top = (
+        skew.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    )
+    print(
+        f"skew frame: hottest key={top['user_id']} holds "
+        f"{top['count']/n:.1%} of {n:,} rows"
+    )
+    aggs = {"n": ("count", "*"), "total": ("sum", "value"),
+            "mx": ("max", "value")}
+
+    t0 = time.time(); force(salted_agg(ev, "user_id", aggs))
+    t_uni = time.time() - t0
+    t0 = time.time(); force(salted_agg(skew, "user_id", aggs))
+    t_skew = time.time() - t0
+    t0 = time.time(); force(
+        skew.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+    )
+    t_plain = time.time() - t0
+    print(
+        f"salted_agg uniform: {t_uni:.2f}s  zipf: {t_skew:.2f}s "
+        f"(x{t_skew/t_uni:.2f})  plain-groupBy zipf: {t_plain:.2f}s"
+    )
+
+    # AQE skew-join: sort-merge join of the zipf fact against a per-entity
+    # dim with broadcast disabled (at 100 TB the dim side is NOT small, so
+    # SMJ is the real plan); skewJoin.enabled splits the hot partition.
+    dim = spark.range(entities).select(
+        F.col("id").alias("user_id"),
+        (F.abs(F.xxhash64("id")) % 100).alias("segment"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        force(
+            skew.join(dim, "user_id")
+            .groupBy("segment")
+            .agg(F.count("*").alias("n"))
+        )
+        t_sj = time.time() - t0
+        uni = ev.withColumn("user_id", h2 % entities)
+        t0 = time.time()
+        force(
+            uni.join(dim, "user_id")
+            .groupBy("segment")
+            .agg(F.count("*").alias("n"))
+        )
+        t_uj = time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    print(
+        f"AQE skew-join (SMJ, no broadcast): zipf {t_sj:.2f}s vs uniform "
+        f"{t_uj:.2f}s (x{t_sj/t_uj:.2f})"
+    )
+
     spark.stop()
 
 
