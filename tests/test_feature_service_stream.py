@@ -29,8 +29,9 @@ from tests.test_streaming import BASE, SCHEMA, _write_batch
 
 
 def _views_from(ev):
-    """(labels, event-grain view, daily availability view) from a typed
-    event frame — the exact q144 construction."""
+    """(labels, event-grain feature view) from a typed event frame — the
+    exact q144 construction; the daily availability view comes from the
+    separate ``_daily_view`` helper."""
     ev = ev.withColumn("us", F.unix_micros("ts"))
     labels = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "us", "event_id"
@@ -141,7 +142,9 @@ def test_streaming_feature_service_read_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow guarantees termination; assert the bounded wait so a
+    # loaded host fails as a clear timeout, not a partial-data mismatch
+    assert q.awaitTermination(120), "stream did not drain within 120 s"
 
     def read_streamed():
         streamed_ev = (
