@@ -568,7 +568,11 @@ def dedup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        rows = edges.filter(F.col("a") < F.col("b")).collect()
+        # a <= b keeps one direction per edge AND retains self-pairs
+        # (a, a), whose node must still appear in the output — the
+        # distributed path emits it, and the property test pins the two
+        # paths to each other
+        rows = edges.filter(F.col("a") <= F.col("b")).collect()
         for r in rows:
             a, b = r["a"], r["b"]
             parent.setdefault(a, a)

@@ -330,3 +330,126 @@ def test_pagerank_conserves_mass_and_matches_naive(spark, edges, iters):
     assert set(got) == set(rank)
     for v in nodes:
         assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+
+
+PAIR_LISTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(pairs=PAIR_LISTS)
+@SLOW
+def test_dedup_clusters_both_paths_match_transitive_closure(spark, pairs):
+    """Both physical strategies — the driver union-find fast path AND the
+    distributed min-label/pointer-jumping loop (forced with
+    driver_threshold=0) — must label every node with the minimum id
+    reachable from it, exactly as brute-force transitive closure does."""
+    from streaming_feature_store_spark.operators.dedup import dedup_clusters
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "doc_a long, doc_b long"
+    )
+
+    # brute-force oracle: repeated relaxation until fixpoint
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    label = {v: v for v in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in pairs:
+            lo = min(label[a], label[b])
+            if label[a] != lo or label[b] != lo:
+                label[a] = label[b] = lo
+                changed = True
+    want = set(label.items())
+
+    for thresh in (200_000, 0):
+        got = {
+            (r["node"], r["cluster_id"])
+            for r in dedup_clusters(
+                df, driver_threshold=thresh
+            ).collect()
+        }
+        assert got == want, (thresh, sorted(got ^ want))
+
+
+DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=14
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(docs=DOCS, thr=st.sampled_from([0.3, 0.5, 0.9]))
+@SLOW
+def test_winnow_containment_matches_quadratic(spark, docs, thr):
+    """The inverted-index pair join must produce EXACTLY the pairs and
+    scores of quadratic containment over per-doc fingerprint sets, and
+    the fingerprint sets themselves must match a line-by-line Python
+    replica of the winnowing algorithm (md5 grams, window minima) —
+    including the guarantee that any shared token run of >= w+k-1 leaves
+    a common fingerprint."""
+    import hashlib
+
+    from streaming_feature_store_spark.operators.text import (
+        _winnow_sel,
+        winnow_containment_pairs,
+    )
+
+    k, w = 2, 2
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+
+    def py_winnow(toks):
+        grams = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(len(toks) - k + 1)
+        ]
+        return {
+            min(grams[p : p + w]) for p in range(len(grams) - w + 1)
+        }
+
+    want_fps = {i: py_winnow(toks) for i, toks in enumerate(docs)}
+
+    got_fps: dict[int, set] = {i: set() for i in want_fps}
+    for r in _winnow_sel(df, "text", "doc_id", k, w).collect():
+        got_fps[r["doc_id"]].add(r["sel"])
+    assert got_fps == want_fps
+
+    # winnowing guarantee on the replica the engine just matched
+    for i, ta in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            tb = docs[j]
+            run = w + k - 1
+            shares_run = any(
+                ta[p : p + run] == tb[q : q + run]
+                for p in range(len(ta) - run + 1)
+                for q in range(len(tb) - run + 1)
+            )
+            if shares_run:
+                assert want_fps[i] & want_fps[j], (i, j)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["containment"])
+        for r in winnow_containment_pairs(
+            df, k=k, w=w, threshold=thr
+        ).collect()
+    }
+    want = {}
+    for i in want_fps:
+        for j in want_fps:
+            if i < j and want_fps[i] and want_fps[j]:
+                shared = len(want_fps[i] & want_fps[j])
+                c = shared / min(len(want_fps[i]), len(want_fps[j]))
+                if c >= thr:
+                    want[(i, j)] = (shared, round(c, 6))
+    assert got == want
