@@ -2,11 +2,18 @@
 the round-4 sampling/join operators composed with the M-family ML
 surface as one run.
 
-    orders ⋈ lineitem                    → positive (user, item) pairs
-      → negative_sample                  → k hard negatives per user
+    orders ⋈ lineitem                    → positive (user, item, ts) triples
+      → negative_sample                  → k negatives per user (stamped at
+                                           the user's latest interaction)
       → union, label 1/0                 → training interactions
-      → as-of user features (events)     → no-leakage enrichment
-      → item features (part dim)         → broadcast enrichment
+      → daily popularity view + asof_join → item popularity AS OF each
+                                           interaction (q144's chained-PIT
+                                           pattern: a day's count is
+                                           available from the following
+                                           midnight — no future data, no
+                                           self-counting of the label's
+                                           own order)
+      → user/item dims (customer, part)  → broadcast enrichment
       → stratified_split                 → train/val/test on the label
       → build_pipeline("gbt") fit        → evaluate (AUC/F1/confusion)
 
@@ -21,6 +28,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from streaming_feature_store_spark.ml.training import (
     TrainConfig,
@@ -28,6 +36,7 @@ from streaming_feature_store_spark.ml.training import (
     evaluate,
     stratified_split,
 )
+from streaming_feature_store_spark.operators.asof import asof_join
 from streaming_feature_store_spark.operators.curation import (
     negative_sample,
     sample_exact_per_group,
@@ -46,43 +55,93 @@ def main() -> None:
     part = load_table(spark, sf_dir, "part")
     cust = load_table(spark, sf_dir, "customer")
 
-    pos = (
+    # positive interactions carry their event time: the first order date
+    # of each (user, item) pair — the timestamp every temporal feature
+    # must respect
+    pos_first = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("user_id"),
             F.col("l_partkey").alias("item_id"),
+            F.to_date("o_orderdate").alias("day"),
         )
-        .distinct()
+        .groupBy("user_id", "item_id")
+        .agg(F.min("day").alias("day"))
     )
+    pos = pos_first.select("user_id", "item_id")
     items = part.select(F.col("p_partkey").alias("item_id"))
     # class balance: 5 positives per user (deterministic quota sample)
     # against 5 sampled negatives per user
-    pos5 = sample_exact_per_group(pos, 5, id_col="item_id", strata_col="user_id")
+    pos5 = sample_exact_per_group(
+        pos_first, 5, id_col="item_id", strata_col="user_id"
+    )
     n_pos = pos5.count()
     neg = negative_sample(pos, items, k=5)
     n_neg = neg.count()
     print(f"positives: {n_pos:,} (5/user quota)  negatives: {n_neg:,} (k=5/user)")
 
-    examples = pos5.select("user_id", "item_id").withColumn(
-        "label", F.lit(1)
-    ).unionByName(
-        neg.select("user_id", "item_id").withColumn("label", F.lit(0))
+    # negatives are stamped at the user's LATEST positive interaction —
+    # the moment the contrast is drawn; their features must likewise be
+    # what was knowable then
+    user_cut = pos_first.groupBy("user_id").agg(F.max("day").alias("day"))
+    examples = (
+        pos5.select("user_id", "item_id", "day")
+        .withColumn("label", F.lit(1))
+        .unionByName(
+            neg.select("user_id", "item_id")
+            .join(user_cut, "user_id")
+            .withColumn("label", F.lit(0))
+        )
+        .withColumn("us", F.unix_micros(F.col("day").cast("timestamp")))
     )
 
-    # item popularity from the FULL positive set — the signal negatives
-    # lack by construction (uniform draws). Demo simplification: computed
-    # corpus-wide; a leakage-clean run derives it from the train split
-    # only (the as-of machinery is the general answer for temporal
-    # features).
-    popularity = pos.groupBy("item_id").agg(
-        F.countDistinct("user_id").alias("item_popularity")
+    # item popularity as a TEMPORAL feature view (q144's construction):
+    # cumulative distinct purchasers per item by day, with each day's
+    # snapshot available only from the following midnight. The as-of
+    # backward join then gives every example the popularity that existed
+    # at its interaction time — future orders (and the example's own
+    # same-day order) can never leak in.
+    first_buy = pos_first.groupBy("item_id", "user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    daily_new = first_buy.groupBy("item_id", "first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    wpop = (
+        Window.partitionBy("item_id")
+        .orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pop_view = daily_new.select(
+        "item_id",
+        F.unix_micros(
+            F.col("first_day").cast("timestamp") + F.expr("INTERVAL 1 DAY")
+        ).alias("avail_us"),
+        F.sum("new_users").over(wpop).alias("item_popularity"),
+    )
+    enriched = asof_join(
+        examples.withColumn("tb", F.lit(0)),
+        pop_view.withColumn("tb", F.lit(0)),
+        "item_id",
+        "us",
+        "avail_us",
+        ["item_popularity"],
+        ["user_id", "label"],
+        tiebreak_col="tb",
+    ).select(
+        "item_id",
+        "user_id",
+        "label",
+        # an item never purchased before the interaction has popularity 0
+        F.coalesce("asof_item_popularity", F.lit(0)).alias(
+            "item_popularity"
+        ),
     )
 
     # user features from the customer dim, item features from part —
     # broadcast enrichment (J3 shape); label is whether the pair is real
     feats = (
-        examples.join(popularity, "item_id", "left")
-        .fillna(0, ["item_popularity"])
+        enriched
         .join(
             F.broadcast(
                 cust.select(
