@@ -28,50 +28,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
-# registration (dict-insertion) order.  Rounds 2-4 produced driver-green
-# rows for every catalog query q01-q132 (r2: q01-q50; r3: q51-q82 plus 18
-# re-verified; r4: q83-q132).  Round 5 promotes the 13 round-4 late
-# additions that have never had a driver-recorded row — q133-q145
-# (interval join, interpolation, weighted sampling, PageRank, behavior
-# sequences, negative sampling, correlations, entropy, Benford, MI +
-# Cramér's V association, CUSUM change point, two-view feature-service
-# read, edit-distance fuzzy join) — plus 37 re-verification ballast rows
-# chosen for complexity and for overlap with this round's code changes
-# (negative-sample index rebuild, cooccurrence broadcast policy,
-# priority-sample merge dedup, PageRank oracle node-count derivation).
-# After this round every catalog query has a driver green row across
-# r2+r3+r4+r5; the full catalog is additionally pinned per-round by the
-# committed PARITY_sf0.01_r0N.txt runs.
+# registration (dict-insertion) order.  After r2-r5 every one of the 145
+# catalog queries carries a driver-recorded green row; the full catalog
+# is additionally pinned per-round by the committed
+# PARITY_sf0.01_r0N.txt runs (r6's: 145/145 OK).  Round 6's window
+# front-loads the queries over this round's CHANGED code paths —
+# negative_sample's dropped index broadcast + localCheckpointed ranking
+# (q138), source_overlap's exact hot-shingle cap (q116),
+# dedup_clusters' self-pair-consistent union-find (q67), the winnowing
+# kernel now property-pinned (q59/q72), the as-of machinery newly wired
+# into the recsys demo (q14/q31/q96/q144), and the shared _shingle_index
+# consumers (q22/q39/q40/q57) — then rotates in the OLDEST-verified
+# ballast: r2/r3-era rows (q01-q38 block) whose last driver check
+# predates the r4/r5 windows.
 _PRIORITY = [
-    # round-4 late additions (13) — first driver-recorded verification
-    "q133_post_purchase_activity", "q134_linear_interpolation",
-    "q135_weighted_sample", "q136_nation_pagerank",
-    "q137_user_event_sequences", "q138_negative_samples",
-    "q139_feature_correlations", "q140_categorical_entropy",
-    "q141_benford_digits", "q142_feature_association",
-    "q143_cusum_changepoint", "q144_feature_service_read",
-    "q145_fuzzy_name_pairs",
-    # re-verification ballast (37): queries touching this round's changed
-    # code paths first, then the most complex prior-green shapes
-    "q119_brand_basket_lift", "q102_bigram_collocations",
-    "q101_unigram_logprob", "q88_tfidf_top_terms",
-    "q95_per_source_quota", "q112_sequence_packing",
-    "q116_source_overlap", "q113_scd2_history",
-    "q108_sketch_rollup", "q109_audience_overlap",
-    "q110_kll_quantile_rollup", "q111_heavy_hitters",
-    "q91_knn_label_agreement", "q96_next_click_after_purchase",
-    "q104_iqr_outlier_gate", "q107_ordered_funnel_depth",
-    "q114_winsorized_stats", "q115_value_histogram",
-    "q117_cluster_cohesion", "q118_order_value_gini",
-    "q122_session_bounce_rate", "q123_payload_stats",
-    "q124_grouping_sets_stats", "q125_supplier_top_part",
-    "q126_value_percent_rank", "q127_mad_by_group",
-    "q128_locf_gap_fill", "q46_wide_feature_frame",
+    # this round's changed code paths (15)
+    "q138_negative_samples", "q116_source_overlap",
+    "q67_dedup_clusters", "q144_feature_service_read",
+    "q14_asof_purchase_features", "q31_asof_order_enrichment",
+    "q96_next_click_after_purchase", "q135_weighted_sample",
+    "q136_nation_pagerank", "q59_winnow_fingerprints",
+    "q72_winnow_containment_pairs", "q22_jaccard_near_dups",
     "q39_minhash_near_dups", "q40_simhash_near_dups",
-    "q57_embedding_near_dups", "q58_ivf_topk",
-    "q67_dedup_clusters", "q61_curated_corpus",
-    "q69_cluster_balanced_sample", "q14_asof_purchase_features",
-    "q05_multi_horizon",
+    "q57_embedding_near_dups",
+    # oldest-verified ballast (35): last driver-checked in r2/r3
+    "q01_pricing_summary", "q02_user_window_stats_5m",
+    "q03_user_sliding_5m_1m", "q04_time_since_last",
+    "q06_top_customers", "q07_event_type_mode",
+    "q08_user_sessions", "q09_user_type_ratios",
+    "q10_value_zscore", "q11_rolling_last_100",
+    "q12_engagement_score", "q13_event_flags",
+    "q15_revenue_by_nation", "q16_union_activity",
+    "q17_market_segment_stats", "q18_order_priority",
+    "q19_doc_token_stats", "q20_doc_quality",
+    "q21_exact_dup_groups", "q23_lang_source_stats",
+    "q24_lang_id", "q25_cosine_topk",
+    "q26_psi_drift", "q27_ks_drift",
+    "q28_chi2_drift", "q29_daily_rollup",
+    "q30_hourly_histogram", "q32_user_value_stddev",
+    "q33_risk_ladder", "q34_profile_default_fill",
+    "q35_user_hour_profile", "q36_velocity",
+    "q37_same_type_affinity", "q38_top_parts_by_revenue",
+    "q41_lsh_cosine_topk",
 ]
 
 
