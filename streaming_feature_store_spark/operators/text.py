@@ -672,13 +672,20 @@ def source_overlap(
     remaining join keys have df <= G-2; AQE skew-split is the backstop
     for the residual classes below the cap.
     """
+    from pyspark.sql import Window
+
     from streaming_feature_store_spark.operators.dedup import _shingle_index
 
-    # sh feeds three consumers (sizes, dfreq, the tagged join); persist
-    # the bounded distinct relation once (zero-ReusedExchange lesson,
-    # r3).  Keying the kernel by source gives per-DOC distinct grams;
-    # the relation distinct() collapses them to per-source sets.
-    sh = _persist_tracked(
+    # The per-shingle document frequency is a COUNT over a
+    # partitionBy(s) window — ONE shuffle on the shingle key, no
+    # aggregate-then-join-back (the first cut of this cap did
+    # groupBy(s) + equi-join, i.e. two extra shuffles; measured +1.7 s
+    # at sf0.1).  tagged feeds four consumers (sizes, the hot scalars,
+    # near, both cold join sides); persist the bounded relation once
+    # (zero-ReusedExchange lesson, r3).  Keying the kernel by source
+    # gives per-DOC distinct grams; the relation distinct() collapses
+    # them to per-source sets.
+    tagged = _persist_tracked(
         _shingle_index(
             df.select(F.col(group_col).alias("g"), F.col(text_col)),
             text_col,
@@ -687,25 +694,25 @@ def source_overlap(
         )
         .select("g", F.col("sh").alias("s"))
         .distinct()
+        .withColumn("_df", F.count("*").over(Window.partitionBy("s")))
     )
-    sizes = sh.groupBy("g").agg(F.count("*").alias("nsh"))
+    sizes = tagged.groupBy("g").agg(F.count("*").alias("nsh"))
     n_sources = sizes.count()
-    # Per-shingle document frequency over sources: one row per shingle,
-    # so the tagged join below has NO fan-out (each key matches exactly
-    # one dfreq row).  Feeds two count scalars plus the join.
-    dfreq = _persist_tracked(
-        sh.groupBy("s").agg(F.count("*").alias("_df"))
-    )
-    hot = dfreq.agg(
+    # A shingle with df == d occupies exactly d rows of tagged, so the
+    # DISTINCT hot-shingle counts are row counts divided by the df —
+    # exact integer arithmetic, no distinct() pass.
+    hot = tagged.agg(
         F.coalesce(
             F.sum((F.col("_df") == n_sources).cast("long")), F.lit(0)
-        ).alias("u"),
+        ).alias("u_rows"),
         F.coalesce(
             F.sum((F.col("_df") == n_sources - 1).cast("long")), F.lit(0)
-        ).alias("t"),
+        ).alias("t_rows"),
     ).first()
-    u_cnt, t_cnt = int(hot["u"]), int(hot["t"])
-    tagged = sh.join(dfreq, on="s")
+    u_cnt = int(hot["u_rows"]) // n_sources if n_sources else 0
+    t_cnt = (
+        int(hot["t_rows"]) // (n_sources - 1) if n_sources > 1 else 0
+    )
     near = (
         tagged.filter(F.col("_df") == n_sources - 1)
         .groupBy("g")
