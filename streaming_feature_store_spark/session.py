@@ -95,6 +95,29 @@ def get_spark(
     extra_pkgs = os.environ.get("SPARK_GRAFT_EXTRA_PACKAGES", "")
     if extra_pkgs:
         builder = builder.config("spark.jars.packages", extra_pkgs)
+    # Opt-in AQE headroom for data-heavy deployments: start every AQE
+    # shuffle at FACTOR x the static partition count and let runtime
+    # coalescing shrink it (splitting an oversized partition after the
+    # fact is impossible; merging small ones costs nothing — AQE
+    # coalesces from map-output stats before reducers launch).
+    # Measured both ways at the r6 scaling checkpoint, hence opt-in
+    # rather than default: at sf1.0 (10x bench data on the same 32
+    # partitions) factor 4 cuts the spill-bound tail (q102 22.0->13.8s,
+    # q60 19.4->16.1s, q67 22.7->18.4s); at sf0.1 it costs ~30% on the
+    # multi-action persisted-intermediate queries (q101 1.9->5.3s, q119
+    # 3.8->7.9s — a cached frame materializes at the PRE-coalesce count,
+    # so every extra consumer pays factor x as many tiny-task rounds).
+    # Set SPARK_GRAFT_AQE_INITIAL_FACTOR >= 4 on a cluster whose
+    # per-partition data volume outgrows the static setting.
+    try:
+        aqe_factor = int(os.environ.get("SPARK_GRAFT_AQE_INITIAL_FACTOR", "1"))
+    except ValueError:
+        aqe_factor = 1
+    if aqe_factor > 1:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(shuffle * aqe_factor),
+        )
     for k, v in (configs or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
