@@ -68,8 +68,9 @@ _PRIORITY = [
     "q30_hourly_histogram", "q32_user_value_stddev",
     "q33_risk_ladder", "q34_profile_default_fill",
     "q35_user_hour_profile", "q36_velocity",
-    "q37_same_type_affinity", "q38_top_parts_by_revenue",
-    "q41_lsh_cosine_topk",
+    "q37_same_type_affinity",
+    # round-6 additions — first driver-recorded verification
+    "q146_data_quality_report", "q147_returnflag_price_regression",
 ]
 
 

@@ -430,3 +430,87 @@ def categorical_association(
         "card_a",
         "card_b",
     )
+
+
+def data_quality_report(
+    df: DataFrame, rules: dict[str, "F.Column"]
+) -> DataFrame:
+    """Declarative constraint checking (the Deequ/expectations pattern):
+    ``rules`` maps rule name → boolean Column that is TRUE for a
+    VIOLATING row; the report has one row per rule with
+    ``(rule, n_violations, n_rows, violation_rate)``.
+
+    The training-data gate this models: before a snapshot enters a
+    pipeline, assert value ranges, null contracts and enum membership,
+    and fail the run (or route to quarantine) on regressions — the
+    batch restatement of the reference's Pydantic validate-on-consume
+    (`streaming/core/models/events.py:12-57`) with the same
+    outcome surface as its DLQ counters.
+
+    Plan shape: ALL rules evaluate in ONE conditional aggregate over a
+    single scan (every counter is map-side partial — at 100 TB this is
+    one pass regardless of rule count); the per-rule rows come from
+    exploding a literal struct array over the 1-row aggregate, never
+    from per-rule jobs. Referential rules need a join and live in
+    ``referential_violations``; union the two reports.
+    """
+    names = list(rules)
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(f"_v{i}")
+        for i, cond in enumerate(rules.values())
+    ]
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(nm).alias("rule"), F.col(f"_v{i}").alias("v")
+            )
+            for i, nm in enumerate(names)
+        ]
+    )
+    return row.select(
+        F.explode(pairs).alias("p"), F.col("_n").alias("n_rows")
+    ).select(
+        F.col("p.rule").alias("rule"),
+        F.col("p.v").alias("n_violations"),
+        "n_rows",
+        F.round(F.col("p.v") / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+    )
+
+
+def referential_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    keys: dict[str, str],
+    rule: str,
+) -> DataFrame:
+    """Foreign-key companion to ``data_quality_report``: count child
+    rows whose ``keys`` (child col → parent col) have no parent match.
+    Same output schema, so the two reports union into one gate.
+
+    One pass: left join against the distinct parent key set with a hit
+    marker, then a conditional aggregate — total and orphan counts from
+    the same job (no separate anti-join + count actions). The distinct
+    parent side is key-cardinality-bounded; AQE picks broadcast when it
+    fits, shuffle join at dimension scale (session broadcast policy).
+    """
+    pcols = [F.col(pc).alias(cc) for cc, pc in keys.items()]
+    pkeys = parent.select(*pcols).distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    joined = child.join(pkeys, on=list(keys), how="left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.col("_hit").isNull().cast("long")), F.lit(0)
+        ).alias("n_violations"),
+    ).select(
+        F.lit(rule).alias("rule"),
+        "n_violations",
+        "n_rows",
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+    )

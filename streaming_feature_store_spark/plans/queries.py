@@ -6015,3 +6015,137 @@ def q145_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select(F.col("p_name").alias("name"))
     out = edit_distance_pairs(p, "name", max_dist=2)
     return out.select("name_a", "name_b", F.col("dist").cast("int"))
+
+
+@query(
+    "q146_data_quality_report",
+    sql="""
+    WITH base AS (
+      SELECT 'discount_above_8pct' AS rule,
+        SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS n_violations,
+        COUNT(*) AS n_rows FROM lineitem
+      UNION ALL
+      SELECT 'nonpositive_price',
+        SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END), COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'null_shipdate',
+        SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'quantity_above_45',
+        SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END), COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'tax_above_7pct',
+        SUM(CASE WHEN l_tax > 0.07 THEN 1 ELSE 0 END), COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orphan_lineitem_order',
+        SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), COUNT(*)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+      CAST(n_rows AS BIGINT) AS n_rows,
+      ROUND(n_violations / CAST(n_rows AS DOUBLE), 6) AS violation_rate
+    FROM base
+    """,
+)
+def q146_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (``profile.data_quality_report`` +
+    ``referential_violations``): five single-scan value/null constraints
+    on lineitem plus an orphan-FK check against orders, one report row
+    per rule.  The batch restatement of the reference's
+    validate-on-consume layer (`streaming/core/models/events.py:12-57`,
+    Pydantic field constraints + DLQ counters)."""
+    from streaming_feature_store_spark.operators.profile import (
+        data_quality_report,
+        referential_violations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    report = data_quality_report(
+        li,
+        {
+            "discount_above_8pct": F.col("l_discount") > 0.08,
+            "nonpositive_price": F.col("l_extendedprice") <= 0,
+            "null_shipdate": F.col("l_shipdate").isNull(),
+            "quantity_above_45": F.col("l_quantity") > 45,
+            "tax_above_7pct": F.col("l_tax") > 0.07,
+        },
+    )
+    fk = referential_violations(
+        li.select("l_orderkey"),
+        orders,
+        {"l_orderkey": "o_orderkey"},
+        "orphan_lineitem_order",
+    )
+    return report.unionByName(fk)
+
+
+@query(
+    "q147_returnflag_price_regression",
+    sql="""
+    WITH m AS (
+      SELECT l_returnflag,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+        AS intercept,
+      ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def q147_returnflag_price_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group OLS via exact sufficient statistics: slope / intercept /
+    R² of extendedprice ~ quantity per return flag, computed from
+    DECIMAL-exact moment sums (n, Σx, Σy, Σx², Σxy, Σy²) so the result
+    is bit-identical across engines — Spark's native ``regr_*``
+    aggregates accumulate in double and drift by summation order.  The
+    moments are one map-side-combined pass; they are also the MERGEABLE
+    form (per-partition partials add), which is why this shape survives
+    a 100 TB scan where a two-pass covariance would not."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d("l_quantity")).cast("double").alias("sx"),
+        F.sum(d("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(d("l_quantity") * d("l_quantity")).cast("double").alias("sxx"),
+        F.sum(d("l_quantity") * d("l_extendedprice"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(d("l_extendedprice") * d("l_extendedprice"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

@@ -117,3 +117,57 @@ def test_gini_known_answers(spark):
     assert out["eq"]["gini"] == 0.0          # perfectly equal
     assert abs(out["uneq"]["gini"] - 0.75) < 1e-6  # all mass on one of 4
     assert "single" not in out               # below min_rows
+
+
+def test_data_quality_report_counts_and_single_scan(spark):
+    import pyspark.sql.functions as F
+
+    from streaming_feature_store_spark.operators.profile import (
+        data_quality_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, None), (3, 200.0, "b"), (4, 0.0, "a")],
+        "id long, v double, tag string",
+    )
+    out = {
+        r["rule"]: r
+        for r in data_quality_report(
+            df,
+            {
+                "negative_v": F.col("v") < 0,
+                "v_above_100": F.col("v") > 100,
+                "null_tag": F.col("tag").isNull(),
+                "never": F.lit(False),
+            },
+        ).collect()
+    }
+    assert out["negative_v"]["n_violations"] == 1
+    assert out["v_above_100"]["n_violations"] == 1
+    assert out["null_tag"]["n_violations"] == 1
+    assert out["never"]["n_violations"] == 0
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert out["negative_v"]["violation_rate"] == 0.25
+    # single-scan contract: every rule evaluates in ONE aggregate over
+    # one source scan — no per-rule jobs
+    plan = data_quality_report(
+        df, {"a": F.col("v") < 0, "b": F.col("v") > 100}
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+
+
+def test_referential_violations_orphans(spark):
+    from streaming_feature_store_spark.operators.profile import (
+        referential_violations,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (9,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = referential_violations(
+        child, parent, {"fk": "pk"}, "orphan_fk"
+    ).collect()[0]
+    assert r["rule"] == "orphan_fk"
+    assert r["n_rows"] == 4 and r["n_violations"] == 1
+    assert r["violation_rate"] == 0.25
