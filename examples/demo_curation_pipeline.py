@@ -3,6 +3,8 @@ and embeddings tables — the beyond-reference surface (BASELINE.json) as
 one composed run.
 
     documents
+      → data-quality gate (declarative constraint report — the
+        admission check before any curation step trusts the snapshot)
       → PII redaction (regex gate)
       → exact dedup + near-dup pair detection (MinHash-LSH)
       → dedup clusters (exact connected components) → survivors
@@ -55,6 +57,29 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
     print(f"corpus: {n0:,} documents from {sf_dir}")
+
+    # admission gate: one conditional-aggregate scan; a real pipeline
+    # fails the run (or quarantines) when a rate regresses vs baseline
+    from streaming_feature_store_spark.operators.profile import (
+        data_quality_report,
+    )
+
+    gate = data_quality_report(
+        docs,
+        {
+            "null_text": F.col("text").isNull(),
+            "empty_text": F.length(F.coalesce("text", F.lit(""))) == 0,
+            "n_chars_mismatch": F.col("n_chars")
+            != F.length(F.coalesce("text", F.lit(""))),
+            # e.g. a latin-script-only training mix: zh routes to a
+            # separate pipeline rather than this one
+            "non_latin_lang": ~F.col("lang").isin("en", "de", "fr", "es"),
+        },
+    ).collect()
+    print(
+        "quality gate:",
+        {r["rule"]: r["n_violations"] for r in gate},
+    )
 
     clean = redact_pii(docs)
 
