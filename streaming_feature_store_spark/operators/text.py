@@ -600,10 +600,17 @@ def bigram_pmi(
     tb = bc.agg(F.sum("c_ab").cast("double").alias("tbi"))
     ca = uc.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
     cb = uc.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    # The vocab joins carry NO broadcast hint (same policy as
+    # cooccurrence_lift / unigram_nll / negative_sample): AQE's runtime
+    # size gate broadcasts the unigram table when it fits — the common
+    # case — and falls back to a shuffled join on a web-scale vocabulary
+    # (typos/ids push distinct tokens toward 10^8, where a forced
+    # broadcast ships GBs to every executor). The two 1-row totals stay
+    # hinted: a scalar broadcast is always right.
     return (
         bc.filter(F.col("c_ab") >= min_count)
-        .join(broadcast(ca), on="a")
-        .join(broadcast(cb), on="b")
+        .join(ca, on="a")
+        .join(cb, on="b")
         .crossJoin(broadcast(tu))
         .crossJoin(broadcast(tb))
         .withColumn(
