@@ -453,3 +453,68 @@ def test_winnow_containment_matches_quadratic(spark, docs, thr):
                 if c >= thr:
                     want[(i, j)] = (shared, round(c, 6))
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w", "v"]),
+            min_size=4,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    n_dups=st.integers(min_value=1, max_value=3),
+)
+@SLOW
+def test_minhash_guarantees_exact_duplicates_and_verified_scores(
+    spark, docs, n_dups
+):
+    """Two structural guarantees of the LSH pipeline, on arbitrary
+    corpora: (1) a planted EXACT duplicate is ALWAYS reported — identical
+    shingle sets give identical minhash signatures, so the pair shares
+    every band and cannot be missed; (2) every reported pair's jaccard
+    equals the brute-force shingle Jaccard and clears the threshold —
+    the exact-verify stage admits no false positive."""
+    from streaming_feature_store_spark.operators.dedup import (
+        minhash_near_dups,
+    )
+
+    n = 3
+    texts = [" ".join(t) for t in docs]
+    # plant exact duplicates of the first n_dups docs (cycling)
+    planted = []
+    rows = [(i, t) for i, t in enumerate(texts)]
+    for j in range(n_dups):
+        src = j % len(texts)
+        dup_id = 100 + j
+        rows.append((dup_id, texts[src]))
+        planted.append((src, dup_id))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_dups(
+            df, n=n, threshold=0.5
+        ).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    sets = {i: shingles(t) for i, t in rows}
+    # (1) planted exact dups always found (their docs have >= 1 shingle
+    # at min_size 4 >= n)
+    for a, b in planted:
+        lo, hi = min(a, b), max(a, b)
+        assert (lo, hi) in got, (lo, hi, sorted(got))
+        assert got[(lo, hi)] == 1.0
+    # (2) no false positives; scores exact
+    for (a, b), j in got.items():
+        sa, sb = sets[a], sets[b]
+        true_j = len(sa & sb) / len(sa | sb)
+        assert round(true_j, 6) == j and true_j >= 0.5, (a, b, j, true_j)
