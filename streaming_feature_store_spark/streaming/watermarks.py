@@ -63,6 +63,14 @@ class MetricsListener:
                     except AttributeError:
                         pass
                 wm = (p.eventTime or {}).get("watermark")
+                # In-plan observed metrics (quality_monitor /
+                # df.observe): one Row per observation name per batch.
+                observed = {}
+                try:
+                    for k, row in (p.observedMetrics or {}).items():
+                        observed[k] = row.asDict()
+                except Exception:
+                    pass
                 # T10 tail: serving-freshness gauge — how far the emitted
                 # feature state trails wall clock (FEATURE_FRESHNESS in
                 # inference/features.py:221). None until the first
@@ -86,6 +94,7 @@ class MetricsListener:
                         "watermark": wm,
                         "freshness_lag_s": freshness_s,
                         "rowsDroppedByWatermark": dropped,
+                        "observedMetrics": observed,
                     }
                 )
 
@@ -121,3 +130,30 @@ def with_observation(df, name: str, metrics: dict):
     obs = Observation(name)
     out = df.observe(obs, *[v.alias(k) for k, v in metrics.items()])
     return out, obs
+
+
+def quality_monitor(df, rules: dict, name: str = "quality"):
+    """Streaming twin of ``profile.data_quality_report``: per-micro-batch
+    violation counters for named rules, evaluated IN the plan via
+    ``observe`` (zero extra scan, exactly as distributed as the query).
+
+    ``rules`` maps rule name → boolean Column that is TRUE for a
+    violating row.  Each batch's counters (plus ``n_rows``) surface in
+    ``QueryProgressEvent.observedMetrics[name]`` and are captured by
+    ``MetricsListener`` under the same key — the engine-native form of
+    the reference's validate-on-consume counters
+    (streaming/core/models/events.py:12-57 field constraints feeding
+    utils/metrics.py Prometheus counters): an alerting layer reads the
+    listener, a quarantine layer pairs this with ``sinks.route_dlq``.
+
+    Works on batch frames too (read via ``Observation`` or
+    ``QueryExecutionListener``), but the batch report form with one row
+    per rule lives in ``profile.data_quality_report``.
+    """
+    import pyspark.sql.functions as F
+
+    exprs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(nm)
+        for nm, cond in rules.items()
+    ]
+    return df.observe(name, *exprs)

@@ -249,3 +249,72 @@ def test_with_observation_rides_along(spark):
     )
     assert abs(got["value_sum"] - expected_sum) < 1e-6
     assert got["null_values"] == 0
+
+
+def test_quality_monitor_streams_rule_counters(spark, tmp_path):
+    """quality_monitor counters must arrive per micro-batch through
+    MetricsListener.observedMetrics and sum to the batch-side truth."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from streaming_feature_store_spark.streaming.pipeline import (
+        read_file_stream,
+    )
+    from streaming_feature_store_spark.streaming.watermarks import (
+        MetricsListener,
+        quality_monitor,
+    )
+    from tests.test_streaming import BASE, SCHEMA, _write_batch
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, 7, BASE + dt.timedelta(seconds=1), 50.0, "view"),
+        (2, 7, BASE + dt.timedelta(seconds=2), -1.0, "view"),
+        (3, 8, BASE + dt.timedelta(seconds=3), 250.0, "purchase"),
+        (4, 8, BASE + dt.timedelta(seconds=4), 5.0, None),
+    ]
+    _write_batch(spark, src, rows)
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = read_file_stream(spark, src, SCHEMA)
+        monitored = quality_monitor(
+            stream,
+            {
+                "negative_value": F.col("value") < 0,
+                "value_above_200": F.col("value") > 200,
+                "null_event_type": F.col("event_type").isNull(),
+            },
+        )
+        q = (
+            monitored.writeStream.outputMode("append")
+            .format("noop")
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        # listener delivery is async; progress events can trail stop()
+        deadline = time.time() + 30
+        totals = {}
+        while time.time() < deadline:
+            totals = {}
+            for p in listener.progress:
+                for k, v in (
+                    p.get("observedMetrics", {}).get("quality") or {}
+                ).items():
+                    totals[k] = totals.get(k, 0) + v
+            if totals.get("n_rows", 0) >= len(rows):
+                break
+            time.sleep(0.5)
+        assert totals.get("n_rows") == 4
+        assert totals.get("negative_value") == 1
+        assert totals.get("value_above_200") == 1
+        assert totals.get("null_event_type") == 1
+    finally:
+        spark.streams.removeListener(listener)
