@@ -1,0 +1,175 @@
+"""Learned subword tokenization (byte-pair encoding) for corpus
+statistics and mixture weighting.
+
+``text.token_stats`` counts whitespace/regex tokens; real LLM-pipeline
+accounting (mixture weights in tokens, context-window packing budgets,
+per-source token quotas) needs the TRAINED tokenizer's counts, which
+differ from word counts by 1.3-1.7x on web text. This module provides
+classic BPE (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units") with the scale-correct Spark split:
+
+- **Training is driver-side on a bounded sample.** BPE training is
+  inherently sequential (merge k depends on merge k-1), so a
+  distributed fixpoint would pay one shuffle per merge x thousands of
+  merges over the full corpus. Production tokenizers train on a
+  sample; the estimator here caps the sample (``sample_docs``) the
+  same way IVF trains centroids on a bounded sample
+  (`similarity.train_centroids`) and drift caps its KS sample
+  (`drift.py` M14). The word-frequency table the trainer consumes is
+  aggregated DISTRIBUTED (one groupBy over the sample) and only the
+  |vocab|-bounded table is collected.
+- **Application is distributed and stateless.** The learned merge
+  ranks broadcast (list of string pairs, ~vocab_size entries); an
+  Arrow-batched pandas UDF applies the standard greedy lowest-rank
+  merge loop per word, memoizing per-word encodings within each batch
+  (Zipf: a few thousand distinct words cover most tokens).
+
+Determinism: merge selection breaks frequency ties lexicographically,
+so the same sample yields the same merge table on any engine; the
+apply loop is purely rank-driven. The property suite pins the Spark
+apply against an independent pure-Python reference.
+
+Reference ties: beyond-reference surface (the reference has no text
+tokenization at all); the in-repo comparison point is
+``text.token_stats``'s regex proxy.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_EOW = "</w>"
+
+
+def _word_freqs_driver(
+    df: DataFrame, text_col: str, sample_docs: int
+) -> list[tuple[str, int]]:
+    """Distributed word-frequency table over a bounded document sample;
+    only the |vocab|-bounded aggregate is collected."""
+    from streaming_feature_store_spark.operators.text import alpha_tokens
+
+    sample = df.select(text_col).limit(sample_docs)
+    wf = (
+        alpha_tokens(
+            sample.withColumn("_id", F.monotonically_increasing_id()),
+            "_id",
+            text_col,
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    return [(r["term"], r["c"]) for r in wf]
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    sample_docs: int = 10_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a bounded corpus sample.
+
+    Returns the ordered merge list (earlier = higher priority). Classic
+    word-frequency BPE: words split to characters plus an end-of-word
+    marker; each round merges the most frequent adjacent symbol pair
+    (ties broken lexicographically for cross-run determinism).
+    """
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in _word_freqs_driver(df, text_col, sample_docs):
+        sym = tuple(list(w) + [_EOW])
+        vocab[sym] = vocab.get(sym, 0) + c
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                stats[p] = stats.get(p, 0) + c
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (
+                    i < len(sym) - 1
+                    and sym[i] == best[0]
+                    and sym[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE apply for one word: repeatedly merge the present pair
+    with the LOWEST merge rank until none of the word's pairs is in the
+    merge table (the standard GPT-2-style loop)."""
+    sym = list(word) + [_EOW]
+    while len(sym) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE application: one output row per document with the
+    subword token array and its length.
+
+    The merge table broadcasts as a plain Python structure inside the
+    Arrow-batched UDF closure (vocab-bounded — thousands of entries);
+    per-word encodings are memoized per batch, so the per-row cost is a
+    dict lookup for every repeated word.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        import re
+
+        cache: dict[str, list[str]] = {}
+
+        def enc(t):
+            if t is None:
+                return []
+            out = []
+            for w in re.sub(r"[^A-Za-z ]", " ", t).lower().split():
+                toks = cache.get(w)
+                if toks is None:
+                    toks = encode_word(w, ranks)
+                    cache[w] = toks
+                out.extend(toks)
+            return out
+
+        return texts.map(enc)
+
+    return df.select(
+        id_col,
+        _encode(F.col(text_col)).alias("bpe_tokens"),
+    ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))
