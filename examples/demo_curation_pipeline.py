@@ -116,6 +116,28 @@ def main() -> None:
         f"{chunks.count():,} training chunks (32 tokens, stride 24)"
     )
 
+    # token accounting with the TRAINED tokenizer (mixture weights and
+    # packing budgets are set in subword tokens, not whitespace words)
+    from streaming_feature_store_spark.operators.tokenize import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    merges = train_bpe(sampled, n_merges=200, sample_docs=2000)
+    budget = (
+        bpe_encode(sampled, merges)
+        .join(sampled.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_bpe_tokens").alias("bpe_tokens"))
+        .orderBy(F.desc("bpe_tokens"))
+        .limit(3)
+        .collect()
+    )
+    print(
+        "token budget (learned BPE, 200 merges, top sources):",
+        {r["source"]: r["bpe_tokens"] for r in budget},
+    )
+
     vecs = load_table(spark, sf_dir, "embeddings")
     cents = train_centroids(vecs, k=8)
     balanced = cluster_balanced_sample(vecs, k=8, per_cluster=20)
