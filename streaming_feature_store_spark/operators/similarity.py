@@ -147,6 +147,12 @@ def cosine_topk_blas(
                 # rank by (cosine DESC, nbr_id ASC): lexsort keys last-major
                 order = np.lexsort((c_ids, -S[i]))[:k]
                 for r, j in enumerate(order, start=1):
+                    # the -inf self-mask must never surface as a
+                    # "neighbor" when k exceeds the real neighbor count
+                    # (property test: parity with cosine_topk, which
+                    # filters self-pairs before ranking)
+                    if not np.isfinite(S[i, j]):
+                        break
                     out["query_id"].append(q_ids[i])
                     out["nbr_id"].append(c_ids[j])
                     out["cosine"].append(S[i, j])

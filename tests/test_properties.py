@@ -518,3 +518,64 @@ def test_minhash_guarantees_exact_duplicates_and_verified_scores(
         sa, sb = sets[a], sets[b]
         true_j = len(sa & sb) / len(sa | sb)
         assert round(true_j, 6) == j and true_j >= 0.5, (a, b, j, true_j)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-3, max_value=3),
+            min_size=4,
+            max_size=4,
+        ).filter(lambda v: any(v)),
+        min_size=2,
+        max_size=10,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+@SLOW
+def test_cosine_topk_matches_numpy(spark, vecs, k):
+    """Both exact cosine kernels — the codegen expression form
+    (cosine_topk) and the Arrow GEMM form (cosine_topk_blas) — must
+    produce the numpy brute-force neighbor ranking, including the
+    rounded-score + id tiebreak discipline."""
+    import numpy as np
+
+    from streaming_feature_store_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blas,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    mat = np.array(vecs, dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+
+    def want_topk(q):
+        cands = sorted(
+            ((round(sims[q, j], 6), j) for j in range(len(vecs)) if j != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        return [(j, s) for s, j in cands[:k]]
+
+    got = {}
+    for r in cosine_topk(df, df, k=k).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["nbr_id"], r["cosine"])
+        )
+    for q in range(len(vecs)):
+        rows = sorted(got.get(q, []))
+        assert [(n, s) for _, n, s in rows] == want_topk(q), (q, rows)
+
+    got_blas = {}
+    for r in cosine_topk_blas(df, k=k).collect():
+        got_blas.setdefault(r["query_id"], []).append(
+            (r["rank"], r["nbr_id"], r["cosine"])
+        )
+    for q in range(len(vecs)):
+        rows = sorted(got_blas.get(q, []))
+        assert [(n, s) for _, n, s in rows] == want_topk(q), (
+            "blas", q, rows,
+        )
