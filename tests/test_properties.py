@@ -579,3 +579,83 @@ def test_cosine_topk_matches_numpy(spark, vecs, k):
         assert [(n, s) for _, n, s in rows] == want_topk(q), (
             "blas", q, rows,
         )
+
+
+@given(
+    events=EVENTS,
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=2_000),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@SLOW
+def test_interval_join_matches_quadratic(spark, events, spans):
+    """The equi-key + residual-range interval join must match the
+    quadratic filter, including the half-open [start, end) boundaries."""
+    from streaming_feature_store_spark.operators.enrich import interval_join
+
+    ev = spark.createDataFrame(
+        [(k, t, i) for i, (k, t, _) in enumerate(events)],
+        "user_id long, us long, event_id long",
+    )
+    sp = spark.createDataFrame(
+        [(k, s, s + w, 500 + j) for j, (k, s, w) in enumerate(spans)],
+        "span_user long, start_us long, end_us long, span_id long",
+    )
+    got = {
+        (r["event_id"], r["span_id"])
+        for r in interval_join(ev, sp, "user_id", "span_user").collect()
+    }
+    want = {
+        (i, 500 + j)
+        for i, (k, t, _) in enumerate(events)
+        for j, (k2, s, w) in enumerate(spans)
+        if k == k2 and s <= t < s + w
+    }
+    assert got == want
+
+
+@given(
+    feats=EVENTS,
+    labels=EVENTS,
+    tol=st.integers(min_value=0, max_value=5_000),
+)
+@SLOW
+def test_asof_tolerance_gates_per_column(spark, feats, labels, tol):
+    """asof_join's tolerance must null out a value exactly when the row
+    that SUPPLIED it is farther than tolerance_us — matching a naive
+    per-label scan."""
+    from streaming_feature_store_spark.operators.asof import asof_join
+
+    fdf = spark.createDataFrame(
+        [(k, t, i, float(v)) for i, (k, t, v) in enumerate(feats)],
+        "user_id long, us long, event_id long, fval double",
+    )
+    ldf = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t, _) in enumerate(labels)],
+        "user_id long, us long, event_id long",
+    )
+    got = {
+        r["label_key"]: r["asof_fval"]
+        for r in asof_join(
+            ldf, fdf, "user_id", "us", "us", ["fval"], [],
+            "event_id", tolerance_us=tol,
+        ).collect()
+    }
+    for i, (k, t, _) in enumerate(labels):
+        cands = [
+            (ft, fi, float(fv))
+            for fi, (fk, ft, fv) in enumerate(feats)
+            if fk == k and ft <= t
+        ]
+        if not cands:
+            want = None
+        else:
+            ft, fi, fv = max(cands)
+            want = fv if (t - ft) <= tol else None
+        assert got[1000 + i] == want, (i, k, t, tol, cands)
