@@ -659,3 +659,102 @@ def test_asof_tolerance_gates_per_column(spark, feats, labels, tol):
             ft, fi, fv = max(cands)
             want = fv if (t - ft) <= tol else None
         assert got[1000 + i] == want, (i, k, t, tol, cands)
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # entity
+            st.integers(min_value=0, max_value=100), # ts
+            st.integers(min_value=0, max_value=2),   # attr value
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    collapse=st.booleans(),
+)
+@SLOW
+def test_scd2_intervals_partition_time(spark, changes, collapse):
+    """SCD2 invariants on arbitrary change logs: per entity the
+    intervals are ordered, contiguous (valid_to == next valid_from),
+    exactly one current row, and with collapse_unchanged the attr value
+    differs between consecutive versions — all checked against a naive
+    per-entity replay."""
+    from streaming_feature_store_spark.operators.history import scd2_history
+
+    df = spark.createDataFrame(
+        [(k, t, i, v) for i, (k, t, v) in enumerate(changes)],
+        "entity long, us long, event_id long, attr long",
+    )
+    rows = scd2_history(
+        df, "entity", "us", ["attr"], collapse_unchanged=collapse
+    ).collect()
+    by_e: dict[int, list] = {}
+    for r in rows:
+        by_e.setdefault(r["entity"], []).append(r)
+
+    # naive replay
+    want: dict[int, list] = {}
+    by_key: dict[int, list] = {}
+    for i, (k, t, v) in enumerate(changes):
+        by_key.setdefault(k, []).append((t, i, v))
+    for k, evs in by_key.items():
+        evs.sort()
+        versions = []
+        for t, i, v in evs:
+            if collapse and versions and versions[-1][1] == v:
+                continue
+            versions.append((t, v))
+        want[k] = versions
+
+    assert set(by_e) == set(want)
+    for k, vs in want.items():
+        got = sorted(by_e[k], key=lambda r: (r["valid_from_us"], r["event_id"]))
+        assert [(r["valid_from_us"], r["attr"]) for r in got] == vs
+        # contiguity + exactly one current
+        for a, b in zip(got, got[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+        assert [r["is_current"] for r in got].count(True) == 1
+        assert got[-1]["is_current"] and got[-1]["valid_to_us"] is None
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # group
+            st.integers(min_value=1, max_value=9),  # n tokens
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    budget=st.integers(min_value=2, max_value=10),
+)
+@SLOW
+def test_pack_sequences_offsets_match_scan(spark, docs, budget):
+    """Packing placements must equal a sequential scan: start_offset is
+    the sum of prior token counts in (group, id) order; first/last pack
+    are the windows containing the document's first and last token."""
+    from streaming_feature_store_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    rows = [
+        (i, f"g{g}", " ".join(["w"] * n)) for i, (g, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"], r["first_pack"],
+            r["last_pack"], r["n_packs_spanned"],
+        )
+        for r in pack_sequences(df, budget=budget).collect()
+    }
+    offset: dict[str, int] = {}
+    for i, (g, n) in enumerate(docs):  # ids ascend in generation order
+        gname = f"g{g}"
+        start = offset.get(gname, 0)
+        first, last = start // budget, (start + n - 1) // budget
+        assert got[i] == (n, start, first, last, last - first + 1), (
+            i, got[i], (n, start, first, last),
+        )
+        offset[gname] = start + n
