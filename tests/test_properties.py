@@ -758,3 +758,95 @@ def test_pack_sequences_offsets_match_scan(spark, docs, budget):
             i, got[i], (n, start, first, last),
         )
         offset[gname] = start + n
+
+
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),    # day index
+            st.integers(min_value=1, max_value=50),   # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@SLOW
+def test_cusum_matches_naive_recurrence(spark, series):
+    """CUSUM must equal the textbook recurrence (cumulative deviation
+    from the series mean) computed in Python over the daily aggregates,
+    with the peak flag on the |CUSUM| argmax."""
+    import datetime as dt
+
+    from streaming_feature_store_spark.operators.drift import (
+        cusum_changepoint,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [
+            (base + dt.timedelta(days=d, hours=i % 24), float(v))
+            for i, (d, v) in enumerate(series)
+        ],
+        "ts timestamp, value double",
+    )
+    got = {
+        r["day"].isoformat(): (
+            r["daily_metric"], r["deviation"], r["cusum"], r["is_peak"]
+        )
+        for r in cusum_changepoint(df, "ts", "value").collect()
+    }
+    daily: dict[int, float] = {}
+    for d, v in series:
+        daily[d] = daily.get(d, 0.0) + v
+    days = sorted(daily)
+    mean = sum(daily.values()) / len(days)
+    run, want = 0.0, {}
+    for d in days:
+        run += daily[d] - mean
+        key = (base + dt.timedelta(days=d)).date().isoformat()
+        want[key] = (round(daily[d], 6), round(daily[d] - mean, 6) + 0.0,
+                     round(run, 6) + 0.0)
+    assert set(got) == set(want)
+    peak = max(abs(c) for _, _, c in want.values())
+    for k, (m, dev, c) in want.items():
+        gm, gdev, gc, gpeak = got[k]
+        assert (gm, gdev, gc) == (m, dev, c), (k, got[k], want[k])
+        assert gpeak == (abs(c) == peak)
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=1, max_size=20
+    ),
+    chunk_size=st.integers(min_value=1, max_value=6),
+    stride=st.integers(min_value=1, max_value=6),
+)
+@SLOW
+def test_chunk_documents_covers_every_token(spark, toks, chunk_size, stride):
+    """Chunking invariants for any (size, stride): chunk i starts at
+    i*stride and holds exactly the tokens [start, start+size); every
+    token appears in at least one chunk; reconstruction from chunk 0's
+    prefix + each subsequent chunk's tail equals the document when
+    stride <= size."""
+    from streaming_feature_store_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(0, " ".join(toks))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(
+            df, chunk_size=chunk_size, stride=stride
+        ).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    covered = set()
+    for r in rows:
+        start = r["chunk_idx"] * stride
+        want = toks[start : start + chunk_size]
+        assert r["chunk_text"].split(" ") == want, (r, want)
+        assert r["n_chunk_tokens"] == len(want)
+        covered.update(range(start, start + len(want)))
+    if stride <= chunk_size:
+        assert covered == set(range(len(toks)))
