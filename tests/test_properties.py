@@ -850,3 +850,51 @@ def test_chunk_documents_covers_every_token(spark, toks, chunk_size, stride):
         covered.update(range(start, start + len(want)))
     if stride <= chunk_size:
         assert covered == set(range(len(toks)))
+
+
+@given(
+    n_pos=st.integers(min_value=50, max_value=120),
+    n_neg=st.integers(min_value=50, max_value=120),
+    seed=st.integers(min_value=0, max_value=5),
+)
+@SLOW
+def test_stratified_split_contracts(spark, n_pos, n_neg, seed):
+    """The documented split contracts on arbitrary class balances:
+    (1) the three splits partition the input exactly (disjoint ids,
+    union = all); (2) the assignment is deterministic across calls;
+    (3) it is STABLE under feature edits — recomputing a feature column
+    moves no row between splits; (4) each label stratum lands near the
+    requested fractions."""
+    import pyspark.sql.functions as F
+
+    from streaming_feature_store_spark.ml.training import stratified_split
+
+    rows = [(i, 1, float(i % 7)) for i in range(n_pos)] + [
+        (1000 + i, 0, float(i % 5)) for i in range(n_neg)
+    ]
+    df = spark.createDataFrame(rows, "id long, label int, feat double")
+
+    def ids(parts):
+        return [
+            {r["id"] for r in p.select("id").collect()} for p in parts
+        ]
+
+    a = ids(stratified_split(df, "label", seed=seed, id_cols=["id"]))
+    all_ids = {r[0] for r in rows}
+    assert a[0] | a[1] | a[2] == all_ids
+    assert not (a[0] & a[1]) and not (a[0] & a[2]) and not (a[1] & a[2])
+
+    b = ids(stratified_split(df, "label", seed=seed, id_cols=["id"]))
+    assert a == b  # deterministic
+
+    edited = df.withColumn("feat", F.col("feat") * 2 + 1)
+    c = ids(stratified_split(edited, "label", seed=seed, id_cols=["id"]))
+    assert a == c  # feature edits move no row
+
+    for label, n in ((1, n_pos), (0, n_neg)):
+        in_stratum = [
+            len({i for i in s if (i < 1000) == (label == 1)}) / n
+            for s in a
+        ]
+        for frac, want in zip(in_stratum, (0.6, 0.2, 0.2)):
+            assert abs(frac - want) < 0.25, (label, in_stratum)
