@@ -7,6 +7,9 @@
     python -m streaming_feature_store_spark.cli replay --log /tmp/log --latest /tmp/latest
     python -m streaming_feature_store_spark.cli query --name q01_pricing_summary --sf-dir /root/testdata/sf0.01
     python -m streaming_feature_store_spark.cli profile --path /data/events.parquet
+    python -m streaming_feature_store_spark.cli quality --path /data/lineitem.parquet \
+        --rule 'neg_price:l_extendedprice < 0' --rule 'null_date:l_shipdate IS NULL' \
+        --fail-on-violation
 """
 
 from __future__ import annotations
@@ -55,6 +58,26 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--path", required=True)
     pr.add_argument("--format", default="parquet")
     pr.add_argument("--columns", default="", help="comma-separated subset")
+
+    dq = sub.add_parser(
+        "quality",
+        help="declarative data-quality gate: named rules over any table",
+    )
+    dq.add_argument("--path", required=True)
+    dq.add_argument("--format", default="parquet")
+    dq.add_argument(
+        "--rule",
+        action="append",
+        required=True,
+        metavar="NAME:SQL_EXPR",
+        help="violation condition as a SQL boolean expression, e.g. "
+        "'neg_amount:amount < 0' (repeatable)",
+    )
+    dq.add_argument(
+        "--fail-on-violation",
+        action="store_true",
+        help="exit 1 if any rule has violations (CI-gate mode)",
+    )
 
     args = p.parse_args(argv)
 
@@ -117,6 +140,33 @@ def main(argv: list[str] | None = None) -> int:
             df = read_files(spark, args.path, format=args.format)
             cols = [c for c in args.columns.split(",") if c] or None
             profile_columns(df, cols).orderBy("column").show(100, truncate=False)
+        elif args.cmd == "quality":
+            import pyspark.sql.functions as F
+
+            from streaming_feature_store_spark.operators.profile import (
+                data_quality_report,
+            )
+            from streaming_feature_store_spark.sources.file import read_files
+
+            rules = {}
+            for spec in args.rule:
+                name, _, expr = spec.partition(":")
+                if not expr:
+                    print(f"bad --rule {spec!r}: expected NAME:SQL_EXPR")
+                    return 2
+                rules[name.strip()] = F.expr(expr)
+            df = read_files(spark, args.path, format=args.format)
+            report = data_quality_report(df, rules).orderBy("rule")
+            rows = report.collect()
+            for r in rows:
+                print(
+                    f"{r['rule']}: {r['n_violations']}/{r['n_rows']} "
+                    f"({r['violation_rate']})"
+                )
+            if args.fail_on_violation and any(
+                r["n_violations"] > 0 for r in rows
+            ):
+                return 1
         return 0
     finally:
         spark.stop()
