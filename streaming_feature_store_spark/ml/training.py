@@ -398,3 +398,84 @@ def load_model_bundle(spark, path: str, version: str | None = None):
     with open(os.path.join(vdir, "manifest.json")) as f:
         manifest = json.load(f)
     return load_model(spark, os.path.join(vdir, "model")), manifest
+
+
+def fit_per_group_linear(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    feature_cols: list[str],
+    l2: float = 0.0,
+    min_rows: int = 2,
+) -> DataFrame:
+    """Many-small-models training: an independent (ridge-regularized)
+    linear regression PER GROUP, fit distributed — one model per
+    store/region/segment is the standard shape when a global model
+    underfits heterogeneous populations and per-group data fits in one
+    task (the complement of M6's one global MLlib model).
+
+    Plan: ``applyInPandas`` groups by ``group_col``; each group solves
+    the normal equations (X'X + l2·I)β = X'y with numpy in one Arrow
+    batch — no MLlib, no per-group Spark jobs, no driver loop.  Output:
+    one row per group with intercept, coefficients (aligned with
+    ``feature_cols``), n_rows and R².  Groups below ``min_rows`` (or
+    with a singular system at l2=0) emit null coefficients rather than
+    failing the stage.
+
+    Scale shape: cost is one shuffle on the group key; each task is an
+    O(n·d²) solve. Skewed group sizes behave like any grouped
+    aggregation (AQE skew split does not apply to applyInPandas — for a
+    pathological mega-group, pre-aggregate the moments instead, as
+    q147 does in pure SQL for the d=1 case).
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = len(feature_cols)
+    schema = (
+        f"{group_col} string, n_rows long, intercept double, "
+        "coefficients array<double>, r2 double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = str(pdf[group_col].iloc[0])
+        y = pdf[label_col].to_numpy(dtype=np.float64)
+        X = np.column_stack(
+            [np.ones(len(pdf))]
+            + [pdf[c].to_numpy(dtype=np.float64) for c in feature_cols]
+        )
+        row = {
+            group_col: [g],
+            "n_rows": [len(pdf)],
+            "intercept": [None],
+            "coefficients": [None],
+            "r2": [None],
+        }
+        if len(pdf) >= min_rows:
+            A = X.T @ X
+            if l2 > 0:
+                reg = l2 * np.eye(d + 1)
+                reg[0, 0] = 0.0  # never regularize the intercept
+                A = A + reg
+            try:
+                beta = np.linalg.solve(A, X.T @ y)
+            except np.linalg.LinAlgError:
+                beta = None
+            if beta is not None and np.all(np.isfinite(beta)):
+                resid = y - X @ beta
+                ss_res = float(resid @ resid)
+                ss_tot = float(((y - y.mean()) ** 2).sum())
+                row["intercept"] = [float(beta[0])]
+                row["coefficients"] = [[float(b) for b in beta[1:]]]
+                row["r2"] = [
+                    1.0 - ss_res / ss_tot if ss_tot > 0 else None
+                ]
+        return pd.DataFrame(row)
+
+    cols = [group_col, label_col, *feature_cols]
+    return (
+        df.select(*cols)
+        .na.drop(subset=cols)
+        .groupBy(group_col)
+        .applyInPandas(fit, schema=schema)
+    )

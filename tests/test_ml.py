@@ -265,3 +265,50 @@ def test_train_with_hashed_categoricals(spark):
     model = pipe.fit(train)
     metrics = evaluate(model, test)
     assert metrics["auc"] > 0.9, metrics
+
+
+def test_fit_per_group_linear_matches_numpy(spark):
+    """Per-group normal-equation fits must match numpy lstsq per group,
+    with the degenerate cases (too-few rows, singular design) yielding
+    null coefficients instead of failures."""
+    import numpy as np
+
+    from streaming_feature_store_spark.ml.training import (
+        fit_per_group_linear,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    truth = {"a": (1.5, [2.0, -0.5]), "b": (-3.0, [0.0, 4.0])}
+    for g, (b0, (b1, b2)) in truth.items():
+        for _ in range(60):
+            x1, x2 = rng.uniform(-5, 5), rng.uniform(-5, 5)
+            noise = rng.normal(0, 0.01)
+            rows.append((g, b0 + b1 * x1 + b2 * x2 + noise, x1, x2))
+    rows.append(("tiny", 1.0, 1.0, 1.0))  # below min_rows
+    # singular: x2 duplicates x1 exactly
+    for i in range(10):
+        rows.append(("sing", float(i), float(i), float(i)))
+
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    out = {
+        r["g"]: r
+        for r in fit_per_group_linear(df, "g", "y", ["x1", "x2"]).collect()
+    }
+    for g, (b0, bs) in truth.items():
+        r = out[g]
+        assert abs(r["intercept"] - b0) < 0.01
+        assert all(abs(a - b) < 0.01 for a, b in zip(r["coefficients"], bs))
+        assert r["r2"] > 0.999
+        assert r["n_rows"] == 60
+    assert out["tiny"]["coefficients"] is None
+    # exactly-duplicated feature -> singular normal equations at l2=0
+    assert out["sing"]["coefficients"] is None
+    ridge = {
+        r["g"]: r
+        for r in fit_per_group_linear(
+            df, "g", "y", ["x1", "x2"], l2=1.0
+        ).collect()
+    }
+    assert ridge["sing"]["coefficients"] is not None
+    assert ridge["sing"]["r2"] > 0.99
