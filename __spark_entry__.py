@@ -67,10 +67,11 @@ _PRIORITY = [
     "q28_chi2_drift", "q29_daily_rollup",
     "q30_hourly_histogram", "q32_user_value_stddev",
     "q33_risk_ladder", "q34_profile_default_fill",
-    "q35_user_hour_profile", "q36_velocity",
+    "q35_user_hour_profile",
     "q37_same_type_affinity",
     # round-6 additions — first driver-recorded verification
     "q146_data_quality_report", "q147_returnflag_price_regression",
+    "q148_decay_attribution",
 ]
 
 

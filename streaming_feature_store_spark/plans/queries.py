@@ -6149,3 +6149,69 @@ def q147_returnflag_price_regression(
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "q148_decay_attribution",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ), j AS (
+      SELECT t.event_type, t.us - p.us + 3600000000 AS wi
+      FROM e t JOIN e p
+        ON t.user_id = p.user_id
+       AND p.event_type = 'purchase'
+       AND t.event_type <> 'purchase'
+       AND t.us >= p.us - 3600000000
+       AND t.us < p.us
+    ), per AS (
+      SELECT event_type, COUNT(*) AS n_touches,
+        CAST(SUM(wi) AS BIGINT) AS credit_us
+      FROM j GROUP BY event_type
+    )
+    SELECT event_type, n_touches, credit_us,
+      ROUND(credit_us / CAST(SUM(credit_us) OVER () AS DOUBLE), 6)
+        AS credit_share
+    FROM per
+    """,
+)
+def q148_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time-decay attribution: every non-purchase touch within the
+    hour before a purchase earns credit proportional to how close it was
+    (weight = time remaining in the horizon, in micros).  Cross-engine
+    determinism by construction: weights and their sums are EXACT
+    INTEGER micros end-to-end (a linear decay kernel keeps the weight in
+    integer space, where exp() would differ by an ulp between libms);
+    the one division happens once at the presentation edge.  The join is
+    the J2 batch interval join (`enrich.interval_join`): equi key +
+    residual range, no time binning."""
+    from streaming_feature_store_spark.operators.enrich import interval_join
+
+    h = 3_600_000_000
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "us"
+    )
+    spans = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        (F.col("us") - h).alias("start_us"),
+        F.col("us").alias("end_us"),
+    )
+    j = interval_join(touches, spans, "user_id", "p_user")
+    per = j.groupBy("event_type").agg(
+        F.count("*").alias("n_touches"),
+        F.sum(F.col("us") - F.col("end_us") + h)
+        .cast("bigint")
+        .alias("credit_us"),
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        "event_type",
+        "n_touches",
+        "credit_us",
+        F.round(
+            F.col("credit_us")
+            / F.sum("credit_us").over(w_all).cast("double"),
+            6,
+        ).alias("credit_share"),
+    )
