@@ -474,7 +474,12 @@ def negative_sample(
     over a non-deterministic upstream (``sample()``, shuffle-retry
     reordering) a recompute could silently misalign offsets.  The
     checkpoint truncates lineage so both consumers read the same
-    materialized partitions unconditionally.
+    materialized partitions unconditionally.  As with the
+    ``dedup_clusters`` iteration (see its docstring), a fault-tolerant
+    cluster run should swap ``localCheckpoint`` for reliable
+    ``checkpoint()`` against a checkpoint dir — executor loss discards
+    local checkpoint blocks; the right trade in a batch sampling job
+    that simply reruns.
     """
     m = items.select(item_col).distinct()
     ranked = (

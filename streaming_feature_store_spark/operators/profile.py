@@ -514,3 +514,37 @@ def referential_violations(
             "violation_rate"
         ),
     )
+
+
+def split_violations(
+    df: DataFrame, rules: dict[str, "F.Column"]
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine routing for the data-quality gate: returns
+    ``(clean, quarantined)`` where quarantined rows carry a
+    ``violated_rules`` array naming every rule they break.
+
+    Completes the gate surface: ``data_quality_report`` measures,
+    ``watermarks.quality_monitor`` streams the counters, this routes —
+    the batch/foreachBatch analogue of the reference's
+    validate-then-DLQ consume path (``streaming/sinks.route_dlq`` is
+    the malformed-payload sibling; this one quarantines WELL-FORMED
+    rows that fail business constraints).
+
+    Single evaluation per rule per row (one projected array column,
+    shared by both outputs — callers persisting the tagged frame before
+    splitting pay the rule evaluation once); no shuffle.
+    """
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(cond, F.lit(nm)).otherwise(F.lit(None))
+                for nm, cond in rules.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("violated_rules", tags)
+    clean = tagged.filter(F.size("violated_rules") == 0).drop(
+        "violated_rules"
+    )
+    quarantined = tagged.filter(F.size("violated_rules") > 0)
+    return clean, quarantined

@@ -171,3 +171,29 @@ def test_referential_violations_orphans(spark):
     assert r["rule"] == "orphan_fk"
     assert r["n_rows"] == 4 and r["n_violations"] == 1
     assert r["violation_rate"] == 0.25
+
+
+def test_split_violations_routes_and_tags(spark):
+    import pyspark.sql.functions as F
+
+    from streaming_feature_store_spark.operators.profile import (
+        split_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, None), (3, 200.0, "b"), (4, 5.0, "a")],
+        "id long, v double, tag string",
+    )
+    clean, bad = split_violations(
+        df,
+        {
+            "negative_v": F.col("v") < 0,
+            "v_above_100": F.col("v") > 100,
+            "null_tag": F.col("tag").isNull(),
+        },
+    )
+    assert {r["id"] for r in clean.collect()} == {1, 4}
+    got = {r["id"]: sorted(r["violated_rules"]) for r in bad.collect()}
+    assert got == {2: ["negative_v", "null_tag"], 3: ["v_above_100"]}
+    # clean keeps the original schema exactly
+    assert clean.columns == df.columns
