@@ -51,7 +51,7 @@ _PRIORITY = [
     "q72_winnow_containment_pairs", "q22_jaccard_near_dups",
     "q39_minhash_near_dups", "q40_simhash_near_dups",
     "q57_embedding_near_dups",
-    # oldest-verified ballast (35): last driver-checked in r2/r3
+    # oldest-verified ballast (32): last driver-checked in r2/r3
     "q01_pricing_summary", "q02_user_window_stats_5m",
     "q03_user_sliding_5m_1m", "q04_time_since_last",
     "q06_top_customers", "q07_event_type_mode",

@@ -101,12 +101,12 @@ def main() -> None:
     # backward join then gives every example the popularity that existed
     # at its interaction time — future orders (and the example's own
     # same-day order) can never leak in.
-    first_buy = pos_first.groupBy("item_id", "user_id").agg(
-        F.min("day").alias("first_day")
-    )
-    daily_new = first_buy.groupBy("item_id", "first_day").agg(
-        F.count("*").alias("new_users")
-    )
+    # pos_first is already one row per (user, item) at its min day — the
+    # per-user first-buy day — so daily new-purchaser counts aggregate it
+    # directly (no second (item, user) re-agg shuffle)
+    daily_new = pos_first.groupBy(
+        "item_id", F.col("day").alias("first_day")
+    ).agg(F.count("*").alias("new_users"))
     wpop = (
         Window.partitionBy("item_id")
         .orderBy("first_day")

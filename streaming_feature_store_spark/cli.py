@@ -151,13 +151,30 @@ def main(argv: list[str] | None = None) -> int:
             rules = {}
             for spec in args.rule:
                 name, _, expr = spec.partition(":")
+                name = name.strip()
                 if not expr:
                     print(f"bad --rule {spec!r}: expected NAME:SQL_EXPR")
                     return 2
-                rules[name.strip()] = F.expr(expr)
+                if name in rules:
+                    # a silently-overwritten rule would drop a CI gate
+                    print(f"duplicate rule name {name!r}")
+                    return 2
+                try:
+                    rules[name] = F.expr(expr)
+                except Exception as e:
+                    print(f"bad --rule {spec!r}: {type(e).__name__}: {e}")
+                    return 2
             df = read_files(spark, args.path, format=args.format)
-            report = data_quality_report(df, rules).orderBy("rule")
-            rows = report.collect()
+            try:
+                report = data_quality_report(df, rules).orderBy("rule")
+                rows = report.collect()
+            except Exception as e:
+                # a rule referencing a missing column (or other analysis
+                # failure) should exit cleanly, not stack-trace
+                lines = [ln for ln in str(e).splitlines() if ln.strip()]
+                msg = lines[0] if lines else type(e).__name__
+                print(f"rule evaluation failed: {msg}")
+                return 2
             for r in rows:
                 print(
                     f"{r['rule']}: {r['n_violations']}/{r['n_rows']} "

@@ -432,13 +432,17 @@ def fit_per_group_linear(
     import pandas as pd
 
     d = len(feature_cols)
+    # the group column keeps its INPUT type (a bigint store_id must not
+    # come back stringified — joining coefficients back on a coerced key
+    # silently collides above 2^53)
+    gtype = df.schema[group_col].dataType.simpleString()
     schema = (
-        f"{group_col} string, n_rows long, intercept double, "
+        f"{group_col} {gtype}, n_rows long, intercept double, "
         "coefficients array<double>, r2 double"
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = str(pdf[group_col].iloc[0])
+        g = pdf[group_col].iloc[0]
         y = pdf[label_col].to_numpy(dtype=np.float64)
         X = np.column_stack(
             [np.ones(len(pdf))]

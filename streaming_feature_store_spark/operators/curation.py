@@ -481,8 +481,12 @@ def negative_sample(
     local checkpoint blocks; the right trade in a batch sampling job
     that simply reruns.
     """
+    from streaming_feature_store_spark.cacheutil import (
+        local_checkpoint_tracked,
+    )
+
     m = items.select(item_col).distinct()
-    ranked = (
+    ranked = local_checkpoint_tracked(
         m.repartitionByRange(F.col(item_col))
         .withColumn("_pid", F.spark_partition_id())
         .withColumn(
@@ -491,7 +495,7 @@ def negative_sample(
                 Window.partitionBy("_pid").orderBy(item_col)
             ),
         )
-    ).localCheckpoint(eager=True)
+    )
     # Exclusive offsets are computed driver-side from the per-partition
     # counts — a #partitions-bounded collect (the same bounded-collect
     # class as bucket ids / IVF centroids), no window at all.

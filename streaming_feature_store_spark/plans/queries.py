@@ -6102,11 +6102,11 @@ def q146_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-      ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-      ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-        AS intercept,
+      ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0), 6) AS slope,
+      ROUND((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0)) * sx)
+        / n, 6) AS intercept,
       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0), 6) AS r2
     FROM m
     """,
 )
@@ -6137,7 +6137,11 @@ def q147_returnflag_price_regression(
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # NULLIF-guarded denominators: a zero-variance group must yield NULL
+    # in BOTH engines (Spark's non-ANSI x/0 is NULL but DuckDB's IEEE
+    # division gives Inf/NaN — the guard pins the agreed value)
+    den_x = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    slope = (n * sxy - sx * sy) / den_x
     return m.select(
         "l_returnflag",
         n.cast("bigint").alias("n_rows"),
@@ -6145,7 +6149,9 @@ def q147_returnflag_price_regression(
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(
             ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            / F.nullif(
+                (n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)
+            ),
             6,
         ).alias("r2"),
     )
@@ -6170,7 +6176,7 @@ def q147_returnflag_price_regression(
       FROM j GROUP BY event_type
     )
     SELECT event_type, n_touches, credit_us,
-      ROUND(credit_us / CAST(SUM(credit_us) OVER () AS DOUBLE), 6)
+      ROUND(credit_us / NULLIF(CAST(SUM(credit_us) OVER () AS DOUBLE), 0.0), 6)
         AS credit_share
     FROM per
     """,
@@ -6211,7 +6217,9 @@ def q148_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "credit_us",
         F.round(
             F.col("credit_us")
-            / F.sum("credit_us").over(w_all).cast("double"),
+            / F.nullif(
+                F.sum("credit_us").over(w_all).cast("double"), F.lit(0.0)
+            ),
             6,
         ).alias("credit_share"),
     )

@@ -101,3 +101,34 @@ def test_full_lifecycle(spark, tmp_path):
     scored = score(model, te)
     mn, mx = scored.agg(F.min("score"), F.max("score")).first()
     assert 0.0 <= mn <= mx <= 1.0
+
+
+def test_negative_sample_checkpoint_released(spark):
+    """negative_sample's item-index local checkpoint must be released by
+    release_cached_intermediates() — checkpoint blocks are invisible to
+    DataFrame.unpersist and would otherwise accumulate until JVM GC."""
+    from streaming_feature_store_spark.cacheutil import (
+        release_cached_intermediates,
+    )
+    from streaming_feature_store_spark.operators.curation import (
+        negative_sample,
+    )
+
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    release_cached_intermediates()
+    before = {i.id() for i in sc.getRDDStorageInfo()}
+
+    inter = spark.createDataFrame(
+        [(u, i) for u in range(20) for i in (u, u + 1, u + 2)],
+        "user_id long, item_id long",
+    )
+    items = spark.range(200).select(F.col("id").alias("item_id"))
+    out = negative_sample(inter, items, k=3)
+    assert out.count() == 20 * 3
+    during = {i.id() for i in sc.getRDDStorageInfo()} - before
+    assert during, "expected the checkpointed index to occupy storage"
+    released = release_cached_intermediates()
+    assert released >= 1
+    after = {i.id() for i in sc.getRDDStorageInfo()} - before
+    assert not after, f"checkpoint blocks leaked: {after}"

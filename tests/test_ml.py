@@ -312,3 +312,26 @@ def test_fit_per_group_linear_matches_numpy(spark):
     }
     assert ridge["sing"]["coefficients"] is not None
     assert ridge["sing"]["r2"] > 0.99
+
+
+def test_fit_per_group_linear_preserves_group_dtype(spark):
+    import numpy as np
+
+    from streaming_feature_store_spark.ml.training import (
+        fit_per_group_linear,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (gid, float(2.0 * x + 1.0 + rng.normal(0, 0.01)), float(x))
+        for gid in (10, 2**53 + 7)
+        for x in rng.uniform(-3, 3, 30)
+    ]
+    df = spark.createDataFrame(rows, "store_id long, y double, x double")
+    out = fit_per_group_linear(df, "store_id", "y", ["x"])
+    assert dict(out.dtypes)["store_id"] == "bigint"
+    got = {r["store_id"]: r for r in out.collect()}
+    # the >2^53 key survives exactly (a string/double coercion would not)
+    assert set(got) == {10, 2**53 + 7}
+    for r in got.values():
+        assert abs(r["coefficients"][0] - 2.0) < 0.01

@@ -62,8 +62,13 @@ def main():
     pk = stride("part", "p_partkey")
     ok = stride("orders", "o_orderkey")
     ek = stride("events", "event_id")
-    uk = stride("events", "user_id")
     dk = stride("documents", "doc_id")
+    # events.user_id is a CUSTOMER key (the events->customer/orders joins
+    # in q14/q33/q34/q96 use it against c_custkey/o_custkey), so it must
+    # shift by the CUSTOMER stride — shifting by its own max+1 would
+    # alias every replica's events onto replica-0's customers and starve
+    # replicas 1..n-1 of events entirely.
+    uk = ck
 
     def copy(sql, name):
         con.execute(
