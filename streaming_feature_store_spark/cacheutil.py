@@ -27,10 +27,14 @@ def persist_tracked(frame: DataFrame) -> DataFrame:
 
 def release_cached_intermediates() -> int:
     """Unpersist every tracked intermediate since the last release —
-    persisted frames AND local checkpoints (see
-    ``local_checkpoint_tracked``; released checkpoints invalidate their
-    frames).  Safe to call any time after the consuming action; returns
-    the number of frames released."""
+    persisted frames AND local checkpoints (``local_checkpoint_tracked``).
+
+    Contract difference between the two kinds: a released PERSIST
+    merely recomputes on the next action; a released CHECKPOINT
+    invalidates every frame built on it (truncated lineage cannot
+    recompute), so finish consuming checkpoint-backed results — e.g.
+    ``negative_sample`` output — before calling this.  Returns the
+    number of frames released."""
     n = 0
     while _CACHED_INTERMEDIATES:
         f = _CACHED_INTERMEDIATES.pop()
@@ -59,16 +63,25 @@ def local_checkpoint_tracked(frame: DataFrame) -> DataFrame:
     concurrent persists between the two snapshots) and released later
     through ``SparkContext.getPersistentRDDs``.
 
-    Releasing INVALIDATES the returned frame (lineage is truncated, so
-    a freed checkpoint cannot recompute) — same consume-then-release
-    contract as every tracked persist.
+    Releasing INVALIDATES the returned frame — unlike a released
+    persist, which merely recomputes, a freed checkpoint CANNOT (its
+    lineage is truncated), so any later action on the frame throws.
+    Consume (write/collect) checkpoint-backed results fully before
+    calling ``release_cached_intermediates()``.
+
+    The delta is filtered to RDDs literally named "MapPartitionsRDD":
+    the eager checkpoint job can materialize OTHER frames' cold caches
+    mid-scan, and those must not be claimed — CacheManager entries
+    (``df.cache()``) carry their plan string as the RDD name, so the
+    filter excludes them (raw ``rdd.persist()`` materialized
+    concurrently would still be claimed; this engine has none).
     """
     sc = frame.sparkSession.sparkContext._jsc.sc()
     before = {i.id() for i in sc.getRDDStorageInfo()}
     out = frame.localCheckpoint(eager=True)
-    new = {i.id() for i in sc.getRDDStorageInfo()} - before
-    for rid in new:
-        _CHECKPOINTED.append((frame.sparkSession, rid))
+    for i in sc.getRDDStorageInfo():
+        if i.id() not in before and i.name() == "MapPartitionsRDD":
+            _CHECKPOINTED.append((frame.sparkSession, i.id()))
     return out
 
 

@@ -480,6 +480,12 @@ def negative_sample(
     ``checkpoint()`` against a checkpoint dir — executor loss discards
     local checkpoint blocks; the right trade in a batch sampling job
     that simply reruns.
+
+    The checkpoint is TRACKED (``cacheutil.local_checkpoint_tracked``),
+    so ``release_cached_intermediates()`` frees its blocks — and, per
+    that contract, INVALIDATES this function's returned frame (the
+    truncated lineage cannot recompute a freed checkpoint): write or
+    collect the sample before releasing.
     """
     from streaming_feature_store_spark.cacheutil import (
         local_checkpoint_tracked,

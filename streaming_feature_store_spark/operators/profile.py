@@ -517,7 +517,9 @@ def referential_violations(
 
 
 def split_violations(
-    df: DataFrame, rules: dict[str, "F.Column"]
+    df: DataFrame,
+    rules: dict[str, "F.Column"],
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Quarantine routing for the data-quality gate: returns
     ``(clean, quarantined)`` where quarantined rows carry a
@@ -530,10 +532,22 @@ def split_violations(
     the malformed-payload sibling; this one quarantines WELL-FORMED
     rows that fail business constraints).
 
-    Single evaluation per rule per row (one projected array column,
-    shared by both outputs — callers persisting the tagged frame before
-    splitting pay the rule evaluation once); no shuffle.
+    The two outputs are independent lazy plans, so consuming BOTH
+    evaluates every rule (and scans the input) twice; pass
+    ``persist=True`` to materialize the tagged frame once — tracked,
+    released later by ``cacheutil.release_cached_intermediates()`` —
+    when the rules are expensive or the input scan is. No shuffle
+    either way.
+
+    Raises if the input already has a ``violated_rules`` column:
+    silently clobbering it (e.g. when re-gating previously quarantined
+    rows) would lose data — rename or drop it first.
     """
+    if "violated_rules" in df.columns:
+        raise ValueError(
+            "input already has a 'violated_rules' column; rename or "
+            "drop it before re-gating"
+        )
     tags = F.array_compact(
         F.array(
             *[
@@ -543,6 +557,10 @@ def split_violations(
         )
     )
     tagged = df.withColumn("violated_rules", tags)
+    if persist:
+        from streaming_feature_store_spark.cacheutil import persist_tracked
+
+        tagged = persist_tracked(tagged)
     clean = tagged.filter(F.size("violated_rules") == 0).drop(
         "violated_rules"
     )

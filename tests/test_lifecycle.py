@@ -132,3 +132,28 @@ def test_negative_sample_checkpoint_released(spark):
     assert released >= 1
     after = {i.id() for i in sc.getRDDStorageInfo()} - before
     assert not after, f"checkpoint blocks leaked: {after}"
+
+
+def test_checkpoint_tracking_does_not_steal_caller_caches(spark):
+    """The checkpoint-id capture must not claim a caller's cold cache
+    that the eager checkpoint job happens to materialize — releasing
+    must leave the caller's persisted frame cached."""
+    from streaming_feature_store_spark.cacheutil import (
+        local_checkpoint_tracked,
+        release_cached_intermediates,
+    )
+
+    spark.catalog.clearCache()
+    release_cached_intermediates()
+    items = spark.range(5000).selectExpr("id", "id * 7 as w").cache()
+    # cold: no action yet — the checkpoint job below materializes it
+    ck = local_checkpoint_tracked(items.selectExpr("id", "w + 1 as w2"))
+    assert ck.count() == 5000
+    assert items.storageLevel.useMemory  # caller cache registered
+    released = release_cached_intermediates()
+    assert released >= 1
+    # the caller's cache must still hold blocks (not silently freed)
+    sc = spark.sparkContext._jsc.sc()
+    names = [i.name() for i in sc.getRDDStorageInfo()]
+    assert any("Project" in (n or "") or "Range" in (n or "") for n in names), names
+    items.unpersist()

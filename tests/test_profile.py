@@ -197,3 +197,27 @@ def test_split_violations_routes_and_tags(spark):
     assert got == {2: ["negative_v", "null_tag"], 3: ["v_above_100"]}
     # clean keeps the original schema exactly
     assert clean.columns == df.columns
+
+
+def test_split_violations_rejects_collision_and_persists_once(spark):
+    import pytest as _pytest
+    import pyspark.sql.functions as F
+
+    from streaming_feature_store_spark.cacheutil import (
+        release_cached_intermediates,
+    )
+    from streaming_feature_store_spark.operators.profile import (
+        split_violations,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with _pytest.raises(ValueError, match="violated_rules"):
+        split_violations(
+            df.withColumn("violated_rules", F.array()),
+            {"neg": F.col("v") < 0},
+        )
+    clean, bad = split_violations(
+        df, {"neg": F.col("v") < 0}, persist=True
+    )
+    assert clean.count() == 1 and bad.count() == 0
+    assert release_cached_intermediates() >= 1
