@@ -10,8 +10,20 @@ import pytest
 
 # transformWithState's state-server protocol is protobuf-encoded; the rig
 # has no protobuf wheel (same class of environmental gate as spark-avro in
-# test_avro.py). The module itself imports and plan-builds without it.
-pytest.importorskip("google.protobuf")
+# test_avro.py). The module itself imports and plan-builds without it, so
+# only the Spark-INTEGRATION tests below gate on it (via this marker);
+# the callback-logic harness at the bottom of this file runs everywhere.
+try:
+    import google.protobuf  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+needs_protobuf = pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="protobuf wheel absent: transformWithState worker protocol unavailable",
+)
 
 from pyspark.sql.types import (
     DoubleType,
@@ -55,6 +67,7 @@ def _run(spark, src, out, ckpt):
     return spark.read.parquet(out)
 
 
+@needs_protobuf
 def test_per_event_ttl_eviction(spark, tmp_path):
     src, out, ckpt = str(tmp_path / "s"), str(tmp_path / "o"), str(tmp_path / "c")
     os.makedirs(src)
@@ -95,3 +108,138 @@ def test_per_event_ttl_eviction(spark, tmp_path):
     }
     us = int((BASE + dt.timedelta(hours=2, minutes=2)).timestamp() * 1_000_000)
     assert res4[("7", us)]["event_count"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Logic harness (runs IN THIS RIG): the protobuf gate above blocks only the
+# worker-side state-server protocol; the processor's own callback logic is
+# plain Python over pandas and is driven here with fake state/timer handles,
+# pinned to a naive trailing-window recompute. The Spark integration path
+# stays env-gated; this converts "code exists" into "logic verified".
+# ---------------------------------------------------------------------------
+
+
+def _make_processor():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from streaming_feature_store_spark.streaming.stateful_v2 import (
+        PerEventProcessor,
+    )
+
+    return PerEventProcessor(
+        window_us=300_000_000, lateness_us=60_000_000, idle_ttl_ms=3_600_000
+    )
+
+
+class _FakeListState:
+    def __init__(self):
+        self.rows = []
+
+    def get(self):
+        return iter(self.rows)
+
+    def put(self, rows):
+        self.rows = list(rows)
+
+    def clear(self):
+        self.rows = []
+
+
+class _FakeValueState:
+    def __init__(self):
+        self.v = None
+
+    def exists(self):
+        return self.v is not None
+
+    def get(self):
+        return self.v
+
+    def update(self, v):
+        self.v = v
+
+    def clear(self):
+        self.v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers = []
+
+    def getListState(self, name, schema):
+        return self.states.setdefault(name, _FakeListState())
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, t):
+        self.timers.remove(t)
+
+    def registerTimer(self, t):
+        self.timers.append(t)
+
+
+class _FakeExpiry:
+    def __init__(self, ms):
+        self.ms = ms
+
+    def getExpiryTimeInMs(self):
+        return self.ms
+
+
+def test_processor_logic_matches_naive_recompute():
+    import pandas as pd
+
+    proc = _make_processor()
+    h = _FakeHandle()
+    proc.init(h)
+
+    # batch 1: in-order events; batch 2: one within-lateness late event and
+    # one beyond-lateness drop
+    b1 = pd.DataFrame(
+        {"us": [1_000_000_000, 1_100_000_000, 1_400_000_000],
+         "value": [10.0, 20.0, 30.0]}
+    )
+    out1 = list(proc.handleInputRows(("u1",), iter([b1]), None))
+    b2 = pd.DataFrame(
+        {"us": [1_390_000_000, 1_000_000_000], "value": [40.0, 99.0]}
+    )
+    out2 = list(proc.handleInputRows(("u1",), iter([b2]), None))
+
+    rows = pd.concat(out1 + out2).reset_index(drop=True)
+    # beyond-lateness event (1_000s vs max 1_400s, lateness 60s) dropped
+    assert len(rows) == 4
+    # naive recompute of the trailing 300s window per accepted event
+    accepted = [(1_000_000_000, 10.0), (1_100_000_000, 20.0),
+                (1_400_000_000, 30.0), (1_390_000_000, 40.0)]
+    buf = []
+    for i, (us, v) in enumerate(accepted):
+        buf.append((us, v))
+        buf = [(t, x) for t, x in buf if t >= us - 300_000_000]
+        vals = [x for _, x in buf]
+        r = rows.iloc[i]
+        assert r["event_count"] == len(vals)
+        assert abs(r["value_sum"] - sum(vals)) < 1e-9
+        assert r["value_max"] == max(vals) and r["value_min"] == min(vals)
+    # late flag set exactly on the out-of-order accepted event
+    assert list(rows["late_accepted"]) == [False, False, False, True]
+    # exactly ONE armed timer at last-activity + ttl
+    assert h.timers == [1_400_000_000 // 1000 + 3_600_000]
+
+    # idle expiry: tombstone emitted, state cleared
+    tomb = list(
+        proc.handleExpiredTimer(("u1",), None, _FakeExpiry(h.timers[0]))
+    )
+    assert len(tomb) == 1 and tomb[0].iloc[0]["event_count"] == -1
+    assert h.states["buf"].rows == []
+    assert not h.states["max_us"].exists()
+
+    # events after eviction start a FRESH window (no ghost state)
+    b3 = pd.DataFrame({"us": [2_000_000_000], "value": [5.0]})
+    out3 = list(proc.handleInputRows(("u1",), iter([b3]), None))
+    assert out3[0].iloc[0]["event_count"] == 1
