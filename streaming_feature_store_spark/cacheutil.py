@@ -97,3 +97,39 @@ def _release_checkpoints() -> int:
         except Exception:  # session stopped — nothing to release
             pass
     return n
+
+
+def rolling_local_checkpoint(
+    frame: DataFrame, prev_ids: list[int] | None
+) -> tuple[DataFrame, list[int]]:
+    """Iteration form of ``local_checkpoint_tracked``: eagerly checkpoint
+    the round's frame, then free the PREVIOUS round's checkpoint blocks —
+    once the new checkpoint is materialized (data copied, not derived),
+    the superseded round can never be read again, so waiting for JVM GC
+    to reclaim it just multiplies peak storage by the round count
+    (measured: 10-iteration PageRank left 9 superseded (node, rank)
+    checkpoints cached — O(rounds × nodes) where O(nodes) suffices).
+
+    Same MapPartitionsRDD-name discrimination as
+    ``local_checkpoint_tracked``; the FINAL round's ids are returned so
+    the caller can hand them to that tracker (or leave them to GC when
+    the result frame escapes to the caller, as ``pagerank`` does —
+    releasing the returned frame's own blocks would invalidate it).
+    """
+    sc = frame.sparkSession.sparkContext._jsc.sc()
+    before = {i.id() for i in sc.getRDDStorageInfo()}
+    out = frame.localCheckpoint(eager=True)
+    new_ids = [
+        i.id()
+        for i in sc.getRDDStorageInfo()
+        if i.id() not in before and i.name() == "MapPartitionsRDD"
+    ]
+    pm = sc.getPersistentRDDs()
+    for rid in prev_ids or []:
+        try:
+            opt = pm.get(rid)
+            if not opt.isEmpty():
+                opt.get().unpersist(False)
+        except Exception:  # already cleaned — fine
+            pass
+    return out, new_ids

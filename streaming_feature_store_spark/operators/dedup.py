@@ -593,12 +593,22 @@ def dedup_clusters(
     edges_c = edges.repartition(parts, "b").localCheckpoint(eager=True)
     edges.unpersist()
     edges = edges_c
-    labels = (
+    from streaming_feature_store_spark.cacheutil import (
+        rolling_local_checkpoint,
+    )
+
+    # Rolling release (same contract as pagerank's loop): each round's
+    # checkpoint frees the superseded round's blocks as soon as the new
+    # one is materialized, so peak checkpoint storage is O(nodes) for
+    # the whole fixpoint instead of O(rounds x nodes)-until-GC. The
+    # per-round ids chain stepped -> jumped -> next stepped; the FINAL
+    # jumped's blocks are left alive (the returned frame reads them).
+    labels, _lbl_ids = rolling_local_checkpoint(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .repartition(parts, "node")
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        None,
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -606,7 +616,7 @@ def dedup_clusters(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        stepped = (
+        stepped, _step_ids = rolling_local_checkpoint(
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
@@ -614,14 +624,16 @@ def dedup_clusters(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            None,
         )
         # pointer jumping: label(v) <- label(label(v))
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        jumped = (
+        # materializing jumped supersedes BOTH this round's stepped and
+        # the previous round's labels
+        jumped, _lbl_ids = rolling_local_checkpoint(
             stepped.join(parent, stepped["label"] == parent["p_node"], "left")
             .select(
                 "node",
@@ -629,8 +641,8 @@ def dedup_clusters(
                 F.least(
                     F.col("label"), F.coalesce("p_label", "label")
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            _step_ids + _lbl_ids,
         )
         changed = jumped.filter(F.col("label") != F.col("old_label")).count()
         labels = jumped.select("node", "label")

@@ -73,7 +73,12 @@ def pagerank(
     norm = norm.persist()
     sources = out_sum.select(F.col("_src").alias("node")).persist()
 
+    from streaming_feature_store_spark.cacheutil import (
+        rolling_local_checkpoint,
+    )
+
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    _ck_ids: list[int] = []
     for i in range(iterations):
         dangling = (
             ranks.join(sources, "node", "left_anti")
@@ -101,10 +106,11 @@ def pagerank(
         )
         # ranks is consumed three times next round (dangling, contrib,
         # next-ranks): materialize every round or the plan tree triples
-        # per iteration. O(nodes) storage — the same contract as the CC
-        # loop's per-round localCheckpoint.
+        # per iteration. Rolling release keeps storage at O(nodes), not
+        # O(rounds x nodes): each new checkpoint frees the superseded
+        # round's blocks immediately instead of waiting for JVM GC.
         if (i + 1) % checkpoint_every == 0 or i + 1 == iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks, _ck_ids = rolling_local_checkpoint(ranks, _ck_ids)
     for f in (e, norm, nodes, sources):
         f.unpersist()
     return ranks
