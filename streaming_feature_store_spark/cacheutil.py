@@ -79,10 +79,46 @@ def local_checkpoint_tracked(frame: DataFrame) -> DataFrame:
     sc = frame.sparkSession.sparkContext._jsc.sc()
     before = {i.id() for i in sc.getRDDStorageInfo()}
     out = frame.localCheckpoint(eager=True)
-    for i in sc.getRDDStorageInfo():
-        if i.id() not in before and i.name() == "MapPartitionsRDD":
-            _CHECKPOINTED.append((frame.sparkSession, i.id()))
+    for rid in _capture_new_checkpoint_ids(sc, before):
+        _CHECKPOINTED.append((frame.sparkSession, rid))
     return out
+
+
+def _capture_new_checkpoint_ids(sc, before: set) -> list[int]:
+    """Ids of RDDs cached since ``before`` that are literally named
+    "MapPartitionsRDD" — the local-checkpoint discriminator (CacheManager
+    entries carry their plan string as the name).  Single point of truth
+    for the three trackers."""
+    return [
+        i.id()
+        for i in sc.getRDDStorageInfo()
+        if i.id() not in before and i.name() == "MapPartitionsRDD"
+    ]
+
+
+def _unpersist_ids(sc, ids) -> int:
+    """Best-effort unpersist of checkpoint RDD ids via the persistent-RDD
+    registry; already-cleaned ids are skipped silently."""
+    n = 0
+    pm = sc.getPersistentRDDs()
+    for rid in ids or []:
+        try:
+            opt = pm.get(rid)
+            if not opt.isEmpty():
+                opt.get().unpersist(False)
+                n += 1
+        except Exception:
+            pass
+    return n
+
+
+def track_checkpoint_ids(session, ids) -> None:
+    """Register already-captured checkpoint ids (e.g. an iteration loop's
+    FINAL round, returned by ``rolling_local_checkpoint``) for release by
+    ``release_cached_intermediates()`` — with the same contract: release
+    only after the frames built on them are fully consumed."""
+    for rid in ids or []:
+        _CHECKPOINTED.append((session, rid))
 
 
 def _release_checkpoints() -> int:
@@ -90,10 +126,7 @@ def _release_checkpoints() -> int:
     while _CHECKPOINTED:
         session, rid = _CHECKPOINTED.pop()
         try:
-            opt = session.sparkContext._jsc.sc().getPersistentRDDs().get(rid)
-            if not opt.isEmpty():
-                opt.get().unpersist(False)
-                n += 1
+            n += _unpersist_ids(session.sparkContext._jsc.sc(), [rid])
         except Exception:  # session stopped — nothing to release
             pass
     return n
@@ -119,17 +152,6 @@ def rolling_local_checkpoint(
     sc = frame.sparkSession.sparkContext._jsc.sc()
     before = {i.id() for i in sc.getRDDStorageInfo()}
     out = frame.localCheckpoint(eager=True)
-    new_ids = [
-        i.id()
-        for i in sc.getRDDStorageInfo()
-        if i.id() not in before and i.name() == "MapPartitionsRDD"
-    ]
-    pm = sc.getPersistentRDDs()
-    for rid in prev_ids or []:
-        try:
-            opt = pm.get(rid)
-            if not opt.isEmpty():
-                opt.get().unpersist(False)
-        except Exception:  # already cleaned — fine
-            pass
+    new_ids = _capture_new_checkpoint_ids(sc, before)
+    _unpersist_ids(sc, prev_ids)
     return out, new_ids

@@ -610,12 +610,17 @@ def dedup_clusters(
         .withColumn("label", F.col("node")),
         None,
     )
+    changed = -1  # max_iter=0 must raise the diagnostic, not NameError
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # labels' blocks are last read while stepped materializes (the
+        # nbr_min join is inside stepped's plan; jumped reads only
+        # stepped), so the previous generation frees HERE — two live
+        # checkpoint generations at peak, never three
         stepped, _step_ids = rolling_local_checkpoint(
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
@@ -625,14 +630,13 @@ def dedup_clusters(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
             ),
-            None,
+            _lbl_ids,
         )
         # pointer jumping: label(v) <- label(label(v))
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        # materializing jumped supersedes BOTH this round's stepped and
-        # the previous round's labels
+        # materializing jumped supersedes this round's stepped
         jumped, _lbl_ids = rolling_local_checkpoint(
             stepped.join(parent, stepped["label"] == parent["p_node"], "left")
             .select(
@@ -642,7 +646,7 @@ def dedup_clusters(
                     F.col("label"), F.coalesce("p_label", "label")
                 ).alias("label"),
             ),
-            _step_ids + _lbl_ids,
+            _step_ids,
         )
         changed = jumped.filter(F.col("label") != F.col("old_label")).count()
         labels = jumped.select("node", "label")
@@ -658,4 +662,7 @@ def dedup_clusters(
             f"dedup_clusters did not converge in {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter for this graph"
         )
+    from streaming_feature_store_spark.cacheutil import track_checkpoint_ids
+
+    track_checkpoint_ids(labels.sparkSession, _lbl_ids)
     return labels.select("node", F.col("label").alias("cluster_id"))

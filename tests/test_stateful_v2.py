@@ -120,9 +120,6 @@ def test_per_event_ttl_eviction(spark, tmp_path):
 
 
 def _make_processor():
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     from streaming_feature_store_spark.streaming.stateful_v2 import (
         PerEventProcessor,
     )
