@@ -898,3 +898,78 @@ def test_stratified_split_contracts(spark, n_pos, n_neg, seed):
         ]
         for frac, want in zip(in_stratum, (0.6, 0.2, 0.2)):
             assert abs(frac - want) < 0.25, (label, in_stratum)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # entity
+            st.integers(min_value=0, max_value=7200), # seconds offset
+            st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+            st.integers(min_value=0, max_value=50),   # value
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@SLOW
+def test_funnel_features_match_naive_sessions(spark, events):
+    """funnel_features must agree with a naive gaps-and-islands replay:
+    per-type counts, guarded conversion rate, decimal-exact value sum
+    and session duration, for arbitrary event streams."""
+    import datetime as dt
+
+    from streaming_feature_store_spark.operators.sessions import (
+        funnel_features,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    df = spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(seconds=s), t, float(v))
+            for k, s, t, v in events
+        ],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {
+        (r["user_id"], r["session_start_us"]): r
+        for r in funnel_features(df, "user_id", gap="30 minutes").collect()
+    }
+
+    # naive replay: sort per entity, split at gaps >= 1800 s
+    by_key: dict[int, list] = {}
+    for k, s, t, v in events:
+        by_key.setdefault(k, []).append((s, t, v))
+    want_count = 0
+    for k, evs in by_key.items():
+        evs.sort()
+        sessions, cur = [], [evs[0]]
+        for e in evs[1:]:
+            if e[0] - cur[-1][0] >= 1800:
+                sessions.append(cur)
+                cur = [e]
+            else:
+                cur.append(e)
+        sessions.append(cur)
+        for sess in sessions:
+            want_count += 1
+            start_us = sess[0][0] * 1_000_000 + int(
+                base.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+            )
+            r = got[(k, start_us)]
+            counts = {
+                t: sum(1 for _, et, _ in sess if et == t)
+                for t in ("view", "click", "purchase", "signup", "error")
+            }
+            assert r["n_events"] == len(sess)
+            assert r["views"] == counts["view"]
+            assert r["purchases"] == counts["purchase"]
+            assert r["clicks"] == counts["click"]
+            assert r["value_sum"] == sum(v for _, _, v in sess)
+            assert r["conversion_rate"] == round(
+                counts["purchase"] / max(counts["view"], 1), 6
+            )
+            assert r["session_minutes"] == round(
+                (sess[-1][0] - sess[0][0]) / 60.0, 4
+            )
+    assert len(got) == want_count
