@@ -973,3 +973,52 @@ def test_funnel_features_match_naive_sessions(spark, events):
                 (sess[-1][0] - sess[0][0]) / 60.0, 4
             )
     assert len(got) == want_count
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # stratum
+            st.integers(min_value=0, max_value=500), # id
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@SLOW
+def test_sample_exact_per_group_quota_and_determinism(spark, rows, k):
+    """Exact-quota sampling contracts: exactly min(k, |group|) rows per
+    stratum, selection is the md5-of-id order prefix (engine-independent
+    determinism), and repartitioning the input changes nothing."""
+    import hashlib
+
+    from streaming_feature_store_spark.operators.curation import (
+        sample_exact_per_group,
+    )
+
+    df = spark.createDataFrame(rows, "g long, doc_id long")
+    got = {
+        (r["g"], r["doc_id"])
+        for r in sample_exact_per_group(
+            df, k, id_col="doc_id", strata_col="g"
+        ).collect()
+    }
+    by_g: dict[int, list] = {}
+    for g, i in rows:
+        by_g.setdefault(g, []).append(i)
+    want = set()
+    for g, ids in by_g.items():
+        ranked = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )
+        want.update((g, i) for i in ranked[:k])
+    assert got == want
+    got2 = {
+        (r["g"], r["doc_id"])
+        for r in sample_exact_per_group(
+            df.repartition(7), k, id_col="doc_id", strata_col="g"
+        ).collect()
+    }
+    assert got2 == got
