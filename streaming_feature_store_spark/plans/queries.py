@@ -117,12 +117,15 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q06_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k pattern (A13's rank shape): join + agg + deterministic order +
-    limit. Customer is the broadcast side — at 100 TB orders dwarfs the
-    customer dim, so no shuffle of the big side for the join."""
+    limit. Customer is the dim side — it scales linearly with sf (sf×150 k
+    rows), so no static broadcast hint: AQE promotes it to broadcast at
+    runtime whenever the observed size is safe, and demotes it at the
+    scale where a forced broadcast would OOM an executor (session.py
+    policy)."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     return (
-        orders.join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -155,7 +158,7 @@ def q15_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -1113,11 +1116,13 @@ def q33_risk_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q34_profile_default_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P13: left enrichment join + declared defaults for missing profile
-    fields (inference/features.py:405-460). Customer dim broadcast."""
+    fields (inference/features.py:405-460). Customer scales with sf, so
+    its join carries no static broadcast hint — AQE promotes at runtime
+    when the observed size is safe."""
     ev = _t(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer")
     return (
-        ev.join(broadcast(c), ev["user_id"] == c["c_custkey"], "left")
+        ev.join(c, ev["user_id"] == c["c_custkey"], "left")
         .select(
             "event_id",
             "user_id",
@@ -1255,12 +1260,13 @@ def q37_same_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q38_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + agg + top-k over the part dimension (broadcast)."""
+    """Join + agg + top-k over the part dimension (no static broadcast
+    hint — part scales linearly with sf; AQE promotes at runtime)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey", "p_name", "p_brand")
         .agg(dsum(rev, 6).alias("revenue"), F.count("*").alias("n_lineitems"))
         .orderBy(F.desc("revenue"), F.asc("p_partkey"))
@@ -1720,7 +1726,7 @@ def q50_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(rev, 6).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -1741,13 +1747,14 @@ def q50_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q51_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 analog: conditional-revenue share over a broadcast join."""
+    """TPC-H Q14 analog: conditional-revenue share over a part join (AQE
+    runtime broadcast; no static hint on the sf-scaling part dim)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).cast("decimal(18,6)")
     return (
-        li.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -2869,7 +2876,7 @@ def q76_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
-        .join(broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
         .filter(F.col("cust_nation") < F.col("supp_nation"))
     )
@@ -2986,7 +2993,7 @@ def q78_solely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        blamed.join(broadcast(s), blamed["l_suppkey"] == s["s_suppkey"])
+        blamed.join(s, blamed["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
@@ -3243,14 +3250,15 @@ def q85_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HAVING against a scalar over the same aggregate). The per-brand agg
     runs once; the global total is the one-row re-aggregate of that tiny
     result, cross-joined back as a broadcast literal — the fact is scanned
-    and shuffled exactly once. Part joins broadcast (dimension). Shares are
+    and shuffled exactly once. Part joins without a static hint (it
+    scales with sf; AQE promotes to broadcast at runtime). Shares are
     derived from decimal-exact sums so the 0.042 threshold cuts identically
     in both engines."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     rev = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     r = (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(rev.alias("rev"))
     )
@@ -3304,7 +3312,7 @@ def q86_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sr.crossJoin(broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
-        .join(broadcast(sup), sr.l_suppkey == sup.s_suppkey)
+        .join(sup, sr.l_suppkey == sup.s_suppkey)
         .select(
             "s_suppkey", "s_name", F.round("total_rev", 4).alias("total_rev")
         )
@@ -3342,7 +3350,7 @@ def q87_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 300)
     )
     return (
-        orders.join(broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
     )
@@ -3427,8 +3435,8 @@ def q89_min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unit", "l_partkey", "l_suppkey"
     )
     return (
-        up.join(broadcast(part), up.l_partkey == part.p_partkey)
-        .join(broadcast(sup), up.l_suppkey == sup.s_suppkey)
+        up.join(part, up.l_partkey == part.p_partkey)
+        .join(sup, up.l_suppkey == sup.s_suppkey)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -3524,13 +3532,13 @@ def q91_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = emb.select("vec_id", "label")
     return (
         nn.join(
-            broadcast(labels.select(F.col("vec_id").alias("query_id"),
-                                    F.col("label").alias("qlabel"))),
+            labels.select(F.col("vec_id").alias("query_id"),
+                          F.col("label").alias("qlabel")),
             on="query_id",
         )
         .join(
-            broadcast(labels.select(F.col("vec_id").alias("nbr_id"),
-                                    F.col("label").alias("nlabel"))),
+            labels.select(F.col("vec_id").alias("nbr_id"),
+                          F.col("label").alias("nlabel")),
             on="nbr_id",
         )
         .groupBy(F.col("qlabel").alias("label"))
@@ -3774,7 +3782,7 @@ def q97_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     rev = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(broadcast(asia_nations), sup.s_nationkey == F.col("n_nationkey"))
         .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
@@ -3815,7 +3823,7 @@ def q98_returned_items_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(rev.alias("revenue"))
@@ -3853,7 +3861,7 @@ def q99_supplier_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFr
     rev = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy(
             "n_name",
@@ -3882,12 +3890,13 @@ def q100_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizer-relevant part: Catalyst extracts the common sub-predicates —
     the union of brands pushes to the part scan and the quantity hull to
     the lineitem scan (verify: PushedFilters In(p_brand,...) / bounds on
-    l_quantity) — then evaluates the full disjunction after the broadcast
-    join. One scan each side, one agg, no shuffle beyond the final
+    l_quantity) — then evaluates the full disjunction after the part
+    join (AQE runtime broadcast — part scales with sf, so no static
+    hint). One scan each side, one agg, no shuffle beyond the final
     one-row reduce."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     p = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -4149,7 +4158,7 @@ def q105_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     flat = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(asia_cust_nations), cust.c_nationkey == F.col("cn_key"))
         .select(
@@ -4810,12 +4819,13 @@ def q118_order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q119_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket brand co-occurrence with lift over orders — set
     co-occurrence twin of bigram PMI (q102): basket-keyed self-join
-    bounded by basket width, broadcast supports, TakeOrdered top-k."""
+    bounded by basket width, AQE-gated supports join, TakeOrdered
+    top-k (no static hint on the sf-scaling part dim)."""
     from streaming_feature_store_spark.operators.text import cooccurrence_lift
 
     li = _t(spark, sf_dir, "lineitem")
     pt = _t(spark, sf_dir, "part")
-    baskets = li.join(broadcast(pt), li.l_partkey == pt.p_partkey).select(
+    baskets = li.join(pt, li.l_partkey == pt.p_partkey).select(
         "l_orderkey", "p_brand"
     )
     return cooccurrence_lift(baskets, "l_orderkey", "p_brand", min_count=2, k=20)
