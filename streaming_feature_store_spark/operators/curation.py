@@ -482,10 +482,12 @@ def negative_sample(
     that simply reruns.
 
     The checkpoint is TRACKED (``cacheutil.local_checkpoint_tracked``),
-    so ``release_cached_intermediates()`` frees its blocks — and, per
-    that contract, INVALIDATES this function's returned frame (the
-    truncated lineage cannot recompute a freed checkpoint): write or
-    collect the sample before releasing.
+    so ``release_checkpoints()`` / ``release_all()`` frees its blocks —
+    and, per that contract, INVALIDATES this function's returned frame
+    (the truncated lineage cannot recompute a freed checkpoint): write
+    or collect the sample before releasing.  The always-safe
+    ``release_cached_intermediates()`` does NOT touch it (ADVICE r6
+    split).
     """
     from streaming_feature_store_spark.cacheutil import (
         local_checkpoint_tracked,

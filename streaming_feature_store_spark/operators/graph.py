@@ -116,7 +116,7 @@ def pagerank(
     # register the FINAL round's checkpoint for explicit release — a
     # long-lived session calling pagerank repeatedly must not leak one
     # O(nodes) checkpoint per call until GC (consume the result before
-    # release_cached_intermediates(), per the cacheutil contract)
+    # release_checkpoints()/release_all(), per the cacheutil contract)
     from streaming_feature_store_spark.cacheutil import track_checkpoint_ids
 
     track_checkpoint_ids(ranks.sparkSession, _ck_ids)

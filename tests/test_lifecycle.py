@@ -105,9 +105,13 @@ def test_full_lifecycle(spark, tmp_path):
 
 def test_negative_sample_checkpoint_released(spark):
     """negative_sample's item-index local checkpoint must be released by
-    release_cached_intermediates() — checkpoint blocks are invisible to
-    DataFrame.unpersist and would otherwise accumulate until JVM GC."""
+    release_checkpoints()/release_all() — checkpoint blocks are invisible
+    to DataFrame.unpersist and would otherwise accumulate until JVM GC.
+    The always-safe release_cached_intermediates() must NOT touch them
+    (ADVICE r6: freeing a checkpoint invalidates its consumers, so the
+    "release is always safe" API keeps its historical meaning)."""
     from streaming_feature_store_spark.cacheutil import (
+        release_all,
         release_cached_intermediates,
     )
     from streaming_feature_store_spark.operators.curation import (
@@ -116,7 +120,7 @@ def test_negative_sample_checkpoint_released(spark):
 
     sc = spark.sparkContext._jsc.sc()
     spark.catalog.clearCache()
-    release_cached_intermediates()
+    release_all()
     before = {i.id() for i in sc.getRDDStorageInfo()}
 
     inter = spark.createDataFrame(
@@ -128,7 +132,12 @@ def test_negative_sample_checkpoint_released(spark):
     assert out.count() == 20 * 3
     during = {i.id() for i in sc.getRDDStorageInfo()} - before
     assert during, "expected the checkpointed index to occupy storage"
-    released = release_cached_intermediates()
+    # persist-only release leaves the checkpoint (and its consumer) alive
+    release_cached_intermediates()
+    still = {i.id() for i in sc.getRDDStorageInfo()} - before
+    assert still, "persist-only release must not free checkpoint blocks"
+    assert out.count() == 20 * 3  # frame still consumable
+    released = release_all()
     assert released >= 1
     after = {i.id() for i in sc.getRDDStorageInfo()} - before
     assert not after, f"checkpoint blocks leaked: {after}"
@@ -140,20 +149,57 @@ def test_checkpoint_tracking_does_not_steal_caller_caches(spark):
     must leave the caller's persisted frame cached."""
     from streaming_feature_store_spark.cacheutil import (
         local_checkpoint_tracked,
-        release_cached_intermediates,
+        release_all,
     )
 
     spark.catalog.clearCache()
-    release_cached_intermediates()
+    release_all()
     items = spark.range(5000).selectExpr("id", "id * 7 as w").cache()
     # cold: no action yet — the checkpoint job below materializes it
     ck = local_checkpoint_tracked(items.selectExpr("id", "w + 1 as w2"))
     assert ck.count() == 5000
     assert items.storageLevel.useMemory  # caller cache registered
-    released = release_cached_intermediates()
+    released = release_all()
     assert released >= 1
     # the caller's cache must still hold blocks (not silently freed)
     sc = spark.sparkContext._jsc.sc()
     names = [i.name() for i in sc.getRDDStorageInfo()]
     assert any("Project" in (n or "") or "Range" in (n or "") for n in names), names
     items.unpersist()
+
+
+def test_concurrent_checkpoint_tracking_is_serialized(spark):
+    """ADVICE r6: the snapshot+checkpoint+capture bracket must hold a
+    lock — concurrent tracked checkpoints from other driver threads
+    (the streaming foreachBatch pattern) previously raced the storage
+    delta and could claim (then free) a live frame's blocks. With the
+    lock, N concurrent calls capture exactly N checkpoint ids, every
+    frame stays consumable until release, and release frees them all."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from streaming_feature_store_spark.cacheutil import (
+        local_checkpoint_tracked,
+        release_all,
+    )
+
+    spark.catalog.clearCache()
+    release_all()
+    sc = spark.sparkContext._jsc.sc()
+    before = {i.id() for i in sc.getRDDStorageInfo()}
+
+    def work(i):
+        ck = local_checkpoint_tracked(
+            spark.range(1000 + i).selectExpr("id", "id * 2 as w")
+        )
+        assert ck.count() == 1000 + i
+        return ck
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        frames = list(ex.map(work, range(16)))
+    # every checkpoint-backed frame is still alive pre-release
+    for i, f in enumerate(frames):
+        assert f.count() == 1000 + i
+    released = release_all()
+    assert released == 16, released
+    after = {i.id() for i in sc.getRDDStorageInfo()} - before
+    assert not after, f"leaked checkpoint blocks: {after}"
