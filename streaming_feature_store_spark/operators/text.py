@@ -678,6 +678,16 @@ def source_overlap(
     Set sizes (the Jaccard denominators) keep every shingle.  The
     remaining join keys have df <= G-2; AQE skew-split is the backstop
     for the residual classes below the cap.
+
+    EAGER EVALUATION (ADVICE r6): unlike most catalog operators this
+    function is not purely lazy — the hot-class scalars (``n_sources``,
+    the df==G / df==G-1 counts) run driver actions at PLAN-CONSTRUCTION
+    time and are baked into the returned plan as literals (the same
+    bounded-collect pattern as ``negative_sample``'s index offsets).
+    Consequence: the result reflects the source data AS OF the call;
+    if the underlying table mutates between construction and
+    consumption, re-call this function rather than re-executing a stale
+    frame.
     """
     from pyspark.sql import Window
 

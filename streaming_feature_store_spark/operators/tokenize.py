@@ -44,13 +44,29 @@ _EOW = "</w>"
 
 
 def _word_freqs_driver(
-    df: DataFrame, text_col: str, sample_docs: int
+    df: DataFrame, text_col: str, sample_docs: int | None
 ) -> list[tuple[str, int]]:
     """Distributed word-frequency table over a bounded document sample;
-    only the |vocab|-bounded aggregate is collected."""
+    only the |vocab|-bounded aggregate is collected.
+
+    The sample is DETERMINISTIC: plain ``limit(n)`` picks
+    partition-order-dependent rows (ADVICE r6), which would break the
+    module's cross-run determinism claim under repartitioning. Ordering
+    by ``xxhash64(text)`` (text itself as the collision tie-break)
+    before the limit gives a content-defined pseudo-random draw that is
+    identical on any partition layout or engine, and compiles to
+    TakeOrderedAndProject — per-partition top-K then a driver merge of
+    K-row heads, not a full sort shuffle."""
     from streaming_feature_store_spark.operators.text import alpha_tokens
 
-    sample = df.select(text_col).limit(sample_docs)
+    if sample_docs is None:  # full corpus — no sampling pass at all
+        sample = df.select(text_col)
+    else:
+        sample = (
+            df.select(text_col)
+            .orderBy(F.xxhash64(F.col(text_col)), F.col(text_col))
+            .limit(sample_docs)
+        )
     wf = (
         alpha_tokens(
             sample.withColumn("_id", F.monotonically_increasing_id()),
@@ -68,9 +84,12 @@ def train_bpe(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
-    sample_docs: int = 10_000,
+    sample_docs: int | None = 10_000,
 ) -> list[tuple[str, str]]:
-    """Learn ``n_merges`` BPE merges from a bounded corpus sample.
+    """Learn ``n_merges`` BPE merges from a bounded corpus sample
+    (``sample_docs=None`` trains on the full corpus — the word-frequency
+    aggregate is still distributed and |vocab|-bounded; only the merge
+    loop over that bounded table is driver-side).
 
     Returns the ordered merge list (earlier = higher priority). Classic
     word-frequency BPE: words split to characters plus an end-of-word
