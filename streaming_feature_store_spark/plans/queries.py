@@ -6233,3 +6233,201 @@ def q148_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("credit_share"),
     )
+
+
+@query(
+    "q149_quarantine_rows",
+    sql="""
+    WITH tagged AS (
+      SELECT l_orderkey, l_quantity,
+        RTRIM(
+          CASE WHEN l_discount > 0.08 THEN 'discount_above_8pct,' ELSE '' END
+          || CASE WHEN l_quantity > 45 THEN 'quantity_above_45,' ELSE '' END
+          || CASE WHEN l_tax > 0.07 THEN 'tax_above_7pct,' ELSE '' END,
+          ',') AS rules
+      FROM lineitem
+    )
+    SELECT CASE WHEN rules = '' THEN 'CLEAN' ELSE rules END AS rules,
+      COUNT(*) AS n_rows,
+      MIN(l_orderkey) AS min_okey,
+      MAX(l_orderkey) AS max_okey,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM tagged GROUP BY 1
+    """,
+)
+def q149_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine ROUTING end-to-end (``profile.split_violations`` —
+    VERDICT r6 next-item #6): where q146 only counts violations, this
+    query consumes BOTH split outputs — the quarantined rows grouped by
+    their exact ``violated_rules`` combination (count, orderkey range,
+    quantity mass per combination) plus one 'CLEAN' row aggregated from
+    the clean side, so the oracle pins the routed ROWS themselves, not
+    just the report counters.  Rule-tag order in the combination string
+    is the rules-dict insertion order on both engines.  Plan: the tag
+    array is a zero-shuffle projection; the only shuffle is the final
+    bounded groupBy (≤ 2^|rules| combination keys)."""
+    from streaming_feature_store_spark.operators.profile import (
+        split_violations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount", "l_tax"
+    )
+    clean, bad = split_violations(
+        li,
+        {
+            "discount_above_8pct": F.col("l_discount") > 0.08,
+            "quantity_above_45": F.col("l_quantity") > 45,
+            "tax_above_7pct": F.col("l_tax") > 0.07,
+        },
+    )
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.min("l_orderkey").alias("min_okey"),
+        F.max("l_orderkey").alias("max_okey"),
+        dsum("l_quantity").alias("sum_qty"),
+    ]
+    badg = bad.groupBy(
+        F.array_join("violated_rules", ",").alias("rules")
+    ).agg(*aggs)
+    cleang = clean.agg(*aggs).select(
+        F.lit("CLEAN").alias("rules"),
+        "n_rows",
+        "min_okey",
+        "max_okey",
+        "sum_qty",
+    )
+    return badg.unionByName(cleang)
+
+
+@query(
+    "q150_bpe_merges",
+    sql=r"""
+    WITH RECURSIVE
+    tok AS (
+      SELECT unnest(string_split_regex(
+        lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS w
+      FROM documents
+    ),
+    wf AS (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY w),
+    init AS (
+      SELECT regexp_replace(w, '(.)', '(\1)', 'g') || '(</w>)' AS s, freq
+      FROM wf
+    ),
+    seg(iter, s, freq, ml, mr) AS (
+      SELECT 0, s, freq, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM init
+      UNION ALL
+      SELECT iter + 1,
+        replace(s, '(' || best.a || ')(' || best.b || ')',
+                '(' || best.a || best.b || ')'),
+        freq, best.a, best.b
+      FROM seg,
+        (SELECT a, b FROM (
+           SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS cnt
+           FROM (SELECT string_split(trim(s, '()'), ')(') AS l, freq
+                 FROM seg),
+                UNNEST(range(1, len(l))) AS t(i)
+           GROUP BY 1, 2)
+         ORDER BY cnt DESC, a, b LIMIT 1) best
+      WHERE iter < 30
+    )
+    SELECT DISTINCT CAST(iter - 1 AS INT) AS rank, ml AS lhs, mr AS rhs
+    FROM seg WHERE iter > 0 ORDER BY rank
+    """,
+)
+def q150_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-BPE trainer parity (VERDICT r6 next-item #7): train 30
+    merges on the FULL documents corpus (``tokenize.train_bpe`` with
+    ``sample_docs=None`` — the word-frequency table is a distributed
+    groupBy; only the |vocab|-bounded merge loop is driver-side) and
+    return the ordered merge table.  The DuckDB twin replays the exact
+    training algorithm as a recursive CTE: words as
+    wrapped-symbol strings ``(h)(e)(l)(l)(o)(</w>)``, each round
+    extracting adjacent-pair counts by unnesting the symbol lists,
+    selecting argmax with the same (count DESC, pair ASC) tie-break,
+    and merging via ``replace`` — whose all-occurrences left-to-right
+    non-overlap semantics equal BPE's greedy merge (verified on the
+    ``(a)(a)(a)`` chain case).  Symbols never contain ``)(`` so the
+    wrapped pair pattern cannot false-match inside a symbol."""
+    from streaming_feature_store_spark.operators.tokenize import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=30, sample_docs=None)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string",
+    )
+
+
+_Q151_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("a", "n"), ("an", "d"),
+    ("and", "</w>"), ("i", "n"), ("e", "r"), ("o", "u"), ("er", "</w>"),
+    ("in", "g"), ("ing", "</w>"),
+]
+
+
+@query(
+    "q151_bpe_token_counts",
+    sql=r"""
+    WITH RECURSIVE
+    m(rank, lhs, rhs) AS (VALUES
+      (0,'t','h'), (1,'th','e'), (2,'the','</w>'), (3,'a','n'),
+      (4,'an','d'), (5,'and','</w>'), (6,'i','n'), (7,'e','r'),
+      (8,'o','u'), (9,'er','</w>'), (10,'in','g'), (11,'ing','</w>')),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(
+        lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2),
+    dw AS (SELECT DISTINCT w FROM wc),
+    ap(w, l, iter) AS (
+      SELECT w,
+        string_split(trim(regexp_replace(w, '(.)', '(\1)', 'g')
+                          || '(</w>)', '()'), ')('),
+        0
+      FROM dw
+      UNION ALL
+      SELECT w,
+        l[1:best.i-1] || [l[best.i] || l[best.i+1]] || l[best.i+2:],
+        iter + 1
+      FROM ap,
+        LATERAL (SELECT i FROM (
+            SELECT t.i AS i, m.rank AS rank
+            FROM UNNEST(range(1, len(l))) AS t(i)
+            JOIN m ON m.lhs = l[t.i] AND m.rhs = l[t.i+1])
+          ORDER BY rank, i LIMIT 1) best
+    ),
+    fin AS (
+      SELECT w, len(l) AS ntok
+      FROM (SELECT w, l, iter, MAX(iter) OVER (PARTITION BY w) AS mx
+            FROM ap)
+      WHERE iter = mx
+    ),
+    agg AS (
+      SELECT wc.doc_id, CAST(SUM(wc.c * fin.ntok) AS BIGINT) AS n
+      FROM wc JOIN fin USING (w) GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(agg.n, 0) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+)
+def q151_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE APPLY parity (companion to q150's trainer
+    parity): encode every document with a FIXED spec-defined merge
+    table (``_Q151_MERGES`` — rank IS priority) via the memoized
+    Arrow kernel (``tokenize.bpe_encode``) and return per-doc subword
+    token counts.  The DuckDB twin replays the exact greedy apply loop
+    as a per-distinct-word recursive CTE: each round joins the word's
+    adjacent symbol pairs to the merge table, picks the lowest
+    (rank, position) candidate — the module's leftmost-lowest-rank
+    rule — and splices that single occurrence, terminating when no
+    pair is in the table; per-doc counts then come from the word-count
+    relation, mirroring the kernel's per-word memoization."""
+    from streaming_feature_store_spark.operators.tokenize import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, _Q151_MERGES).select(
+        "doc_id", "n_bpe_tokens"
+    )
