@@ -382,8 +382,11 @@ def ivf_topk(
         n = corpus.count()
         frac = min(1.0, (8.0 * nlist) / max(n, 1))
         # xxhash64 is uniform over the full signed-long range; keep rows in
-        # the lowest `frac` slice of it (expected ~8·nlist survivors)
-        thresh = int(-(2**63) + frac * 2.0**64)
+        # the lowest `frac` slice of it (expected ~8·nlist survivors).
+        # Clamp: at frac==1.0 the raw expression is exactly 2^63, one past
+        # the signed-long max — and float rounding can push near-1 fracs
+        # over too; the clamp keeps the filter a no-op in those cases.
+        thresh = min(int(-(2**63) + frac * 2.0**64), 2**63 - 1)
         h = F.xxhash64(F.col(id_col))
         centroids = (
             corpus.select(F.col(id_col), F.col(vec_col))
