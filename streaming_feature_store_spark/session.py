@@ -9,6 +9,12 @@ Key choices (and why they survive a 100 TB scale-up):
 - **AQE on** — runtime partition coalescing, skew-join splitting and
   broadcast-join demotion/promotion based on observed sizes. At 100 TB the
   planner's static stats are wrong often enough that AQE is non-negotiable.
+- **Cached plans participate in AQE coalescing by default** (round 7,
+  ``canChangeCachedPlanOutputPartitioning=true``) — a persisted
+  intermediate no longer pins the pre-coalesce shuffle partition count,
+  so every consumer of a cached frame reads it at the AQE-sized
+  partitioning instead of paying static-count tiny-task rounds; see the
+  inline A/B numbers below.
 - **UTC session timezone** — event-time windows must be deterministic and
   engine-independent (the DuckDB oracle operates on naive timestamps).
 - **Arrow enabled** — the few pandas-UDF paths (drift KS, multimodal decode)
@@ -95,20 +101,18 @@ def get_spark(
     extra_pkgs = os.environ.get("SPARK_GRAFT_EXTRA_PACKAGES", "")
     if extra_pkgs:
         builder = builder.config("spark.jars.packages", extra_pkgs)
-    # Opt-in AQE headroom for data-heavy deployments: start every AQE
-    # shuffle at FACTOR x the static partition count and let runtime
-    # coalescing shrink it (splitting an oversized partition after the
-    # fact is impossible; merging small ones costs nothing — AQE
-    # coalesces from map-output stats before reducers launch).
-    # Measured both ways at the r6 scaling checkpoint, hence opt-in
-    # rather than default: at sf1.0 (10x bench data on the same 32
-    # partitions) factor 4 cuts the spill-bound tail (q102 22.0->13.8s,
-    # q60 19.4->16.1s, q67 22.7->18.4s); at sf0.1 it costs ~30% on the
-    # multi-action persisted-intermediate queries (q101 1.9->5.3s, q119
-    # 3.8->7.9s — a cached frame materializes at the PRE-coalesce count,
-    # so every extra consumer pays factor x as many tiny-task rounds).
-    # Set SPARK_GRAFT_AQE_INITIAL_FACTOR >= 4 on a cluster whose
-    # per-partition data volume outgrows the static setting.
+    # AQE initial-partition headroom stays an ENV OVERRIDE, factor 1 by
+    # default: the round-7 clean A/B (tools/aqe_ab_probe.py, reps=3 min,
+    # /tmp/aqe_ab_sf{01,1_clean}.jsonl) showed the r6 "factor 4 fixes
+    # the sf1.0 dedup spill tail" finding was mostly one-shot stall
+    # noise — under clean measurement factor 4 is neutral on the dedup
+    # family and REGRESSES q119 ~2x at sf1.0 (5.1s -> 9.9s: 128 initial
+    # partitions quadruple the task rounds of every stage AQE cannot
+    # coalesce, e.g. post-cache window stages). The real lever is
+    # cached-plan coalescing below, which wins on its own at BOTH
+    # scales. Set SPARK_GRAFT_AQE_INITIAL_FACTOR>1 only for genuinely
+    # skew-bound deployments where oversized partitions spill before
+    # AQE can split them.
     try:
         aqe_factor = int(os.environ.get("SPARK_GRAFT_AQE_INITIAL_FACTOR", "1"))
     except ValueError:
@@ -118,6 +122,21 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(shuffle * aqe_factor),
         )
+    # DEFAULT (round 7): let AQE coalesce CACHED plan output. Without
+    # this, InMemoryRelation pins the pre-AQE shuffle partition count
+    # and every consumer of a persisted intermediate pays
+    # static-partition tiny-task rounds. Measured A/B (min of 3,
+    # tools/aqe_ab_probe.py): sf0.1 q101 2.05s->1.15s, q119
+    # 4.32s->2.78s, q67 3.00s->2.44s; sf1.0 q119 5.09s->4.86s, q39
+    # 6.51s->5.43s, rest within noise — faster than the r6 baseline on
+    # every probed query at both scales, with no knob. Trade-off: a
+    # cached plan's output partitioning is no longer a stable contract
+    # for downstream exchange reuse, which Spark handles by inserting a
+    # (cheap, AQE-sized) shuffle when a consumer genuinely needs a
+    # specific partitioning.
+    builder = builder.config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     for k, v in (configs or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
