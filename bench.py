@@ -80,12 +80,14 @@ def main() -> None:
     # query's reps ~minutes apart decorrelates them.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
+    per_rep: dict[str, list[float]] = {}
     for _ in range(reps):
         for name, fn in QUERIES.items():
             t0 = time.time()
             force(fn(spark, sf_dir))
             el = time.time() - t0
             times[name] = round(min(times.get(name, el), el), 3)
+            per_rep.setdefault(name, []).append(round(el, 3))
             # the dedup/similarity operators persist() shared subplans for
             # the duration of their query; drop them so cached blocks can't
             # GC-pressure later queries in the single bench JVM (and so
@@ -119,7 +121,21 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "feature_pipeline_events_per_s": round(n_events / feat_s, 1),
+        "reps": reps,
     }
+    if reps >= 3:
+        # medians-plus-band view for scaling artifacts: the min (above)
+        # models a warm cluster, but round-over-round scaling claims need
+        # the host-stall band made explicit (a reps=1 outlier once read
+        # as a 40% spill regression — PERFORMANCE.md round-7 section)
+        import statistics
+
+        payload["queries_median"] = {
+            n: round(statistics.median(v), 3) for n, v in per_rep.items()
+        }
+        payload["queries_minmax"] = {
+            n: [min(v), max(v)] for n, v in per_rep.items()
+        }
     print(json.dumps(payload))
     # The driver's stdout capture truncates the per-query tail; always
     # persist the complete JSON so round-over-round regression audits

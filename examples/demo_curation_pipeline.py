@@ -58,30 +58,47 @@ def main() -> None:
     n0 = docs.count()
     print(f"corpus: {n0:,} documents from {sf_dir}")
 
-    # admission gate: one conditional-aggregate scan; a real pipeline
-    # fails the run (or quarantines) when a rate regresses vs baseline
+    # admission gate: one conditional-aggregate scan for the report, then
+    # the ROUTING split (r7) — violating rows leave this pipeline through
+    # quarantine with their violated_rules tags (e.g. zh docs route to a
+    # separate non-latin pipeline) instead of being silently measured
+    # and passed along
     from streaming_feature_store_spark.operators.profile import (
         data_quality_report,
+        split_violations,
     )
 
-    gate = data_quality_report(
-        docs,
-        {
-            "null_text": F.col("text").isNull(),
-            "empty_text": F.length(F.coalesce("text", F.lit(""))) == 0,
-            "n_chars_mismatch": F.col("n_chars")
-            != F.length(F.coalesce("text", F.lit(""))),
-            # e.g. a latin-script-only training mix: zh routes to a
-            # separate pipeline rather than this one
-            "non_latin_lang": ~F.col("lang").isin("en", "de", "fr", "es"),
-        },
-    ).collect()
+    rules = {
+        "null_text": F.col("text").isNull(),
+        "empty_text": F.length(F.coalesce("text", F.lit(""))) == 0,
+        "n_chars_mismatch": F.col("n_chars")
+        != F.length(F.coalesce("text", F.lit(""))),
+        # e.g. a latin-script-only training mix: zh routes to a
+        # separate pipeline rather than this one
+        "non_latin_lang": ~F.col("lang").isin("en", "de", "fr", "es"),
+    }
+    gate = data_quality_report(docs, rules).collect()
     print(
         "quality gate:",
         {r["rule"]: r["n_violations"] for r in gate},
     )
+    admitted, quarantined = split_violations(docs, rules, persist=True)
+    qdist = (
+        quarantined.groupBy(
+            F.array_join("violated_rules", ",").alias("rules")
+        )
+        .count()
+        .orderBy("rules")
+        .collect()
+    )
+    n_admitted = admitted.count()
+    print(
+        f"quarantine routing: {n_admitted:,} admitted, "
+        f"{sum(r['count'] for r in qdist)} quarantined",
+        {r["rules"]: r["count"] for r in qdist},
+    )
 
-    clean = redact_pii(docs)
+    clean = redact_pii(admitted)
 
     pairs = minhash_near_dups(clean, threshold=0.5).persist()
     n_pairs = pairs.count()
@@ -91,7 +108,7 @@ def main() -> None:
     n1 = survivors.count()
     print(
         f"dedup: {n_pairs} near-dup pairs -> {n_clusters} clusters; "
-        f"{n0 - n1} docs dropped, {n1:,} survive"
+        f"{n_admitted - n1} docs dropped, {n1:,} survive"
     )
 
     print("quality funnel (per source, first 5):")
@@ -147,6 +164,9 @@ def main() -> None:
         f"centroids, {balanced.count()} in the balanced sample, "
         f"{emb_pairs.count()} near-dup pairs at cosine>=0.99"
     )
+    from streaming_feature_store_spark.cacheutil import release_all
+
+    release_all()  # the gate's tagged persist + any operator intermediates
     spark.stop()
     print("curation pipeline complete.")
 
