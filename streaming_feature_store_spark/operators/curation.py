@@ -122,6 +122,90 @@ def decontaminate(
     )
 
 
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weight per corpus document: how much more
+    likely the document is under the TARGET distribution than under the
+    raw-corpus distribution, as a unigram log-ratio (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    hashed-ngram variant simplifies to unigram here; the hashing is an
+    implementation detail for unbounded vocabularies, which
+    ``xxhash64(term) % buckets`` drops into this plan without reshaping).
+
+    ``log_weight(d) = Σ_w tf_dw · ( ln p̂_t(w) − ln p̂_s(w) )`` with
+    add-``alpha`` smoothing over the UNION vocabulary on both sides
+    (``p̂(w) = (c_w + α) / (C + α·V)``) so target-unseen corpus terms get
+    finite negative evidence instead of −∞. Downstream, resampling by
+    these weights is exactly ``weighted_priority_sample`` /
+    ``sample_corpus`` with ``exp(log_weight / temperature)`` — the
+    selection stage stays a separate, already-oracled primitive.
+
+    Plan shape: ONE corpus tokenize pass builds tf per (doc, term)
+    [persisted — it feeds the source vocabulary counts AND the per-doc
+    weight join]; target counts come from one tokenize of the target
+    sample; the per-term log-ratio table is a vocabulary-bounded full
+    outer join of the two count relations, with totals and |V| riding
+    along as a lazy broadcast one-row aggregate. The only big relation is
+    tf; the ratio table joins it on the term key (AQE promotes the
+    vocab-bounded side to broadcast when it fits). Caching contract as in
+    ``tfidf_top_terms``: release with ``release_cached_intermediates()``."""
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+    from streaming_feature_store_spark.operators.text import alpha_tokens
+
+    tf = persist_tracked(
+        alpha_tokens(corpus, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    s_counts = tf.groupBy("term").agg(F.sum("tf").alias("s_c"))
+    t_counts = (
+        alpha_tokens(target, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("t_c"))
+    )
+    vocab = (
+        s_counts.join(t_counts, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("s_c", F.lit(0)).alias("s_c"),
+            F.coalesce("t_c", F.lit(0)).alias("t_c"),
+        )
+    )
+    totals = vocab.agg(
+        F.sum("s_c").alias("s_tot"),
+        F.sum("t_c").alias("t_tot"),
+        F.count("*").alias("v"),
+    )
+    ratio = vocab.crossJoin(broadcast(totals)).select(
+        "term",
+        (
+            F.log(
+                (F.col("t_c") + alpha)
+                / (F.col("t_tot") + alpha * F.col("v"))
+            )
+            - F.log(
+                (F.col("s_c") + alpha)
+                / (F.col("s_tot") + alpha * F.col("v"))
+            )
+        ).alias("log_ratio"),
+    )
+    return (
+        tf.join(ratio, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("log_ratio")), 6).alias(
+                "log_weight"
+            ),
+        )
+    )
+
+
 def sample_corpus(
     df: DataFrame,
     rates: dict[str, float],

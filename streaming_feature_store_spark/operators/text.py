@@ -514,6 +514,92 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a set of queries — the
+    lexical ranking half of a retrieval/RAG data pipeline (TF-IDF's
+    retrieval-grade sibling: saturating term frequency, length
+    normalization, Robertson idf).
+
+    score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Lucene/Robertson
+    non-negative form). Repeated query terms count once (set semantics,
+    the common short-query simplification; a qtf weighting drops in by
+    removing the distinct()).
+
+    Plan shape (same skeleton as ``tfidf_top_terms``): ONE corpus
+    tokenize pass builds tf per (doc, term) [persisted — it feeds doc
+    lengths, document frequency, and the final score join]; N/avgdl ride
+    along as a broadcast one-row aggregate (lazy crossJoin, no driver
+    action); per-(query, term) idf is a few-row frame BROADCAST against
+    tf, so the corpus-sized side never shuffles for the match — the join
+    prunes tf to query-term postings first (the inverted-index access
+    pattern, expressed relationally), and only those postings join doc
+    lengths (AQE promotes the pruned side). Ranking is on the
+    6-dp-rounded score with doc-id tiebreaks (house rule: sub-1e-6 float
+    noise must not flip cross-engine order). At 100 TB: tf is the only
+    big relation; everything derived from it is vocabulary- or
+    query-bounded. Caching contract as in tfidf_top_terms (persisted tf;
+    release with ``release_cached_intermediates()``)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    tf = _persist_tracked(
+        alpha_tokens(df, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        # explicit double/long division — both engines then compute the
+        # identical IEEE quotient from identical exact integer sums
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfr"))
+    qterms = (
+        alpha_tokens(queries, query_id_col, query_text_col)
+        .distinct()
+        .join(dfreq, "term")
+        .crossJoin(broadcast(stats))
+        .select(
+            query_id_col,
+            "term",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("dfr") + 0.5) / (F.col("dfr") + 0.5)
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    tf_c = F.col("tf").cast("double")
+    contrib = F.col("idf") * (
+        tf_c * (k1 + 1.0)
+        / (tf_c + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(broadcast(qterms), "term")
+        .join(dl, id_col)
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def unigram_nll(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

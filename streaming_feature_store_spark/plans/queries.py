@@ -6431,3 +6431,127 @@ def q151_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, _Q151_MERGES).select(
         "doc_id", "n_bpe_tokens"
     )
+
+
+@query(
+    "q152_bm25_topk",
+    sql=r"""
+    WITH q(query_id, query_text) AS (VALUES
+      ('q1', 'hash join strategy'), ('q2', 'window batch stream'),
+      ('q3', 'customer order data'), ('q4', 'vector scan filter')),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(
+        lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS dfr FROM tf GROUP BY 1),
+    qt AS (
+      SELECT DISTINCT query_id, unnest(string_split_regex(
+        lower(regexp_replace(query_text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+      FROM q
+    ),
+    qi AS (
+      SELECT query_id, term,
+        ln(1.0 + (n_docs - dfr + 0.5) / (dfr + 0.5)) AS idf, avgdl
+      FROM qt JOIN dfreq USING (term) CROSS JOIN stats
+      WHERE term <> ''
+    ),
+    sc AS (
+      SELECT query_id, doc_id,
+        ROUND(SUM(idf * (tf * 2.2)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+      FROM tf JOIN qi USING (term) JOIN dl USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM sc)
+    WHERE rank <= 5
+    """,
+)
+def q152_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 retrieval (``text.bm25_topk``) for four fixed
+    literal queries over the documents corpus — the lexical ranking half
+    of a retrieval/RAG pipeline, beyond the reference's TF-IDF.  Both
+    engines evaluate the identical Robertson formula (k1=1.2, b=0.75,
+    non-negative ln(1+...) idf) from identical exact integer tf/df/dl
+    aggregates; scores are rounded once at the presentation edge and
+    ranked with doc-id tiebreaks.  Plan: one corpus tokenize pass; the
+    per-(query, term) idf frame broadcasts against tf, so the corpus
+    relation shuffles only for its own aggregates."""
+    from streaming_feature_store_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [
+            ("q1", "hash join strategy"),
+            ("q2", "window batch stream"),
+            ("q3", "customer order data"),
+            ("q4", "vector scan filter"),
+        ],
+        "query_id string, query_text string",
+    )
+    return bm25_topk(docs, qdf, k=5)
+
+
+@query(
+    "q153_dsir_weights",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(
+        lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term <> '' GROUP BY 1, 2),
+    sc AS (SELECT term, SUM(tf) AS s_c FROM tf GROUP BY 1),
+    ttok AS (
+      SELECT unnest(string_split_regex(
+        lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+      FROM documents WHERE lang = 'en'
+    ),
+    tc AS (SELECT term, COUNT(*) AS t_c FROM ttok
+           WHERE term <> '' GROUP BY 1),
+    vocab AS (
+      SELECT COALESCE(sc.term, tc.term) AS term,
+             COALESCE(s_c, 0) AS s_c, COALESCE(t_c, 0) AS t_c
+      FROM sc FULL OUTER JOIN tc ON sc.term = tc.term
+    ),
+    tot AS (SELECT SUM(s_c) AS s_tot, SUM(t_c) AS t_tot,
+                   COUNT(*) AS v FROM vocab),
+    ratio AS (
+      SELECT term,
+        ln((t_c + 0.5) / (t_tot + 0.5 * v))
+        - ln((s_c + 0.5) / (s_tot + 0.5 * v)) AS log_ratio
+      FROM vocab CROSS JOIN tot
+    )
+    SELECT tf.doc_id,
+      CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+      ROUND(SUM(tf.tf * ratio.log_ratio), 6) AS log_weight
+    FROM tf JOIN ratio USING (term)
+    GROUP BY 1
+    """,
+)
+def q153_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (``curation.importance_weights``):
+    per-document unigram log-ratio of the English-target distribution vs
+    the raw corpus (add-0.5 smoothing over the union vocabulary) — the
+    data-selection scoring stage of an importance-resampling mixture
+    pipeline (resampling itself reuses the already-oracled weighted
+    samplers).  The DuckDB twin replays the same smoothed count algebra
+    from the same exact integer aggregates; the only doubles are the two
+    ln() terms, and the weight is rounded once at the presentation
+    edge."""
+    from streaming_feature_store_spark.operators.curation import (
+        importance_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return importance_weights(docs, docs.filter(F.col("lang") == "en"))
