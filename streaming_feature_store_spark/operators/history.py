@@ -54,3 +54,91 @@ def scd2_history(
         .withColumn("is_current", nxt.isNull())
         .drop(ts_us_col)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Keyed diff of two table snapshots — the change-data audit a
+    pipeline runs between two loads of the same source (did the refresh
+    add/drop/mutate what we expected?), and the offline twin of a CDC
+    feed when the source can't emit one.
+
+    Emits one row per key present in either side with ``diff_status`` ∈
+    ``added`` (key only in ``new``) / ``removed`` (only in ``old``) /
+    ``changed`` (present in both, any compare column differs) /
+    ``unchanged``, plus ``changed_cols``: the comma-joined sorted names
+    of the columns that differ (empty string otherwise) — a string, not
+    an array, so the report is flat and engine-portable. Comparison is
+    NULL-SAFE (NULL==NULL holds; NULL vs value is a change), the only
+    semantics under which a diff of nullable snapshots round-trips.
+
+    ``compare_cols`` defaults to every shared non-key column. Unchanged
+    keys are suppressed by default (at 100 TB they are ~the whole join;
+    the report should be the delta, not the table) — flip
+    ``include_unchanged`` for the full reconciliation view.
+
+    Plan: ONE full outer join on the key columns (the unavoidable
+    shuffle, co-partitioned on both sides by the same key so AQE can
+    plan skew splits); every status/changed-col expression is codegen on
+    the joined row. No window, no second pass, no collect.
+    """
+    if compare_cols is None:
+        keyset = set(key_cols)
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in keyset
+        ]
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+
+    diff_flags = [
+        (c, ~F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}")))
+        for c in compare_cols
+    ]
+    changed_cols = F.concat_ws(
+        ",",
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(flag, F.lit(c)).otherwise(F.lit(None))
+                    for c, flag in sorted(diff_flags, key=lambda t: t[0])
+                ]
+            )
+        ),
+    )
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(changed_cols != F.lit(""), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+            for c in key_cols
+        ],
+        status.alias("diff_status"),
+        F.when(status == "changed", changed_cols)
+        .otherwise(F.lit(""))
+        .alias("changed_cols"),
+    )
+    if include_unchanged:
+        return out
+    return out.filter(F.col("diff_status") != "unchanged")

@@ -566,3 +566,64 @@ def split_violations(
     )
     quarantined = tagged.filter(F.size("violated_rules") > 0)
     return clean, quarantined
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity suppression for training-data release: keep only rows
+    whose quasi-identifier combination is shared by at least ``k`` rows,
+    and carry the group size along as ``qi_group_n`` (the standard
+    Sweeney suppression model — a row indistinguishable from at least
+    k−1 others on every quasi column cannot be singled out by joining
+    the released table to an external one on those columns).
+
+    Null-safe: NULL is a quasi VALUE here, not a wildcard — rows with
+    NULL in a quasi column group together, the same semantics both
+    window partitioning and a groupBy-join give, so the oracle and any
+    downstream re-check agree. Generalization (bucketing a too-precise
+    column until groups clear k) is the caller's move: pass the
+    generalized expression as the quasi column and re-gate.
+
+    Plan: ONE shuffle — a count window over the quasi partition (no
+    separate aggregate+join pass, no broadcast of a potentially huge
+    group-count relation); the suppression itself is a post-window
+    filter. At 100 TB the quasi partition is the natural key
+    distribution; a skewed quasi combination only makes its own group
+    large, which is exactly the k-anonymous case.
+    """
+    w = Window.partitionBy(*quasi_cols)
+    return (
+        df.withColumn("qi_group_n", F.count(F.lit(1)).over(w).cast("bigint"))
+        .filter(F.col("qi_group_n") >= k)
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """One-row audit for ``k_anonymize``: the k-anonymity level the table
+    already has (min quasi-group size), group counts, and what the
+    k-suppression would cost (rows and groups dropped) — the number a
+    release pipeline gates on BEFORE deciding to suppress or generalize.
+
+    Plan: one groupBy over the quasi columns, then a scalar aggregate of
+    the group-size relation; both passes are map-side-partial friendly
+    and the second input is |distinct quasi| rows, not |df|.
+    """
+    sizes = df.groupBy(*quasi_cols).agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.min("n").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_suppressed"),
+        F.sum(F.when(F.col("n") < k, 1).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("groups_suppressed"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )

@@ -660,3 +660,57 @@ def cluster_cohesion(
             F.min("_cos").alias("min_cosine"),
         )
     )
+
+
+def kmeans_lloyd_step(
+    vecs: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration as a pure relational dataflow: assign every
+    vector to its nearest centroid (the ``assign_clusters`` kernel —
+    squared-L2, 6-dp rounding, centroid-id tiebreak), then recompute each
+    centroid as the member mean, per dimension, with DECIMAL-EXACT
+    accumulation (the ``dsum`` discipline: cast → SUM → one double
+    division), so the updated centroids are independent of partitioning
+    and summation order — the property that lets iterations be compared
+    across engines and re-runs bit-for-bit.
+
+    Returns ``(cluster_id, dim_pos, centroid_val, n_members)`` in the
+    long (per-dimension) layout — ``F.transform``-free, array-rebuild-free,
+    directly joinable back into ``assign_clusters(centroids=...)`` after a
+    ``collect_list`` pivot when the caller wants the array form.
+
+    This is the audit/oracle twin of ``train_centroids`` (MLlib drives
+    the full training loop at scale; triangle-inequality pruning and
+    k-means|| init are not worth reimplementing); one explicit step is
+    what a pipeline needs to CHECK a clustering (centroid drift between
+    snapshots) or to resume from externally-produced centroids. Plan:
+    one |vecs|·k scoring pass (centroids broadcast), one explode, one
+    grouped agg keyed (cluster, dim) — k·dim output rows, map-side
+    partials do the heavy lifting; no iteration state is cached.
+    """
+    if centroids is None:
+        centroids = vecs.orderBy(id_col).limit(k)
+    assigned = assign_clusters(vecs, centroids, k, id_col, vec_col).select(
+        id_col, "cluster_id"
+    )
+    v = as_double_vec(vecs, vec_col).select(id_col, vec_col)
+    return (
+        assigned.join(v, id_col)
+        .select("cluster_id", F.posexplode(vec_col).alias("dim_pos", "x"))
+        .groupBy("cluster_id", "dim_pos")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count("*")
+                ),
+                6,
+            ).alias("centroid_val"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+        .select("cluster_id", "dim_pos", "centroid_val", "n_members")
+    )

@@ -6555,3 +6555,212 @@ def q153_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return importance_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+@query(
+    "q154_k_anonymize",
+    sql="""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+        CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band
+      FROM customer
+    ), sized AS (
+      SELECT *, COUNT(*) OVER (
+        PARTITION BY c_nationkey, c_mktsegment, bal_band) AS qi_group_n
+      FROM q
+    )
+    SELECT c_custkey, c_nationkey, c_mktsegment, bal_band, qi_group_n
+    FROM sized WHERE qi_group_n >= 5
+    """,
+)
+def q154_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (``profile.k_anonymize``, k=5) of the
+    customer table on the quasi-identifier (nation, market segment,
+    account-balance band) — the privacy gate a training-data release
+    runs so no released row is joinable to fewer than 5 candidates.
+    One window shuffle; NULL-safe group semantics match the oracle's
+    window partitioning by construction."""
+    from streaming_feature_store_spark.operators.profile import k_anonymize
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+    )
+    return k_anonymize(cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
+
+
+@query(
+    "q155_snapshot_diff",
+    sql="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-06-01'
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderpriority = '1-URGENT'
+             THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_custkey % 97 <> 3
+    ), j AS (
+      SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+        old.o_orderkey IS NULL AS only_new,
+        new.o_orderkey IS NULL AS only_old,
+        CONCAT_WS(',',
+          CASE WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+               THEN 'o_orderstatus' END,
+          CASE WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+               THEN 'o_totalprice' END) AS cc
+      FROM old FULL OUTER JOIN new USING (o_orderkey)
+    )
+    SELECT o_orderkey,
+      CASE WHEN only_new THEN 'added' WHEN only_old THEN 'removed'
+           WHEN cc <> '' THEN 'changed' ELSE 'unchanged' END AS diff_status,
+      CASE WHEN only_new OR only_old THEN '' ELSE cc END AS changed_cols
+    FROM j
+    WHERE NOT (only_new IS FALSE AND only_old IS FALSE AND cc = '')
+    """,
+)
+def q155_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (``history.snapshot_diff``) between two loads
+    of the orders table — the second load extends the date horizon
+    (added), drops one customer shard (removed), and restates urgent
+    orders' totals (changed, with the column named in ``changed_cols``).
+    The mutation is an exact double addition, so both engines compare
+    identical IEEE values; one full-outer join, codegen everywhere
+    else."""
+    from streaming_feature_store_spark.operators.history import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < "1997-06-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        orders.filter(
+            (F.col("o_orderdate") < "1998-01-01")
+            & (F.col("o_custkey") % 97 != 3)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.col("o_totalprice") + 1000.0,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@query(
+    "q156_kmeans_lloyd_step",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS centroid_id, v AS cv, list_dot_product(v, v) AS cc
+      FROM (SELECT vec_id, v,
+              ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+      WHERE rn <= 8
+    ), scored AS (
+      SELECT e.vec_id, centroid_id,
+        ROUND(list_dot_product(e.v, e.v)
+              - 2 * list_dot_product(e.v, cv) + cc, 6) AS dist2
+      FROM e CROSS JOIN c
+    ), assigned AS (
+      SELECT vec_id, centroid_id AS cluster_id,
+        ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rk
+      FROM scored
+    ), members AS (
+      SELECT a.cluster_id, unnest(e.v) AS x,
+             generate_subscripts(e.v, 1) - 1 AS dim_pos
+      FROM assigned a JOIN e USING (vec_id) WHERE a.rk = 1
+    )
+    SELECT cluster_id, dim_pos,
+      ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+        AS centroid_val,
+      COUNT(*) AS n_members
+    FROM members GROUP BY 1, 2
+    """,
+)
+def q156_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd k-means iteration over the embedding corpus
+    (``similarity.kmeans_lloyd_step``, k=8, lowest-id seeding): nearest-
+    centroid assignment then per-dimension DECIMAL-EXACT member means —
+    the order-independent centroid update both engines reproduce
+    bit-for-bit (the audit/resume kernel; MLlib ``train_centroids``
+    drives full training at scale)."""
+    from streaming_feature_store_spark.operators.similarity import (
+        kmeans_lloyd_step,
+    )
+
+    return kmeans_lloyd_step(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+_Q157_INTERLEAVE = " + ".join(
+    f"(((zp >> {b}) & 1) << {2 * b}) + (((zq >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8)
+)
+
+
+@query(
+    "q157_zorder_key",
+    sql=f"""
+    WITH st AS (
+      SELECT MIN(l_extendedprice) AS mnp, MAX(l_extendedprice) AS mxp,
+             MIN(l_quantity) AS mnq, MAX(l_quantity) AS mxq
+      FROM lineitem
+    ), cells AS (
+      SELECT l_orderkey, l_linenumber,
+        LEAST(255, CAST(FLOOR(
+          (l_extendedprice - mnp) / (mxp - mnp) * 256) AS BIGINT))
+          AS zp,
+        LEAST(255, CAST(FLOOR(
+          (CAST(l_quantity AS DOUBLE) - mnq) / (mxq - mnq) * 256) AS BIGINT))
+          AS zq
+      FROM lineitem CROSS JOIN st
+    )
+    SELECT l_orderkey, l_linenumber,
+      zp AS zr_price, zq AS zr_qty,
+      {_Q157_INTERLEAVE} AS zkey
+    FROM cells
+    ORDER BY zkey, l_orderkey, l_linenumber
+    LIMIT 60
+    """,
+)
+def q157_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over lineitem's (price, quantity)
+    grid (``layout.zorder_rank`` + ``layout.zorder_key``, 8 bits/dim):
+    the multi-dimensional clustering key whose range partitioning gives
+    parquet min/max pruning on BOTH columns — Delta's OPTIMIZE ZORDER
+    restated as pure codegen bit math. The first 60 keys in (zkey, row)
+    order pin the interleave and the equal-width grid cells exactly;
+    the write-side clustering itself is ``layout.cluster_by_zorder``."""
+    from streaming_feature_store_spark.operators.layout import (
+        zorder_key,
+        zorder_rank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    ranked = zorder_rank(li, ["l_extendedprice", "l_quantity"], bits=8)
+    return (
+        ranked.withColumn(
+            "zkey",
+            zorder_key(["_zr_l_extendedprice", "_zr_l_quantity"], bits=8),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("_zr_l_extendedprice").alias("zr_price"),
+            F.col("_zr_l_quantity").alias("zr_qty"),
+            "zkey",
+        )
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+        .limit(60)
+    )
