@@ -714,3 +714,66 @@ def kmeans_lloyd_step(
         )
         .select("cluster_id", "dim_pos", "centroid_val", "n_members")
     )
+
+
+def projection_signs(dim: int, out_dim: int, seed: int = 0) -> list[list[float]]:
+    """The ±1 sign matrix for ``random_projection``, derived from md5 so
+    any engine (or the DuckDB oracle) regenerates it bit-identically with
+    no stored state: ``s[j][i] = +1 iff md5(f"{seed}_{i}_{j}")`` starts
+    below hex '8'. Returned per OUTPUT dimension (row j = the dim-length
+    sign vector whose dot with the input produces component j)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}_{i}_{j}".encode()).hexdigest()[0] < "8"
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: reduce ``dim``-wide
+    embeddings to ``out_dim`` components ``y_j = (Σ_i v_i · s_ij) /
+    √out_dim`` with the Achlioptas ±1 matrix from ``projection_signs``
+    (Achlioptas 2003: database-friendly random projections — ±1 entries
+    preserve pairwise distances in expectation exactly like Gaussians).
+
+    This is the high-dimension front end of the ANN stack: at 1536-3072
+    input dims the LSH/IVF scoring cost is linear in dim, so projecting
+    once to 32-64 dims cuts every downstream distance evaluation ~50×
+    while JL keeps neighbor ORDER approximately intact (candidates are
+    re-scored exactly on the full vectors anyway — ``lsh_cosine_topk`` /
+    ``ivf_topk`` verify on the originals).
+
+    The matrix enters the plan as ``out_dim`` LITERAL sign arrays folded
+    against the vector column (sequential double dots, whole-stage
+    codegen, no UDF, no stored matrix, no shuffle — embarrassingly
+    parallel per row). Output keeps ``id_col`` and replaces ``vec_col``
+    with the projected array<double>.
+    """
+    import math
+
+    signs = projection_signs(dim, out_dim, seed)
+    inv = 1.0 / math.sqrt(out_dim)
+    v = as_double_vec(df, vec_col)
+    comps = [
+        (_dot(F.col(vec_col), F.lit(s)) * inv).alias(f"_p{j}")
+        for j, s in enumerate(signs)
+    ]
+    return v.select(
+        F.col(id_col), *comps
+    ).select(
+        id_col,
+        F.array(*[f"_p{j}" for j in range(out_dim)]).alias(vec_col),
+    )

@@ -6764,3 +6764,46 @@ def q157_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "l_orderkey", "l_linenumber")
         .limit(60)
     )
+
+
+def _q158_sql() -> str:
+    import math
+
+    from streaming_feature_store_spark.operators.similarity import (
+        projection_signs,
+    )
+
+    inv = 1.0 / math.sqrt(8)
+    rows = ", ".join(
+        f"({j}, {s})"
+        for j, s in enumerate(projection_signs(64, 8, seed=0))
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), m(j, s) AS (VALUES {rows})
+    SELECT vec_id, CAST(j AS INT) AS dim_pos,
+      ROUND(list_dot_product(v, s) * {inv!r}, 6) AS comp
+    FROM e CROSS JOIN m
+    """
+
+
+@query("q158_random_projection", sql=_q158_sql())
+def q158_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection of the 64-dim embedding
+    corpus to 8 components (``similarity.random_projection``, Achlioptas
+    ±1 matrix regenerated from md5 — no stored state): the
+    dimensionality-reduction front end that makes LSH/IVF distance
+    evaluations ~dim/out_dim cheaper at 100 TB. Both engines fold the
+    identical literal sign arrays against the identical double vectors;
+    components are rounded once at the presentation edge."""
+    from streaming_feature_store_spark.operators.similarity import (
+        random_projection,
+    )
+
+    proj = random_projection(
+        _t(spark, sf_dir, "embeddings"), dim=64, out_dim=8, seed=0
+    )
+    return proj.select(
+        "vec_id", F.posexplode("embedding").alias("dim_pos", "_c")
+    ).select("vec_id", "dim_pos", F.round("_c", 6).alias("comp"))

@@ -194,3 +194,56 @@ def test_cosine_topk_blas_matches_expression_path(spark):
         enbr, ecos = expected[key]
         assert nbr == enbr, (key, nbr, enbr)
         assert abs(cos - ecos) < 1e-9
+
+
+def test_random_projection_preserves_neighbor_structure(spark):
+    """JL contract: the ±1 sign projection approximately preserves
+    pairwise squared distances (Achlioptas 2003). On a random corpus the
+    projected/original distance ratio must concentrate around 1 and the
+    distance ORDER must stay strongly correlated — the property that
+    makes projecting before LSH/IVF safe when candidates are re-scored
+    exactly afterwards."""
+    import numpy as np
+
+    from streaming_feature_store_spark.operators.similarity import (
+        projection_signs,
+        random_projection,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(30, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = random_projection(df, dim=64, out_dim=16, seed=0).collect()
+    proj = np.zeros((30, 16))
+    for r in out:
+        proj[r["vec_id"]] = r["embedding"]
+
+    # exactness: components equal the numpy replay of the same signs
+    signs = np.array(projection_signs(64, 16, seed=0))  # (16, 64)
+    want = vecs.astype("float64") @ signs.T / np.sqrt(16)
+    assert np.max(np.abs(proj - want)) < 1e-9
+
+    # JL distortion: squared-distance ratios concentrated around 1
+    d_orig = ((vecs[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+    d_proj = ((proj[:, None, :] - proj[None, :, :]) ** 2).sum(-1)
+    iu = np.triu_indices(30, k=1)
+    ratios = d_proj[iu] / d_orig[iu]
+    assert 0.8 < np.median(ratios) < 1.25
+    assert np.corrcoef(d_orig[iu], d_proj[iu])[0, 1] > 0.5
+
+
+def test_random_projection_deterministic_across_seeds(spark):
+    from streaming_feature_store_spark.operators.similarity import (
+        projection_signs,
+    )
+
+    a = projection_signs(8, 4, seed=0)
+    b = projection_signs(8, 4, seed=0)
+    c = projection_signs(8, 4, seed=1)
+    assert a == b
+    assert a != c
+    flat = [x for row in a for x in row]
+    assert set(flat) == {1.0, -1.0}
