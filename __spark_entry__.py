@@ -33,8 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # is additionally pinned per-round by the committed
 # PARITY_sf0.01_r0N.txt runs (r6's: 148/148 OK).  Round 7's window
 # front-loads the queries over this round's CHANGED code paths — the
-# three NEW oracled queries (q149 quarantine routing, q150/q151 BPE
-# trainer/apply parity), the persisted-intermediate family now running
+# ten NEW oracled queries (q152 BM25 retrieval, q153 DSIR importance
+# weights, q154 k-anonymity, q155 snapshot diff, q156 k-means Lloyd
+# step, q157 Z-order layout key, q158 JL random projection, plus q149
+# quarantine routing and q150/q151 BPE trainer/apply parity), the
+# persisted-intermediate family now running
 # under the new cached-plan-AQE-coalescing session default
 # (q101/q102/q119 + the dedup/similarity lineages), the ivf_topk
 # centroid-threshold overflow fix (q58), the cacheutil release-API
@@ -43,7 +46,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # then rotates in the OLDEST-verified ballast: r3-era rows (q42-q62
 # block) whose last driver check predates the r4-r6 windows.
 _PRIORITY = [
-    # new this round (3)
+    # new this round (10)
+    "q152_bm25_topk", "q153_dsir_weights", "q154_k_anonymize",
+    "q155_snapshot_diff", "q156_kmeans_lloyd_step", "q157_zorder_key",
+    "q158_random_projection",
     "q149_quarantine_rows", "q150_bpe_merges", "q151_bpe_token_counts",
     # cached-plan AQE coalescing default + dedup/similarity family (12)
     "q101_unigram_logprob", "q102_bigram_collocations",
@@ -64,15 +70,13 @@ _PRIORITY = [
     "q91_knn_label_agreement", "q97_regional_supplier_revenue",
     "q98_returned_items_customers", "q99_supplier_nation_year_revenue",
     "q100_disjunctive_predicates", "q105_market_share",
-    # oldest-verified ballast (15): last driver-checked in r3
+    # oldest-verified ballast (8): last driver-checked in r3 (the other
+    # seven r3-era rows rotated out to make room for q152-q158; all are
+    # pinned by the committed full-parity artifact either way)
     "q42_out_of_order_stats", "q43_supplier_region_stats",
     "q44_timestamp_normalization", "q45_approx_distinct",
     "q46_wide_feature_frame", "q47_discount_revenue",
     "q48_salted_user_stats", "q49_rollup_revenue",
-    "q52_value_percentiles", "q53_ks_by_feature",
-    "q54_ks_drift_report", "q55_prediction_drift",
-    "q56_ks_binned", "q61_curated_corpus",
-    "q62_decontamination",
 ]
 
 
