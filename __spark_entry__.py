@@ -28,25 +28,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
-# registration (dict-insertion) order.  After r2-r6 every one of the 151
-# catalog queries carries a driver-recorded green row; the full catalog
-# is additionally pinned per-round by the committed
-# PARITY_sf0.01_r0N.txt runs (r6's: 148/148 OK).  Round 7's window
-# front-loads the queries over this round's CHANGED code paths — the
-# ten NEW oracled queries (q152 BM25 retrieval, q153 DSIR importance
-# weights, q154 k-anonymity, q155 snapshot diff, q156 k-means Lloyd
-# step, q157 Z-order layout key, q158 JL random projection, plus q149
-# quarantine routing and q150/q151 BPE trainer/apply parity), the
-# persisted-intermediate family now running
-# under the new cached-plan-AQE-coalescing session default
+# registration (dict-insertion) order.  After r2-r6 every catalog query
+# carries a driver-recorded green row; the full catalog is additionally
+# pinned per-round by the committed PARITY_sf0.01_r0N.txt runs (r7's:
+# 158/158 at the first-batch point, refreshed after the second batch).
+# Round 7's window front-loads the queries over this round's CHANGED
+# code paths — the EIGHTEEN new oracled queries (second batch: q159
+# cohort retention, q160 RFM distributed-ntile, q161 OOF target
+# encoding, q162 embargo split, q163 oriented triangle counting, q164
+# EWMA fold, q165 SemDeDup, q166 feature hashing; first batch: q152
+# BM25, q153 DSIR weights, q154 k-anonymity, q155 snapshot diff, q156
+# Lloyd step, q157 Z-order key, q158 JL projection, q149 quarantine
+# routing, q150/q151 BPE parity), the persisted-intermediate family now
+# running under the new cached-plan-AQE-coalescing session default
 # (q101/q102/q119 + the dedup/similarity lineages), the ivf_topk
 # centroid-threshold overflow fix (q58), the cacheutil release-API
-# split's consumers (q136/q138), and the 18 queries whose forced
-# dim-broadcast hints were dropped in favor of AQE runtime promotion —
-# then rotates in the OLDEST-verified ballast: r3-era rows (q42-q62
-# block) whose last driver check predates the r4-r6 windows.
+# split's consumers (q136/q138), and the queries whose forced
+# dim-broadcast hints were dropped in favor of AQE runtime promotion
+# (the window tail; the remainder stay pinned by the parity artifact).
 _PRIORITY = [
-    # new this round (10)
+    # new this round, second batch (8): behavior/ML-encoding/graph ops
+    "q159_cohort_retention", "q160_rfm_segments", "q161_target_encoding",
+    "q162_embargo_split", "q163_part_triangles", "q164_user_value_ewma",
+    "q165_semantic_dedup", "q166_hashed_feature_buckets",
+    # new this round, first batch (10)
     "q152_bm25_topk", "q153_dsir_weights", "q154_k_anonymize",
     "q155_snapshot_diff", "q156_kmeans_lloyd_step", "q157_zorder_key",
     "q158_random_projection",

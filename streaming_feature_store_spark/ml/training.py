@@ -483,3 +483,136 @@ def fit_per_group_linear(
         .groupBy(group_col)
         .applyInPandas(fit, schema=schema)
     )
+
+
+def oof_fold(id_col: str | F.Column, n_folds: int) -> F.Column:
+    """Deterministic engine-portable fold id in [0, n_folds): the first hex
+    digit of md5(id) mapped through its position in '0123456789abcdef'
+    (mod n_folds).  No engine-specific hash, no RNG state — the same row
+    lands in the same fold in Spark, DuckDB, or any SQL engine, which is
+    what makes the q161 oracle (and a resumed training run) reproducible."""
+    c = id_col if not isinstance(id_col, str) else F.col(id_col)
+    digit = F.substring(F.md5(c.cast("string")), 1, 1)
+    return (
+        (F.instr(F.lit("0123456789abcdef"), digit) - 1) % n_folds
+    ).cast("int")
+
+
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    n_folds: int = 4,
+    smoothing: float = 20.0,
+) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding for a categorical feature.
+
+    Each row's encoding is the smoothed mean of ``target_col`` over every
+    OTHER fold of its category:
+
+        enc = (sum_cat − sum_fold + m · prior) / (cnt_cat − cnt_fold + m)
+
+    with ``prior`` the global target mean — the standard CatBoost/Kaggle
+    construction that keeps a row's own label (and its fold's labels) out
+    of its feature.  Folds come from ``oof_fold`` (portable md5 digit), so
+    the encoding is deterministic across engines and runs.
+
+    Numeric determinism: the per-(category, fold) sums AND the window
+    subtraction stay in exact DECIMAL — only the final encoding division
+    happens in double (a window SUM of doubles would be
+    summation-order-dependent, and with 10⁹-scale totals the ulp noise
+    survives a 6 dp round); the caller rounds at the presentation edge.
+
+    Plan shape: one partial-agg shuffle on (category, fold) → a frame with
+    |categories|·n_folds rows; category totals come from a window over that
+    TINY frame (not the raw data); the encoding joins back to the input on
+    (category, fold).  AQE's runtime size gate broadcasts the encoding
+    table when it fits (almost always — it is bounded by cardinality, not
+    data volume), so the 100 TB fact side never reshuffles.
+    """
+    with_fold = df.withColumn("_fold", oof_fold(id_col, n_folds))
+    per_cf = with_fold.groupBy(cat_col, "_fold").agg(
+        F.sum(F.col(target_col).cast("decimal(18,6)")).alias("_s"),
+        F.count(target_col).alias("_c"),
+    )
+    wcat = Window.partitionBy(cat_col)
+    enc = per_cf.select(
+        cat_col,
+        "_fold",
+        (F.sum("_s").over(wcat) - F.col("_s")).alias("_s_oof"),
+        (F.sum("_c").over(wcat) - F.col("_c")).alias("_c_oof"),
+    )
+    # global prior from the same exact per-(cat,fold) sums — one tiny agg
+    tot = per_cf.agg(
+        F.sum("_s").alias("_st"), F.sum("_c").alias("_ct")
+    )
+    enc = enc.crossJoin(F.broadcast(tot)).select(
+        cat_col,
+        "_fold",
+        (
+            (
+                F.col("_s_oof").cast("double")
+                + F.lit(smoothing)
+                * (F.col("_st").cast("double") / F.col("_ct"))
+            )
+            / (F.col("_c_oof") + F.lit(smoothing))
+        ).alias("_enc"),
+    )
+    return with_fold.join(enc, [cat_col, "_fold"]).withColumnRenamed(
+        "_fold", "fold"
+    ).withColumnRenamed("_enc", f"{cat_col}_target_enc")
+
+
+def time_split_embargo(
+    df: DataFrame,
+    ts_col: str,
+    cutoff: str,
+    embargo: str = "7 days",
+) -> DataFrame:
+    """Purged time-series split: train strictly before ``cutoff``, an
+    ``embargo`` gap that is EXCLUDED from both sides (rows whose features
+    would leak label information across the boundary — the de Prado purge),
+    and test after the gap.  Adds a ``split`` column
+    ('train' | 'embargo' | 'test'); callers drop the embargo rows.
+
+    Pure codegen row predicate — no shuffle, pushes to the scan when the
+    source is partitioned on event time (the layout ``zorder``/date
+    partitioning this engine writes)."""
+    cut = F.lit(cutoff).cast("timestamp")
+    gap_end = cut + F.expr(f"INTERVAL {embargo}")
+    c = F.col(ts_col)
+    return df.withColumn(
+        "split",
+        F.when(c < cut, "train")
+        .when(c < gap_end, "embargo")
+        .otherwise("test"),
+    )
+
+
+def hash_feature_buckets(
+    c: str | F.Column, n_buckets: int, salt: str = ""
+) -> F.Column:
+    """The hashing trick for categorical / crossed features: a stable
+    bucket index in [0, n_buckets) from the first 4 hex digits of
+    md5(value‖salt) — 16 bits of portable hash, adequate for the
+    ≤65 536-bucket tables a hashed-feature layer uses.
+
+    Engine-portable by construction (md5 + hex-digit positions only), so a
+    feature built offline in Spark matches one computed at serving time by
+    any runtime with md5 — the property that matters for a feature store.
+    Unknown categories need no vocabulary: hashing IS the encoder
+    (Weinberger et al. 2009).  For Spark-only consumers, swap in
+    ``F.xxhash64`` (same shape, ~4× cheaper; see
+    ``curation.weighted_sample``'s identical dual-hash policy).
+    """
+    col = c if not isinstance(c, str) else F.col(c)
+    hx = F.substring(
+        F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 4
+    )
+    v = F.lit(0)
+    for i in range(4):
+        v = v * 16 + (
+            F.instr(F.lit("0123456789abcdef"), F.substring(hx, i + 1, 1)) - 1
+        )
+    return (v % n_buckets).cast("int")

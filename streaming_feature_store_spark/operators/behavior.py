@@ -1,0 +1,244 @@
+"""Behavioral / lifecycle analytics — cohort retention and RFM scoring.
+
+Beyond-reference analytics breadth (the reference's personalization track
+stops at per-session features, `streaming/core/processors/clickstream.py`):
+these are the two classic user-lifecycle rollups a feature-store consumer
+builds next — a cohort retention matrix over the event log, and
+Recency/Frequency/Monetary quintile scores over the order history.
+
+Scale notes:
+
+- ``cohort_retention`` shuffles the event log twice on ``user_id`` (first
+  activity, then distinct user-months) and once on the tiny
+  (cohort, offset) key; no window touches the raw events.
+- ``rfm_scores`` needs three GLOBAL quantile assignments over the
+  per-customer aggregate.  A plain ``NTILE(n) OVER (ORDER BY ...)`` is a
+  single-partition window — fine for a 1 500-row test frame, fatal for the
+  10^9-customer frame a 100 TB deployment aggregates to.  So the ntile is
+  computed DISTRIBUTED: range-partition on the order key, rank locally,
+  lift local ranks with a #partitions-bounded exclusive-offset table (the
+  zipWithIndex construction shared with ``curation.negative_sample``), and
+  apply the exact SQL NTILE bucket formula to the global row number.  The
+  result is bit-identical to ``NTILE`` (the q160 DuckDB oracle), with no
+  single-partition stage anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+from streaming_feature_store_spark.functions.exprs import dsum
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str = "_rn",
+) -> tuple[DataFrame, int]:
+    """1-based global ``ROW_NUMBER() OVER (ORDER BY order_cols)`` without a
+    single-partition sort.  Returns ``(frame, total_rows)`` — the total is
+    a free byproduct of the offset collect, so callers that need N (the
+    ntile below) don't pay a second count job.
+
+    Range-partition on the order key (parallel sort), rank locally per
+    partition, then lift to the global rank with exclusive per-partition
+    offsets — a #partitions-bounded driver collect, the same bounded-collect
+    class as ``negative_sample``'s item index.  RangePartitioner assigns
+    ascending key ranges to ascending partition ids, so
+    ``offset + local_rank == global ROW_NUMBER`` exactly.
+
+    The ranked frame is eagerly ``localCheckpoint``-ed (tracked): the rank
+    depends on ``spark_partition_id()`` and the sampled partitioner
+    boundaries being identical across the counts collect and the returned
+    frame's consumers — a persist only guarantees that until eviction.
+    Like every tracked checkpoint, ``cacheutil.release_checkpoints()``
+    invalidates the returned frame; consume it first.
+    """
+    from streaming_feature_store_spark.cacheutil import (
+        local_checkpoint_tracked,
+    )
+
+    ranked = local_checkpoint_tracked(
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrow",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(*order_cols)
+            ),
+        )
+    )
+    counts = sorted(
+        ranked.groupBy("_pid").agg(F.count("*").alias("_c")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    acc, offset_rows = 0, []
+    for r in counts:
+        offset_rows.append((r["_pid"], acc))
+        acc += r["_c"]
+    offs = df.sparkSession.createDataFrame(offset_rows, "_pid int, _off long")
+    numbered = (
+        ranked.join(broadcast(offs), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_lrow"))
+        .drop("_pid", "_lrow", "_off")
+    )
+    return numbered, acc
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    n: int,
+    out_col: str,
+) -> DataFrame:
+    """Exact SQL ``NTILE(n) OVER (ORDER BY order_cols)`` with no
+    single-partition window.
+
+    Applies the standard NTILE bucket formula to the distributed global row
+    number: with ``N`` rows, ``q = N div n`` and ``r = N mod n``, the first
+    ``r`` buckets hold ``q+1`` rows.  ``order_cols`` must be a total order
+    (carry a unique tiebreak) or the assignment is partition-dependent.
+    """
+    rn, total = global_row_number(df, order_cols, "_ntile_rn")
+    q, r = divmod(total, n)
+    head = r * (q + 1)
+    rnc = F.col("_ntile_rn")
+    if q == 0:
+        tile = F.ceil(rnc / F.lit(q + 1))
+    else:
+        tile = F.when(rnc <= head, F.ceil(rnc / F.lit(q + 1))).otherwise(
+            F.lit(r) + F.ceil((rnc - F.lit(head)) / F.lit(q))
+        )
+    return rn.withColumn(out_col, tile.cast("int")).drop("_ntile_rn")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "month",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity period,
+    counted in every later period they were active.
+
+    Periods are exact integer indices — ``year*12 + month`` for monthly
+    grain, ``epoch_micros div one-week-of-micros`` for weekly — so both
+    engines agree without interval arithmetic; the rate divides two exact
+    counts and is rounded once at the presentation edge.
+
+    Output: (cohort_period, period_offset, active_users, cohort_size,
+    retention_rate); ``cohort_period`` renders 'YYYY-MM' for months and
+    'W<epoch-week>' for weeks.
+    """
+    if grain == "week":
+        # integer `div`, not `/`: double division then truncation can flip
+        # at exact week boundaries
+        pidx = F.expr(f"unix_micros({ts_col}) div 604800000000")
+    elif grain == "month":
+        pidx = (F.year(ts_col) * 12 + F.month(ts_col)).cast("long")
+    else:
+        raise ValueError(f"unsupported grain: {grain!r}")
+    user_periods = (
+        events.select(F.col(user_col).alias("_u"), pidx.alias("_pidx"))
+        .distinct()
+    )
+    first = user_periods.groupBy("_u").agg(F.min("_pidx").alias("_cohort"))
+    cells = (
+        user_periods.join(first, "_u")
+        .groupBy(
+            F.col("_cohort"),
+            (F.col("_pidx") - F.col("_cohort")).alias("period_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+    if grain == "week":
+        label = F.concat(F.lit("W"), F.col("_cohort").cast("string"))
+    else:
+        label = F.concat_ws(
+            "-",
+            F.floor((F.col("_cohort") - 1) / 12).cast("string"),
+            F.lpad(
+                (((F.col("_cohort") - 1) % 12) + 1).cast("string"), 2, "0"
+            ),
+        )
+    wc = Window.partitionBy("_cohort")
+    return (
+        cells.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("period_offset") == 0, F.col("active_users"))
+            ).over(wc),
+        )
+        .select(
+            label.alias("cohort_period"),
+            F.col("period_offset").cast("int").alias("period_offset"),
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users") / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+    )
+
+
+def rfm_scores(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    anchor: str = "1998-12-31 00:00:00",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """Recency/Frequency/Monetary quintile scores per customer.
+
+    Aggregates once per customer (recency in exact integer days to the
+    ``anchor``; frequency as order count; monetary as decimal-exact spend),
+    then assigns each dimension's score with ``distributed_ntile`` — score
+    ``n_tiles`` is the best bucket (most recent / most frequent / highest
+    spend), via DESC-recency and ASC-frequency/monetary orderings with the
+    customer key as tiebreak.
+
+    Output: (cust, recency_days, frequency, monetary, r_score, f_score,
+    m_score, rfm_segment).
+    """
+    anchor_ts = F.lit(anchor).cast("timestamp")
+    per_cust = orders.groupBy(F.col(cust_col).alias("cust")).agg(
+        F.datediff(anchor_ts, F.max(ts_col)).cast("long").alias(
+            "recency_days"
+        ),
+        F.count("*").alias("frequency"),
+        dsum(amount_col).alias("monetary"),
+    )
+    scored = distributed_ntile(
+        per_cust,
+        [F.col("recency_days").desc(), F.col("cust")],
+        n_tiles,
+        "r_score",
+    )
+    scored = distributed_ntile(
+        scored,
+        [F.col("frequency").asc(), F.col("cust")],
+        n_tiles,
+        "f_score",
+    )
+    scored = distributed_ntile(
+        scored,
+        [F.col("monetary").asc(), F.col("cust")],
+        n_tiles,
+        "m_score",
+    )
+    return scored.select(
+        "cust",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("rfm_segment"),
+    )

@@ -121,3 +121,88 @@ def pagerank(
 
     track_checkpoint_ids(ranks.sparkSession, _ck_ids)
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph — the
+    clustering/fraud-ring signal (tight co-occurrence cliques) beyond the
+    reference's per-entity features.
+
+    Input: one row per undirected edge; both (a,b) and (b,a) / duplicates
+    tolerated (canonicalized and distinct-ed first), self-loops dropped.
+
+    Scale shape — the MapReduce degree-orientation construction (Suri &
+    Vassilvitskii 2011): orient every edge from the (degree, id)-smaller
+    endpoint to the larger, so every out-degree is O(√m); enumerate wedges
+    by self-joining oriented edges on the source (Σ outdeg² work, the
+    minimum possible), and close each wedge with one hash join back to the
+    oriented edge set.  Each triangle is found EXACTLY once.  Three
+    shuffles total (degree agg, wedge join, closing join) — no node ever
+    sees more than its oriented neighborhood, which is what keeps the
+    skewed-hub case (a celebrity node with 10^7 neighbors) from
+    materializing 10^14 wedges.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("_db"))
+    with_deg = e.join(da, "a").join(db, "b")
+    # orient low (deg, id) -> high (deg, id); carry the target's order key
+    # so the wedge's "v before w" test uses the SAME total order
+    fwd = with_deg.select(
+        F.when(
+            (F.col("_da") < F.col("_db"))
+            | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+            F.struct(
+                F.col("a").alias("u"),
+                F.col("b").alias("v"),
+                F.col("_db").alias("dv"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.col("b").alias("u"),
+                F.col("a").alias("v"),
+                F.col("_da").alias("dv"),
+            )
+        )
+        .alias("o")
+    ).select("o.u", "o.v", "o.dv")
+    e1 = fwd.select(
+        F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx")
+    )
+    e2 = fwd.select(
+        F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = fwd.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return per_node.join(
+        deg.select(F.col("n").alias("node"), "deg"), "node"
+    )

@@ -777,3 +777,80 @@ def random_projection(
         id_col,
         F.array(*[f"_p{j}" for j in range(out_dim)]).alias(vec_col),
     )
+
+
+def semantic_dedup(
+    vecs: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication of an embedding
+    corpus — cluster with k-means, then inside each cluster drop every
+    vector whose cosine to some LOWER-id cluster-mate reaches
+    ``threshold``.  This is the paper's exact keep rule (max similarity to
+    lower-indexed cluster members > ε ⇒ drop), not a sequential greedy,
+    so the result is order- and partitioning-independent.
+
+    Output: (id, cluster_id, dropped) for every input vector — callers
+    filter ``~dropped`` for the kept corpus, or join the dropped set back
+    for audit.
+
+    Plan/scale shape: clustering is the broadcast-centroid assignment
+    kernel (``assign_clusters``; swap in ``train_centroids`` output for
+    trained centroids at scale).  The quadratic step is CONFINED to one
+    hash-partitioned self-join per cluster — the whole point of SemDeDup:
+    k ≈ corpus/10⁴ keeps each cluster's pair count bounded, turning the
+    impossible corpus-wide O(n²) into Σ|cluster|².  A pathological mega-
+    cluster (mode collapse in the embedding space) degrades to the same
+    quadratic the paper hits; the mitigation is the banded-LSH pair
+    kernel (``embedding_near_dups``) scoped per cluster, which this
+    operator deliberately does not silently switch to — at 0.95+
+    thresholds the exact within-cluster join is the audited baseline.
+    """
+    assigned = assign_clusters(
+        vecs, centroids=centroids, k=k, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster_id")
+    v = (
+        as_double_vec(vecs, vec_col)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
+        )
+        .join(assigned, id_col)
+    )
+    a = v.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = v.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            _dot(F.col("_va"), F.col("_vb"))
+            / (F.col("_na") * F.col("_nb"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        v.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(F.col("_dropped"), F.lit(False)).alias("dropped"),
+        )
+    )

