@@ -47,10 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # dim-broadcast hints were dropped in favor of AQE runtime promotion
 # (the window tail; the remainder stay pinned by the parity artifact).
 _PRIORITY = [
-    # new this round, second batch (8): behavior/ML-encoding/graph ops
+    # new this round, second/third batch (11): behavior/ML-encoding/graph
     "q159_cohort_retention", "q160_rfm_segments", "q161_target_encoding",
     "q162_embargo_split", "q163_part_triangles", "q164_user_value_ewma",
     "q165_semantic_dedup", "q166_hashed_feature_buckets",
+    "q167_mad_outliers", "q168_naive_bayes_langid",
+    "q169_value_percent_rank",
     # new this round, first batch (10)
     "q152_bm25_topk", "q153_dsir_weights", "q154_k_anonymize",
     "q155_snapshot_diff", "q156_kmeans_lloyd_step", "q157_zorder_key",

@@ -242,3 +242,43 @@ def rfm_scores(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ).alias("rfm_segment"),
     )
+
+
+def distributed_percent_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """ANSI ``PERCENT_RANK() OVER (PARTITION BY group ORDER BY value)``
+    with no single-partition-per-group window.
+
+    The idiomatic Spark window puts each group in ONE task — fatal when a
+    group holds 10¹⁰ rows of a 100 TB fact.  Here the rank decomposes
+    into distributed pieces: one global row numbering over (group, value)
+    (range-partitioned — ties may straddle partitions; their arbitrary
+    internal order cancels in the next step), the per-(group, value)
+    MIN of that numbering (tie-bounded window = RANK), and a
+    cardinality-bounded per-group (first-row, count) table joined back
+    via broadcast.  ``rank_in_group = tie_min − group_min + 1`` and
+    ``pct = (rank−1)/(n−1)`` — bit-identical to the ANSI window (the
+    q169 oracle), single-row groups pinned to 0.0 per the standard.
+    """
+    rn_df, _ = global_row_number(
+        df, [F.col(group_col), F.col(value_col)], "_rn"
+    )
+    wv = Window.partitionBy(group_col, value_col)
+    with_vmin = rn_df.withColumn("_vmin", F.min("_rn").over(wv))
+    gstats = rn_df.groupBy(group_col).agg(
+        F.min("_rn").alias("_gmin"), F.count("*").alias("_n")
+    )
+    rank = F.col("_vmin") - F.col("_gmin") + 1
+    return (
+        with_vmin.join(broadcast(gstats), group_col)
+        .withColumn(
+            "pct_rank",
+            F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+                (rank - 1).cast("double") / (F.col("_n") - 1)
+            ),
+        )
+        .drop("_rn", "_vmin", "_gmin", "_n")
+    )

@@ -627,3 +627,62 @@ def k_anonymity_report(
         .alias("groups_suppressed"),
         F.sum("n").cast("bigint").alias("n_rows"),
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier profile via the median absolute deviation:
+    a value is flagged when ``|x − median| > k · 1.4826 · MAD`` — the
+    robust twin of the z-score/IQR guards (M3, q104) that a single
+    billion-dollar outlier cannot corrupt, since both location and scale
+    are medians (50 % breakdown point; 1.4826 rescales MAD to σ under
+    normality).
+
+    Exact interpolated medians via ``percentile`` (the q52 convention —
+    DuckDB ``quantile_cont`` computes the identical interpolation), so
+    both engines agree on med, MAD, and every threshold comparison
+    bit-for-bit.
+
+    Plan: three aggregate passes over the facts (median; MAD of the
+    residuals; flag counts), each one shuffle with the cardinality-bounded
+    stats frame joined back via AQE broadcast.  ``percentile`` is an exact
+    per-group sort-based aggregate — for groups beyond single-task sorts
+    at 100 TB, swap ``approx_percentile`` with a documented error bound
+    (same trade q52 documents).
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(med, group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    flagged = df.join(mad, group_col).select(
+        g.alias(group_col),
+        "med",
+        "mad",
+        (
+            F.abs(v - F.col("med"))
+            > F.lit(k) * F.lit(1.4826) * F.col("mad")
+        ).alias("_out"),
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("_out").cast("long")).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_rate",
+            F.round(F.col("n_outliers") / F.col("n_rows").cast("double"), 6),
+        )
+    )

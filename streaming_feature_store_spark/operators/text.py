@@ -14,7 +14,7 @@ operators parameterize the separator/marker sets so real corpora slot in.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # Deterministic per-language marker-word profiles (tiny stopword sets — the
 # n-gram/stopword-profile heuristic family; real deployments would load
@@ -991,3 +991,113 @@ def edit_distance_pairs(
         "name_b",
         F.levenshtein("name_a", "name_b").alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+def naive_bayes_langid(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    train_threshold: str = "80000000",
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and applied as
+    PURE AGGREGATION — the "small model at scale" complement to the
+    heuristic ``langid_scores``: training is two grouped counts, the model
+    IS a vocabulary-bounded table, and scoring is one join + one grouped
+    sum.  No MLlib, no iteration, no driver state; the whole thing
+    re-trains incrementally by re-aggregating (mergeable counts).
+
+    Split: deterministic md5-of-id threshold (the q64/q95 convention) —
+    ids below ``train_threshold`` (first 8 hex digits) train, the rest
+    are scored.  Class priors are Laplace-smoothed doc counts; term
+    likelihoods are add-``alpha`` smoothed over the TRAIN vocabulary
+    (test-only terms are ignored, the standard multinomial NB
+    convention); both |V| and the per-class token totals ride in-plan as
+    broadcast one-row/bounded aggregates — no eager driver scalars
+    (ADVICE r6 on ``source_overlap``).
+
+    Plan/scale shape: tokenize is one codegen pass; the model grid is
+    |V|·|classes| rows (vocabulary-bounded, AQE-broadcast to the test
+    tf join); per-(doc, class) scores aggregate in one shuffle; argmax
+    is a |classes|-bounded per-doc window.  The facts are shuffled twice
+    (train counts, test scores) and never sorted globally.
+
+    Output: (id, actual label, pred label, is_correct) per test doc.
+    """
+    keyed = docs.withColumn(
+        "_h8", F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    )
+    train = keyed.filter(F.col("_h8") < train_threshold)
+    test = keyed.filter(F.col("_h8") >= train_threshold)
+
+    train_tok = alpha_tokens(train, id_col, text_col).join(
+        train.select(id_col, label_col), id_col
+    )
+    cw = train_tok.groupBy(label_col, "term").agg(F.count("*").alias("_cw"))
+    vocab = cw.select("term").distinct()
+    classes = train.groupBy(label_col).agg(F.count("*").alias("_docs"))
+    # |V| and the train-doc total as lazy one-row broadcast aggregates
+    vsize = vocab.agg(F.count("*").alias("_v"))
+    dtot = classes.agg(
+        F.sum("_docs").alias("_dt"), F.count("*").alias("_nc")
+    )
+    grid = (
+        vocab.crossJoin(classes.select(label_col))
+        .join(cw, [label_col, "term"], "left")
+        .withColumn("_cw", F.coalesce(F.col("_cw"), F.lit(0)))
+    )
+    wl = Window.partitionBy(label_col)
+    grid = grid.withColumn("_nc_tok", F.sum("_cw").over(wl)).crossJoin(
+        F.broadcast(vsize)
+    )
+    logp = grid.select(
+        label_col,
+        "term",
+        F.log(
+            (F.col("_cw") + F.lit(alpha))
+            / (F.col("_nc_tok") + F.lit(alpha) * F.col("_v"))
+        ).alias("_logp"),
+    )
+    test_tf = (
+        alpha_tokens(test, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    tok_scores = (
+        test_tf.join(logp, "term")
+        .groupBy(id_col, label_col)
+        .agg(F.sum(F.col("_tf") * F.col("_logp")).alias("_tok_score"))
+    )
+    # every (test doc x class) pair, so zero-in-vocab docs (e.g. non-Latin
+    # text under the ASCII tokenizer) still get prior-only predictions
+    pri = classes.crossJoin(F.broadcast(dtot)).select(
+        label_col,
+        F.log(
+            (F.col("_docs") + F.lit(1.0))
+            / (F.col("_dt") + F.col("_nc"))
+        ).alias("_logprior"),
+    )
+    all_pairs = test.select(id_col, F.col(label_col).alias("actual"))\
+        .crossJoin(F.broadcast(pri))
+    scored = all_pairs.join(tok_scores, [id_col, label_col], "left").select(
+        id_col,
+        "actual",
+        F.col(label_col).alias("_cand"),
+        (
+            F.col("_logprior") + F.coalesce(F.col("_tok_score"), F.lit(0.0))
+        ).alias("_score"),
+    )
+    wd = Window.partitionBy(id_col).orderBy(
+        F.desc("_score"), F.col("_cand")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(wd))
+        .filter(F.col("_rk") == 1)
+        .select(
+            id_col,
+            F.col("actual").alias(label_col),
+            F.col("_cand").alias("pred_lang"),
+            (F.col("actual") == F.col("_cand")).alias("is_correct"),
+        )
+    )

@@ -7175,3 +7175,149 @@ def q166_hashed_feature_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("_cv").alias("n_crosses"),
         )
     )
+
+
+@query(
+    "q167_mad_outliers",
+    sql="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), mad AS (
+      SELECT e.event_type,
+        quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+        ANY_VALUE(m.med) AS med
+      FROM events e JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_type,
+      ROUND(ANY_VALUE(m.med), 4) AS med,
+      ROUND(ANY_VALUE(m.mad), 4) AS mad,
+      COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.0 * 1.4826 * m.mad
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      ROUND(CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.0 * 1.4826 * m.mad
+                  THEN 1 ELSE 0 END) AS BIGINT)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+    FROM events e JOIN mad m USING (event_type) GROUP BY 1
+    """,
+)
+def q167_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier profile per event type
+    (``profile.mad_outlier_stats``, k=3): location AND scale are exact
+    interpolated medians (the q52 ``percentile`` ↔ ``quantile_cont``
+    convention), so one billion-dollar outlier cannot corrupt the fence
+    the way it corrupts a z-score — the robust twin of M3's IQR guard.
+    Three aggregate passes; the stats frame is cardinality-bounded and
+    joins back by AQE broadcast."""
+    from streaming_feature_store_spark.operators.profile import (
+        mad_outlier_stats,
+    )
+
+    return mad_outlier_stats(
+        _t(spark, sf_dir, "events"), "event_type", "value", k=3.0
+    )
+
+
+@query(
+    "q168_naive_bayes_langid",
+    sql="""
+    WITH keyed AS (
+      SELECT doc_id, lang, text,
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+      FROM documents
+    ), train AS (SELECT * FROM keyed WHERE h8 < '80000000'),
+    test AS (SELECT * FROM keyed WHERE h8 >= '80000000'),
+    ttok AS (
+      SELECT doc_id, lang, unnest(string_split_regex(
+        lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+      FROM train
+    ), cw AS (
+      SELECT lang, term, COUNT(*) AS cw FROM ttok
+      WHERE term <> '' GROUP BY 1, 2
+    ), vocab AS (SELECT DISTINCT term FROM cw),
+    classes AS (SELECT lang, COUNT(*) AS docs FROM train GROUP BY 1),
+    vs AS (SELECT COUNT(*) AS v FROM vocab),
+    dt AS (SELECT SUM(docs) AS dtot, COUNT(*) AS nc FROM classes),
+    grid AS (
+      SELECT c.lang, vb.term, COALESCE(cw.cw, 0) AS cw
+      FROM vocab vb CROSS JOIN (SELECT lang FROM classes) c
+      LEFT JOIN cw ON cw.lang = c.lang AND cw.term = vb.term
+    ), grid2 AS (
+      SELECT *, SUM(cw) OVER (PARTITION BY lang) AS nc_tok FROM grid
+    ), logp AS (
+      SELECT lang, term, ln((cw + 1.0) / (nc_tok + 1.0 * v)) AS logp
+      FROM grid2 CROSS JOIN vs
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split_regex(
+          lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+        FROM test
+      ) WHERE term <> '' GROUP BY 1, 2
+    ), ts AS (
+      SELECT tf.doc_id, logp.lang, SUM(tf.tf * logp.logp) AS tok_score
+      FROM tf JOIN logp USING (term) GROUP BY 1, 2
+    ), pri AS (
+      SELECT lang, ln((docs + 1.0) / (dtot + nc)) AS logprior
+      FROM classes CROSS JOIN dt
+    ), pairs AS (
+      SELECT t.doc_id, t.lang AS actual, p.lang AS cand,
+        p.logprior + COALESCE(ts.tok_score, 0.0) AS score
+      FROM test t CROSS JOIN pri p
+      LEFT JOIN ts ON ts.doc_id = t.doc_id AND ts.lang = p.lang
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+      FROM pairs
+    )
+    SELECT doc_id, actual AS lang, cand AS pred_lang,
+      (actual = cand) AS is_correct
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q168_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language ID trained AS AGGREGATION
+    (``text.naive_bayes_langid``): md5-threshold train/test split, the
+    model is a vocabulary-bounded (class, term) log-likelihood table
+    (Laplace-smoothed, |V| and class totals in-plan as broadcast
+    aggregates), scoring is one join + grouped sum + per-doc argmax.
+    Mergeable counts = incremental retraining for free; non-Latin test
+    docs fall back to prior-only predictions deterministically."""
+    from streaming_feature_store_spark.operators.text import (
+        naive_bayes_langid,
+    )
+
+    return naive_bayes_langid(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q169_value_percent_rank",
+    sql="""
+    SELECT event_id, event_type, value,
+      ROUND(PERCENT_RANK() OVER (
+        PARTITION BY event_type ORDER BY value), 6) AS pct_rank
+    FROM events
+    """,
+)
+def q169_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI PERCENT_RANK per event type
+    (``behavior.distributed_percent_rank``): the quantile-normalization
+    transform for heavy-tailed features.  The oracle's window puts each
+    type in one partition; the Spark side decomposes rank into the
+    range-partitioned global numbering + tie-group MIN + a broadcast
+    per-group (first-row, count) table — bit-identical results
+    (including RANK tie semantics and the single-row-group 0.0 pin)
+    with no single-partition-per-group stage."""
+    from streaming_feature_store_spark.operators.behavior import (
+        distributed_percent_rank,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = distributed_percent_rank(ev, "event_type", "value")
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("pct_rank", 6).alias("pct_rank"),
+    )

@@ -347,3 +347,122 @@ def test_semantic_dedup_vs_naive_replay(spark):
             for j in mates
         )
         assert dropped == naive_drop
+
+
+# ---------------------------------------------------------- MAD / NB / pct
+
+
+def test_mad_outlier_stats_vs_numpy(spark):
+    from streaming_feature_store_spark.operators.profile import (
+        mad_outlier_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in ["a", "b"]:
+        vals = rng.normal(loc=10.0 if g == "a" else -5.0, size=200)
+        vals[:3] = 1e6  # planted outliers
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in mad_outlier_stats(df, "g", "v", k=3.0).collect()}
+    for g in ["a", "b"]:
+        vals = np.array([v for gg, v in rows if gg == g])
+        med = float(np.median(vals))
+        mad = float(np.median(np.abs(vals - med)))
+        n_out = int(np.sum(np.abs(vals - med) > 3.0 * 1.4826 * mad))
+        assert out[g]["med"] == pytest.approx(round(med, 4), abs=1e-9)
+        assert out[g]["mad"] == pytest.approx(round(mad, 4), abs=1e-9)
+        assert out[g]["n_outliers"] == n_out
+        assert out[g]["n_rows"] == 200
+
+
+def test_mad_immune_to_extreme_outlier(spark):
+    """The mean/stddev fence moves with one huge value; the MAD fence
+    must not."""
+    from streaming_feature_store_spark.operators.profile import (
+        mad_outlier_stats,
+    )
+
+    base = [("g", float(x)) for x in range(100)]
+    df1 = spark.createDataFrame(base, "g string, v double")
+    df2 = spark.createDataFrame(
+        base + [("g", 1e12)], "g string, v double"
+    )
+    r1 = mad_outlier_stats(df1, "g", "v").collect()[0]
+    r2 = mad_outlier_stats(df2, "g", "v").collect()[0]
+    assert abs(r1["med"] - r2["med"]) <= 0.5
+    assert abs(r1["mad"] - r2["mad"]) <= 0.5
+    assert r2["n_outliers"] >= 1
+
+
+def test_naive_bayes_langid_separable(spark):
+    from streaming_feature_store_spark.operators.text import (
+        naive_bayes_langid,
+    )
+
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:
+            rows.append((i, "en", "the quick brown fox runs over the lazy dog"))
+        else:
+            rows.append((i, "de", "der schnelle braune fuchs springt ueber den hund"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = naive_bayes_langid(df).collect()
+    assert len(out) > 20  # ~half the docs land in the test split
+    acc = sum(r["is_correct"] for r in out) / len(out)
+    assert acc == 1.0  # fully separable vocabularies
+
+
+def test_naive_bayes_prior_only_docs(spark):
+    """Docs with no in-vocabulary tokens must still get a deterministic
+    prior-argmax prediction, not vanish."""
+    from streaming_feature_store_spark.operators.text import (
+        naive_bayes_langid,
+    )
+
+    rows = [(i, "en" if i < 90 else "zh", "english words here" if i < 90 else "中文文本") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = naive_bayes_langid(df).collect()
+    ids = {r["doc_id"] for r in out}
+    test_ids = {
+        i for i in range(120)
+        if __import__("hashlib").md5(str(i).encode()).hexdigest()[:8] >= "80000000"
+    }
+    assert ids == test_ids  # every test doc predicted, incl. zero-vocab zh
+
+
+def test_distributed_percent_rank_matches_window(spark):
+    from streaming_feature_store_spark.operators.behavior import (
+        distributed_percent_rank,
+    )
+    from pyspark.sql import Window as W
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, ["a", "b", "c"][i % 3], float(rng.integers(0, 40)))  # many ties
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double").repartition(8)
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in distributed_percent_rank(df, "g", "v").collect()
+    }
+    ref = {
+        r["id"]: r["ref"]
+        for r in df.withColumn(
+            "ref",
+            F.percent_rank().over(W.partitionBy("g").orderBy("v")),
+        ).collect()
+    }
+    assert got.keys() == ref.keys()
+    for i in got:
+        assert got[i] == ref[i], i
+
+
+def test_distributed_percent_rank_single_row_group(spark):
+    from streaming_feature_store_spark.operators.behavior import (
+        distributed_percent_rank,
+    )
+
+    df = spark.createDataFrame([(1, "solo", 5.0)], "id long, g string, v double")
+    assert distributed_percent_rank(df, "g", "v").collect()[0]["pct_rank"] == 0.0
