@@ -616,3 +616,55 @@ def hash_feature_buckets(
             F.instr(F.lit("0123456789abcdef"), F.substring(hx, i + 1, 1)) - 1
         )
     return (v % n_buckets).cast("int")
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table: rows ranked by score into ``n_bins``
+    equal-count bins (the DISTRIBUTED exact ntile — no single-partition
+    sort), then per-bin mean score vs observed positive rate.  A
+    well-calibrated scorer has mean_score ≈ pos_rate per bin; the gap is
+    what Platt/isotonic recalibration would fix.
+
+    Determinism: bin assignment is the exact NTILE formula over a total
+    order (score, id); the per-bin mean is a decimal-exact accumulation of
+    the raw double scores (``decimal(28,12)``) divided once, so engines
+    agree regardless of summation order; both ratios round once at the
+    presentation edge.
+    """
+    from streaming_feature_store_spark.operators.behavior import (
+        distributed_ntile,
+    )
+
+    binned = distributed_ntile(
+        df.select(
+            F.col(id_col), F.col(score_col), F.col(label_col)
+        ),
+        [F.col(score_col), F.col(id_col)],
+        n_bins,
+        "bin",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+            F.sum(F.col(score_col).cast("decimal(28,12)")).alias("_ssum"),
+        )
+        .select(
+            "bin",
+            "n_rows",
+            "n_pos",
+            F.round(
+                F.col("_ssum").cast("double") / F.col("n_rows"), 6
+            ).alias("mean_score"),
+            F.round(
+                F.col("n_pos") / F.col("n_rows").cast("double"), 6
+            ).alias("pos_rate"),
+        )
+    )

@@ -654,3 +654,110 @@ def negative_sample(
             "neg_rank",
         )
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    alpha: float = 0.3,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture sampling rates per source — the
+    multilingual/multi-source rebalancing rule (mT5 / XLM-R / LLaMA:
+    q_i ∝ p_i^α with α<1 upweighting low-resource sources).
+
+    From exact integer per-source token counts: natural share
+    ``p = tok/T``, tempered share ``q = p^α / Σ p^α``, and the
+    DOWNSAMPLING rate ``keep_rate = (q/p) / max_j(q_j/p_j)`` — normalized
+    so the most-upweighted source keeps everything (a filter cannot
+    upsample; epoch repetition handles the >1 side, see
+    ``largest_remainder_alloc``).  Feed ``keep_rate`` straight into
+    ``sample_corpus``'s md5-threshold filter.
+
+    The frame is cardinality-bounded (one row per source): one exact
+    count shuffle over the facts, then scalar algebra on the tiny frame
+    (the ln/pow doubles are rounded once at the presentation edge).
+    """
+    toks = df.groupBy(strata_col).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens")
+    )
+    tot = toks.agg(F.sum("n_tokens").alias("_t"))
+    shared = toks.crossJoin(F.broadcast(tot)).withColumn(
+        "_p", F.col("n_tokens") / F.col("_t")
+    )
+    qsum = shared.agg(
+        F.sum(F.pow("_p", F.lit(alpha))).alias("_qs")
+    )
+    rated = (
+        shared.crossJoin(F.broadcast(qsum))
+        .withColumn("_q", F.pow("_p", F.lit(alpha)) / F.col("_qs"))
+        .withColumn("_boost", F.col("_q") / F.col("_p"))
+    )
+    mx = rated.agg(F.max("_boost").alias("_mx"))
+    return (
+        rated.crossJoin(F.broadcast(mx))
+        .select(
+            strata_col,
+            "n_tokens",
+            F.round("_p", 6).alias("natural_share"),
+            F.round("_q", 6).alias("tempered_share"),
+            F.round(F.col("_boost") / F.col("_mx"), 6).alias("keep_rate"),
+        )
+    )
+
+
+def largest_remainder_alloc(
+    counts: DataFrame,
+    budget: int,
+    key_col: str = "source",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer budget
+    across sources in proportion to integer weights — the token-budget /
+    epochs-per-source planning step of a training-mixture build.
+
+    Pure integer arithmetic end-to-end (quota ``B·w``, base ``div W``,
+    remainder ``mod W``; the ``leftover = B − Σ base`` largest remainders
+    get +1, remainder-then-key tiebreak), so every engine agrees
+    bit-for-bit and Σ alloc == budget ALWAYS — no floating-point quota
+    drift.  The frame is cardinality-bounded (one row per source), so the
+    ranking window is safe at any data scale; the only fact-sized work is
+    whatever aggregation produced ``counts``.
+
+    Overflow bound: the exact quota multiplies ``budget × weight`` in
+    64-bit — fine up to ~9.2e18 (a 10⁶ budget against 10¹²-token
+    sources); past that, lift the quota expression to ``decimal(38,0)``.
+    """
+    tot = counts.agg(
+        F.sum(weight_col).alias("_w"),
+        F.sum(F.lit(1)).alias("_k"),
+    )
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        F.col(weight_col),
+        F.expr(f"({budget} * {weight_col}) div _w").alias("base_alloc"),
+        F.expr(f"({budget} * {weight_col}) % _w").alias("_rem"),
+        F.col("_w"),
+    )
+    leftover = quota.agg(
+        (F.lit(budget) - F.sum("base_alloc")).alias("_left")
+    )
+    w = Window.orderBy(F.desc("_rem"), F.col(key_col))
+    return (
+        quota.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            key_col,
+            weight_col,
+            "base_alloc",
+            F.when(F.col("_rk") <= F.col("_left"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("extra"),
+            (
+                F.col("base_alloc")
+                + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("alloc"),
+        )
+    )

@@ -7321,3 +7321,124 @@ def q169_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round("pct_rank", 6).alias("pct_rank"),
     )
+
+
+@query(
+    "q170_temperature_mixture",
+    sql="""
+    WITH toks AS (
+      SELECT source,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), tot AS (SELECT SUM(n_tokens) AS t FROM toks),
+    sh AS (
+      SELECT source, n_tokens, n_tokens / CAST(t AS DOUBLE) AS p
+      FROM toks CROSS JOIN tot
+    ), qs AS (SELECT SUM(POWER(p, 0.3)) AS qsum FROM sh),
+    r AS (
+      SELECT source, n_tokens, p, POWER(p, 0.3) / qsum AS q
+      FROM sh CROSS JOIN qs
+    ), b AS (SELECT *, q / p AS boost FROM r),
+    m AS (SELECT MAX(boost) AS mx FROM b)
+    SELECT source, n_tokens,
+      ROUND(p, 6) AS natural_share,
+      ROUND(q, 6) AS tempered_share,
+      ROUND(boost / mx, 6) AS keep_rate
+    FROM b CROSS JOIN m
+    """,
+)
+def q170_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing
+    (``curation.temperature_mixture_rates``, α=0.3): per-source tempered
+    shares q ∝ p^α (the mT5/XLM-R low-resource upweighting rule) and the
+    downsampling keep-rates that feed ``sample_corpus``'s md5 filter.
+    One exact token-count shuffle; everything after is scalar algebra on
+    the cardinality-bounded source frame with in-plan broadcast totals."""
+    from streaming_feature_store_spark.operators.curation import (
+        temperature_mixture_rates,
+    )
+
+    return temperature_mixture_rates(
+        _t(spark, sf_dir, "documents"), alpha=0.3
+    )
+
+
+@query(
+    "q171_token_budget_alloc",
+    sql="""
+    WITH toks AS (
+      SELECT source,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), tot AS (SELECT SUM(n_tokens) AS w FROM toks),
+    quota AS (
+      SELECT source, n_tokens,
+        CAST((1000000 * n_tokens) // w AS BIGINT) AS base_alloc,
+        CAST((1000000 * n_tokens) % w AS BIGINT) AS rem
+      FROM toks CROSS JOIN tot
+    ), l AS (
+      SELECT CAST(1000000 - SUM(base_alloc) AS BIGINT) AS leftover
+      FROM quota
+    ), rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM quota
+    )
+    SELECT source, n_tokens, base_alloc,
+      CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS extra,
+      base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+    FROM rk CROSS JOIN l
+    """,
+)
+def q171_token_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 1M-token training
+    budget across sources (``curation.largest_remainder_alloc``): pure
+    64-bit integer quotas/remainders, Σ alloc == budget exactly — the
+    epochs-per-source planning table a mixture build commits to.  The
+    ranking window runs on the cardinality-bounded source frame only."""
+    from streaming_feature_store_spark.operators.curation import (
+        largest_remainder_alloc,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+    )
+    return largest_remainder_alloc(counts, 1_000_000)
+
+
+@query(
+    "q172_calibration_bins",
+    sql="""
+    WITH base AS (
+      SELECT event_id, value AS score,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events
+    ), binned AS (
+      SELECT *, CAST(NTILE(10) OVER (ORDER BY score, event_id) AS INT)
+        AS bin
+      FROM base
+    )
+    SELECT bin, COUNT(*) AS n_rows,
+      CAST(SUM(label) AS BIGINT) AS n_pos,
+      ROUND(CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+            / COUNT(*), 6) AS mean_score,
+      ROUND(CAST(SUM(label) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+        AS pos_rate
+    FROM binned GROUP BY 1
+    """,
+)
+def q172_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram deciles (``ml.training.calibration_bins``):
+    rows ranked by score into 10 equal-count bins via the DISTRIBUTED
+    exact ntile, then per-bin decimal-exact mean score vs observed
+    positive rate — the calibration audit between a scorer and its
+    production threshold.  The oracle's NTILE is the single-partition
+    window; the Spark side is the q160 machinery, bit-identical."""
+    from streaming_feature_store_spark.ml.training import calibration_bins
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return calibration_bins(ev, "score", "label", "event_id", n_bins=10)

@@ -466,3 +466,77 @@ def test_distributed_percent_rank_single_row_group(spark):
 
     df = spark.createDataFrame([(1, "solo", 5.0)], "id long, g string, v double")
     assert distributed_percent_rank(df, "g", "v").collect()[0]["pct_rank"] == 0.0
+
+
+# ------------------------------------------------- mixture planning ops
+
+
+def test_largest_remainder_alloc_vs_replay(spark):
+    from streaming_feature_store_spark.operators.curation import (
+        largest_remainder_alloc,
+    )
+
+    rng = np.random.default_rng(13)
+    for trial in range(5):
+        weights = [int(w) for w in rng.integers(1, 10_000, size=7)]
+        budget = int(rng.integers(100, 1_000_000))
+        rows = [(f"s{i}", w) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, "source string, n_tokens long")
+        out = {
+            r["source"]: (r["base_alloc"], r["extra"], r["alloc"])
+            for r in largest_remainder_alloc(df, budget).collect()
+        }
+        W = sum(weights)
+        base = {f"s{i}": budget * w // W for i, w in enumerate(weights)}
+        rem = {f"s{i}": budget * w % W for i, w in enumerate(weights)}
+        leftover = budget - sum(base.values())
+        order = sorted(rem, key=lambda k: (-rem[k], k))
+        extra = {k: (1 if i < leftover else 0) for i, k in enumerate(order)}
+        assert sum(a for _, _, a in out.values()) == budget
+        for k in base:
+            assert out[k] == (base[k], extra[k], base[k] + extra[k]), (
+                trial, k
+            )
+
+
+def test_temperature_mixture_rates_properties(spark):
+    from streaming_feature_store_spark.operators.curation import (
+        temperature_mixture_rates,
+    )
+
+    rows = []
+    for src, n_docs, words in [("big", 100, 50), ("mid", 30, 50), ("small", 5, 50)]:
+        for i in range(n_docs):
+            rows.append((f"{src}:{i}", src, " ".join(["w"] * words)))
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {r["source"]: r for r in temperature_mixture_rates(df, alpha=0.3).collect()}
+    # rates in (0, 1], the rarest source keeps everything
+    assert all(0 < r["keep_rate"] <= 1.0 for r in out.values())
+    assert out["small"]["keep_rate"] == 1.0
+    # tempering: the big source is downsampled hardest
+    assert out["big"]["keep_rate"] < out["mid"]["keep_rate"] < 1.0
+    # alpha=1 is the natural distribution: nobody is downsampled
+    nat = {r["source"]: r for r in temperature_mixture_rates(df, alpha=1.0).collect()}
+    assert all(r["keep_rate"] == 1.0 for r in nat.values())
+
+
+def test_calibration_bins_vs_pandas(spark):
+    from streaming_feature_store_spark.ml.training import calibration_bins
+
+    rng = np.random.default_rng(21)
+    scores = rng.uniform(size=300)
+    labels = (rng.uniform(size=300) < scores).astype(int)  # calibrated-ish
+    rows = [(i, float(s), int(l)) for i, (s, l) in enumerate(zip(scores, labels))]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    out = {r["bin"]: r for r in calibration_bins(df, "score", "label", "id", 10).collect()}
+    order = sorted(range(300), key=lambda i: (scores[i], i))
+    for b in range(1, 11):
+        chunk = order[(b - 1) * 30: b * 30]
+        assert out[b]["n_rows"] == 30
+        assert out[b]["n_pos"] == sum(labels[i] for i in chunk)
+        assert out[b]["mean_score"] == pytest.approx(
+            round(float(np.sum(np.sort([scores[i] for i in chunk]))) / 30, 6),
+            abs=1e-6,
+        )
+    # monotone-ish positive rate for a calibrated scorer
+    assert out[10]["pos_rate"] > out[1]["pos_rate"]
