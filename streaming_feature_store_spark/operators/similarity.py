@@ -786,6 +786,7 @@ def semantic_dedup(
     centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "join",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication of an embedding
     corpus — cluster with k-means, then inside each cluster drop every
@@ -808,7 +809,24 @@ def semantic_dedup(
     quadratic the paper hits; the mitigation is the banded-LSH pair
     kernel (``embedding_near_dups``) scoped per cluster, which this
     operator deliberately does not silently switch to — at 0.95+
-    thresholds the exact within-cluster join is the audited baseline.
+    thresholds the exact within-cluster pair check is the audited
+    baseline.
+
+    ``kernel`` picks how the within-cluster pair check executes:
+    ``"join"`` (default) is the pure-codegen self-join whose dot-product
+    fold order the q165 oracle replays term-for-term — the bit-exact
+    baseline; ``"arrow"`` runs one numpy GEMM per cluster via
+    ``applyInPandas`` (the ``cosine_topk_blas`` pattern) — measured 3-8x
+    faster AND far more stable on the 10 k-corpus A/B (join 16-143 s
+    run-to-run vs arrow 4.9-5.5 s; the HOF dot fold per pair is the
+    cost).  The two differ only in float summation order inside the dot
+    products, so a pair sitting EXACTLY on the threshold could flip; at
+    any real margin the drop sets are identical (test-pinned).
+
+    Parallelism for BOTH kernels is the cluster count (the pair check is
+    per-cluster work keyed on cluster_id): with the paper's k ≈ n/10⁴
+    that is thousands of tasks at scale; a small-k run like the 8-cluster
+    test corpus is bounded at k tasks regardless of executor count.
     """
     assigned = assign_clusters(
         vecs, centroids=centroids, k=k, id_col=id_col, vec_col=vec_col
@@ -822,6 +840,31 @@ def semantic_dedup(
         )
         .join(assigned, id_col)
     )
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        idt = vecs.schema[id_col].dataType.simpleString()
+        schema = f"{id_col} {idt}, cluster_id {idt}, dropped boolean"
+
+        def flag(pdf: pd.DataFrame) -> pd.DataFrame:
+            order = pdf.sort_values(id_col).reset_index(drop=True)
+            M = np.stack(order["_v"].to_numpy())
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0.0] = 1.0
+            Mn = M / norms[:, None]
+            S = Mn @ Mn.T
+            # dropped[i] ⇔ some lower-id mate reaches the threshold
+            tri = np.tril(S >= threshold, k=-1)
+            return pd.DataFrame(
+                {
+                    id_col: order[id_col],
+                    "cluster_id": order["cluster_id"],
+                    "dropped": tri.any(axis=1),
+                }
+            )
+
+        return v.groupBy("cluster_id").applyInPandas(flag, schema)
     a = v.select(
         F.col("cluster_id"),
         F.col(id_col).alias("_ida"),

@@ -540,3 +540,28 @@ def test_calibration_bins_vs_pandas(spark):
         )
     # monotone-ish positive rate for a calibrated scorer
     assert out[10]["pos_rate"] > out[1]["pos_rate"]
+
+
+def test_semantic_dedup_kernels_agree(spark):
+    """join (oracled baseline) and arrow (GEMM scale path) kernels must
+    produce identical drop sets away from threshold knife-edges."""
+    from streaming_feature_store_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(120, 24))
+    vecs = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for j in range(6):  # planted scaled twins (cosine exactly 1.0)
+        vecs.append((200 + j, [float(x * 0.97) for x in base[j * 7]]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    a = sorted(
+        (r["vec_id"], r["cluster_id"], r["dropped"])
+        for r in semantic_dedup(df, k=6, threshold=0.98).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster_id"], r["dropped"])
+        for r in semantic_dedup(df, k=6, threshold=0.98, kernel="arrow").collect()
+    )
+    assert a == b
+    assert sum(1 for _, _, d in a if d) >= 6
