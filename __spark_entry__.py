@@ -33,13 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned per-round by the committed PARITY_sf0.01_r0N.txt runs (r7's:
 # 158/158 at the first-batch point, refreshed after the second batch).
 # Round 7's window front-loads the queries over this round's CHANGED
-# code paths — the TWENTY-FOUR new oracled queries (q149-q172: quarantine
+# code paths — the TWENTY-SEVEN new oracled queries (q149-q175: quarantine
 # routing, BPE parity, BM25, DSIR weights, k-anonymity, snapshot diff,
 # Lloyd step, Z-order key, JL projection, cohort retention, RFM
 # distributed-ntile, OOF target encoding, embargo split, oriented
 # triangle counting, EWMA fold, SemDeDup, feature hashing, MAD outliers,
 # Naive Bayes lang-id, distributed percent_rank, temperature mixture,
-# token-budget apportionment, calibration bins),
+# token-budget apportionment, calibration bins, CDC apply, TWAP,
+# Kaplan-Meier retention),
 # the persisted-intermediate family now
 # running under the new cached-plan-AQE-coalescing session default
 # (q101/q102/q119 + the dedup/similarity lineages), the ivf_topk
@@ -48,13 +49,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # dim-broadcast hints were dropped in favor of AQE runtime promotion
 # (the window tail; the remainder stay pinned by the parity artifact).
 _PRIORITY = [
-    # new this round, second/third/fourth batch (14): behavior/ML-encoding/graph
+    # new this round, batches 2-5 (17): behavior/ML-encoding/graph
     "q159_cohort_retention", "q160_rfm_segments", "q161_target_encoding",
     "q162_embargo_split", "q163_part_triangles", "q164_user_value_ewma",
     "q165_semantic_dedup", "q166_hashed_feature_buckets",
     "q167_mad_outliers", "q168_naive_bayes_langid",
     "q169_value_percent_rank", "q170_temperature_mixture",
     "q171_token_budget_alloc", "q172_calibration_bins",
+    "q173_cdc_apply", "q174_user_value_twap",
+    "q175_retention_survival",
     # new this round, first batch (10)
     "q152_bm25_topk", "q153_dsir_weights", "q154_k_anonymize",
     "q155_snapshot_diff", "q156_kmeans_lloyd_step", "q157_zorder_key",

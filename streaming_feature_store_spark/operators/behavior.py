@@ -282,3 +282,93 @@ def distributed_percent_rank(
         )
         .drop("_rn", "_vmin", "_gmin", "_n")
     )
+
+
+def kaplan_meier_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_days: int = 30,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over user tenure — retention with
+    CORRECT right-censoring, which the naive "% still active after t
+    days" gets wrong: a user whose observation window simply ended is not
+    churn, and counting them as such biases every retention number down.
+
+    Tenure is exact integer days from a user's first to last active day;
+    a user churns at tenure t if their last activity predates the study
+    end (the corpus's max day), otherwise they are censored.  The KM
+    estimator S(t) = Π_{i≤t} (1 − d_i/n_i) multiplies per-day hazard
+    complements; the prefix product is evaluated as a pinned-order left
+    fold over the day-ordered factor array (the ``ewma_latest``
+    convention — DuckDB ``list_reduce`` seeds with the first element), so
+    both engines run the identical IEEE sequence.
+
+    Plan/scale shape: one shuffle per-user (first/last day), one tiny
+    aggregate to per-tenure counts, then ALL remaining work happens on a
+    ``horizon_days``-row frame (calendar-bounded, the documented CUSUM
+    precedent) — the reverse-cumulative at-risk window and the fold never
+    touch user-level data.
+
+    Output: (tenure_day, n_at_risk, churned, survival).
+    """
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    spans = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(day).alias("_first"), F.max(day).alias("_last")
+    )
+    study_end = spans.agg(F.max("_last").alias("_end"))
+    per_user = spans.crossJoin(broadcast(study_end)).select(
+        (F.col("_last") - F.col("_first")).alias("_tenure"),
+        (F.col("_last") < F.col("_end")).cast("long").alias("_churn"),
+    )
+    tcounts = per_user.groupBy("_tenure").agg(
+        F.sum("_churn").alias("_d"), F.count("*").alias("_c")
+    )
+    # dense 0..horizon-1 grid so missing tenures carry factor 1.0
+    grid = (
+        events.sparkSession.range(horizon_days)
+        .select(F.col("id").alias("_tenure"))
+        .join(tcounts, "_tenure", "left")
+        .na.fill({"_d": 0, "_c": 0})
+    )
+    # n_t = users with tenure >= t: reverse cumulative count over the
+    # horizon_days-row frame (bounded single partition, documented above)
+    wrev = (
+        Window.orderBy(F.desc("_tenure"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hz = grid.withColumn("_n", F.sum("_c").over(wrev)).select(
+        "_tenure",
+        "_n",
+        "_d",
+        F.when(F.col("_n") > 0, 1.0 - F.col("_d") / F.col("_n"))
+        .otherwise(F.lit(1.0))
+        .alias("_factor"),
+    )
+    factors = hz.agg(
+        F.array_sort(
+            F.collect_list(F.struct("_tenure", "_factor"))
+        ).alias("_fs")
+    )
+    arr = F.transform(F.col("_fs"), lambda s: s["_factor"])
+    return (
+        hz.crossJoin(broadcast(factors))
+        .withColumn("_arr", arr)
+        .withColumn(
+            "survival",
+            F.round(
+                F.aggregate(
+                    F.slice(F.col("_arr"), 2, F.col("_tenure").cast("int")),
+                    F.element_at(F.col("_arr"), 1),
+                    lambda acc, x: acc * x,
+                ),
+                6,
+            ),
+        )
+        .select(
+            F.col("_tenure").cast("int").alias("tenure_day"),
+            F.col("_n").alias("n_at_risk"),
+            F.col("_d").alias("churned"),
+            "survival",
+        )
+    )

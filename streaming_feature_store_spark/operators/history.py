@@ -142,3 +142,51 @@ def snapshot_diff(
     if include_unchanged:
         return out
     return out.filter(F.col("diff_status") != "unchanged")
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog (op ∈ {'I','U','D'}, monotone ``seq_col`` per
+    key) to a base snapshot and return the new state — the batch form of
+    the Debezium/Delta MERGE every lakehouse table maintenance job runs.
+
+    Semantics: per key, the change with the HIGHEST seq wins; 'D' removes
+    the key, 'I'/'U' replace the row with the change's payload; keys
+    untouched by the changelog pass through.  Late/duplicate changelog
+    entries are harmless — max-seq-wins is idempotent and
+    order-independent, the property that lets the changelog be consumed
+    at-least-once.
+
+    Plan shape: ONE window (per-key max-seq pick) over the changelog —
+    which is normally tiny relative to the base — then one outer join to
+    the base keyed on the (broadcast-eligible) winners.  The base table is
+    never sorted or windowed; at 100 TB the cost is one shuffle of the
+    changelog plus an AQE-sized join against the snapshot.
+    """
+    # op as tiebreak: a changelog SHOULD have unique seqs per key, but a
+    # deterministic pick under equal seqs beats a partitioning-dependent one
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col), op_col)
+    winners = (
+        changes.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    payload_cols = [
+        c for c in base.columns if c not in key_cols
+    ]
+    joined = base.alias("b").join(
+        winners.alias("c"), key_cols, "full_outer"
+    )
+    op = F.col(f"c.{op_col}")
+    out_cols = [F.col(k) for k in key_cols] + [
+        F.when(op.isNull(), F.col(f"b.{c}"))
+        .otherwise(F.col(f"c.{c}"))
+        .alias(c)
+        for c in payload_cols
+    ]
+    return joined.filter(op.isNull() | (op != "D")).select(*out_cols)

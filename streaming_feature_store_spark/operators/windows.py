@@ -274,3 +274,42 @@ def ewma_latest(
     return per_key.select(
         key_col, "n_points", F.round(ew, 6).alias("ewma")
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    end_ts: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each reading holds its value
+    until the next reading (LOCF weighting), the last until ``end_ts`` —
+    the correct mean for irregularly-sampled series (sensor readings,
+    balances, prices), where the arithmetic mean over-weights bursts.
+
+    Determinism: durations are EXACT integer micros from one LEAD over
+    the per-key sort; the weighted sum accumulates
+    ``decimal(value) × dt`` (exact — no double summation-order
+    dependence); one double division at the edge.
+
+    Plan: one hash-partition-by-key window (the same shape as every lag
+    feature — partitioned, not global) + one grouped aggregate.
+    """
+    tb = tiebreak_col or ts_col
+    us = F.unix_micros(F.col(ts_col))
+    end_us = F.unix_micros(F.lit(end_ts).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(us, F.col(tb))
+    dt = F.coalesce(F.lead(us).over(w), end_us) - us
+    weighted = df.withColumn("_dt", dt)
+    return weighted.groupBy(key_col).agg(
+        F.count(value_col).alias("n_readings"),
+        F.round(
+            F.sum(
+                F.col(value_col).cast("decimal(18,6)") * F.col("_dt")
+            ).cast("double")
+            / F.sum("_dt"),
+            6,
+        ).alias("twap"),
+    )

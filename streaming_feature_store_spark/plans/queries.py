@@ -7448,3 +7448,183 @@ def q172_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("int").alias("label"),
     )
     return calibration_bins(ev, "score", "label", "event_id", n_bins=10)
+
+
+@query(
+    "q173_cdc_apply",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ), ch AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice, 'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+      FROM orders WHERE o_orderkey % 50 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice + 500.0, 'U', 3
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'I', 1
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderkey % 11 = 0
+    ), win AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_orderkey ORDER BY seq DESC, op) AS rk
+        FROM ch
+      ) WHERE rk = 1
+    )
+    SELECT COALESCE(b.o_orderkey, w.o_orderkey) AS o_orderkey,
+      CASE WHEN w.op IS NULL THEN b.o_orderstatus
+           ELSE w.o_orderstatus END AS o_orderstatus,
+      CASE WHEN w.op IS NULL THEN b.o_totalprice
+           ELSE w.o_totalprice END AS o_totalprice
+    FROM base b FULL OUTER JOIN win w ON b.o_orderkey = w.o_orderkey
+    WHERE w.op IS NULL OR w.op <> 'D'
+    """,
+)
+def q173_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application (``history.apply_cdc``): a synthetic
+    Debezium-style changelog (two updates superseding each other by seq,
+    deletes, and inserts of post-snapshot orders) merged into the base
+    snapshot — max-seq-wins per key, so at-least-once changelog delivery
+    is idempotent.  One window over the (small) changelog + one outer
+    join; the base is never sorted or windowed."""
+    from streaming_feature_store_spark.operators.history import apply_cdc
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate") < "1997-01-01 00:00:00"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    k7 = orders.filter(F.col("o_orderkey") % 7 == 0)
+    changes = (
+        k7.select(
+            "o_orderkey", "o_orderstatus",
+            (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+            F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        )
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % 50 == 0).select(
+                "o_orderkey", "o_orderstatus", "o_totalprice",
+                F.lit("D").alias("op"), F.lit(2).alias("seq"),
+            )
+        )
+        .unionAll(
+            k7.select(
+                "o_orderkey", "o_orderstatus",
+                (F.col("o_totalprice") + 500.0).alias("o_totalprice"),
+                F.lit("U").alias("op"), F.lit(3).alias("seq"),
+            )
+        )
+        .unionAll(
+            orders.filter(
+                (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+                & (F.col("o_orderkey") % 11 == 0)
+            ).select(
+                "o_orderkey", "o_orderstatus", "o_totalprice",
+                F.lit("I").alias("op"), F.lit(1).alias("seq"),
+            )
+        )
+    )
+    return apply_cdc(base, changes, ["o_orderkey"])
+
+
+@query(
+    "q174_user_value_twap",
+    sql="""
+    WITH r AS (
+      SELECT user_id, epoch_us(ts) AS us, value,
+        LEAD(epoch_us(ts)) OVER (
+          PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events
+    ), d AS (
+      SELECT user_id, value,
+        COALESCE(nxt, epoch_us(TIMESTAMP '2024-01-31 00:00:00')) - us
+          AS dt
+      FROM r
+    )
+    SELECT user_id, COUNT(value) AS n_readings,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)) * dt) AS DOUBLE)
+            / SUM(dt), 6) AS twap
+    FROM d GROUP BY 1
+    """,
+)
+def q174_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value
+    (``windows.time_weighted_avg``): LOCF-weighted mean for the
+    irregularly-sampled series, where the arithmetic mean over-weights
+    bursts — the standard TWAP/feature-store time-weighted feature.
+    Durations are exact integer micros from one per-key LEAD; the
+    weighted sum stays decimal-exact; one partitioned window + one
+    aggregate."""
+    from streaming_feature_store_spark.operators.windows import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(
+        _t(spark, sf_dir, "events"),
+        "user_id", "ts", "value",
+        end_ts="2024-01-31 00:00:00",
+        tiebreak_col="event_id",
+    )
+
+
+@query(
+    "q175_retention_survival",
+    sql="""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ), spans AS (
+      SELECT user_id, MIN(day) AS f, MAX(day) AS l FROM d GROUP BY 1
+    ), se AS (SELECT MAX(l) AS e FROM spans),
+    pu AS (
+      SELECT l - f AS tenure,
+        CASE WHEN l < e THEN 1 ELSE 0 END AS churn
+      FROM spans CROSS JOIN se
+    ), tc AS (
+      SELECT tenure, CAST(SUM(churn) AS BIGINT) AS d_,
+             COUNT(*) AS c_
+      FROM pu GROUP BY 1
+    ), grid AS (
+      SELECT gs.t AS tenure, COALESCE(d_, 0) AS d_, COALESCE(c_, 0) AS c_
+      FROM (SELECT unnest(generate_series(0, 29)) AS t) gs
+      LEFT JOIN tc ON tc.tenure = gs.t
+    ), hz AS (
+      SELECT tenure, d_,
+        CAST(SUM(c_) OVER (ORDER BY tenure DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_
+      FROM grid
+    ), f2 AS (
+      SELECT tenure, n_, d_,
+        CASE WHEN n_ > 0 THEN 1.0 - d_ / CAST(n_ AS DOUBLE)
+             ELSE 1.0 END AS factor
+      FROM hz
+    ), fs AS (SELECT list(factor ORDER BY tenure) AS arr FROM f2)
+    SELECT CAST(tenure AS INT) AS tenure_day, n_ AS n_at_risk,
+      d_ AS churned,
+      ROUND(list_reduce(list_slice(arr, 1, tenure + 1),
+                        (a, x) -> a * x), 6) AS survival
+    FROM f2 CROSS JOIN fs
+    """,
+)
+def q175_retention_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve
+    (``behavior.kaplan_meier_retention``): survival over user tenure with
+    correct right-censoring (still-active-at-study-end users are not
+    churn).  The prefix product S(t) = Π (1 − d/n) folds the day-ordered
+    factor array in pinned order (the q164 ``list_reduce`` convention) so
+    both engines agree bit-for-bit; after two fact shuffles everything
+    runs on a 30-row calendar-bounded frame."""
+    from streaming_feature_store_spark.operators.behavior import (
+        kaplan_meier_retention,
+    )
+
+    return kaplan_meier_retention(
+        _t(spark, sf_dir, "events"), horizon_days=30
+    )

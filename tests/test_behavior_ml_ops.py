@@ -565,3 +565,89 @@ def test_semantic_dedup_kernels_agree(spark):
     )
     assert a == b
     assert sum(1 for _, _, d in a if d) >= 6
+
+
+# --------------------------------------------------- CDC / TWAP / KM
+
+
+def test_apply_cdc_semantics(spark):
+    from streaming_feature_store_spark.operators.history import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U", 1),
+            (2, "b3", 22.0, "U", 2),   # supersedes seq 1
+            (3, "c", 30.0, "D", 1),    # delete
+            (4, "d", 40.0, "I", 1),    # insert new key
+            (4, "d2", 41.0, "U", 2),   # then update it
+        ],
+        "k long, s string, v double, op string, seq int",
+    )
+    got = {
+        r["k"]: (r["s"], r["v"])
+        for r in apply_cdc(base, changes, ["k"]).collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("b3", 22.0), 4: ("d2", 41.0)}
+
+
+def test_apply_cdc_idempotent_on_duplicate_delivery(spark):
+    from streaming_feature_store_spark.operators.history import apply_cdc
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    ch = spark.createDataFrame(
+        [(1, 2.0, "U", 5)], "k long, v double, op string, seq int"
+    )
+    once = apply_cdc(base, ch, ["k"]).collect()
+    twice = apply_cdc(base, ch.unionAll(ch), ["k"]).collect()
+    assert once == twice == [type(once[0])(k=1, v=2.0)]
+
+
+def test_time_weighted_avg_vs_manual(spark):
+    from streaming_feature_store_spark.operators.windows import (
+        time_weighted_avg,
+    )
+
+    # value 10 holds 0-10s, 20 holds 10-40s, 0 holds 40-100s
+    rows = [(1, 0, 10.0, 1), (1, 10, 20.0, 2), (1, 40, 0.0, 3)]
+    df = spark.createDataFrame(rows, "k long, sec long, v double, i long").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), F.col("v"), "i"
+    )
+    out = time_weighted_avg(
+        df, "k", "ts", "v", end_ts="1970-01-01 00:01:40", tiebreak_col="i"
+    ).collect()[0]
+    expected = (10.0 * 10 + 20.0 * 30 + 0.0 * 60) / 100
+    assert out["twap"] == pytest.approx(expected, abs=1e-9)
+    assert out["n_readings"] == 3
+
+
+def test_kaplan_meier_vs_manual(spark):
+    from streaming_feature_store_spark.operators.behavior import (
+        kaplan_meier_retention,
+    )
+
+    day = 86400
+    rows = []
+    # users: tenures 0,0,1,2 churned; one user censored at study end (day 3)
+    for u, days in [(1, [0]), (2, [1]), (3, [0, 1]), (4, [0, 1, 2]), (5, [0, 3])]:
+        for d in days:
+            rows.append((u, d * day + 10))
+    df = spark.createDataFrame(rows, "user_id long, epoch long").select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts")
+    )
+    out = {
+        r["tenure_day"]: r
+        for r in kaplan_meier_retention(df, horizon_days=4).collect()
+    }
+    # tenures: u1=0 churn, u2=0 churn, u3=1 churn, u4=2 churn, u5=3 censored
+    # t=0: n=5, d=2 -> S=0.6 ; t=1: n=3, d=1 -> 0.6*(2/3)=0.4
+    # t=2: n=2, d=1 -> 0.4*0.5=0.2 ; t=3: n=1, d=0 (censored) -> 0.2
+    assert (out[0]["n_at_risk"], out[0]["churned"]) == (5, 2)
+    assert out[0]["survival"] == pytest.approx(0.6, abs=1e-9)
+    assert out[1]["survival"] == pytest.approx(0.4, abs=1e-9)
+    assert out[2]["survival"] == pytest.approx(0.2, abs=1e-9)
+    assert (out[3]["n_at_risk"], out[3]["churned"]) == (1, 0)
+    assert out[3]["survival"] == pytest.approx(0.2, abs=1e-9)
