@@ -505,6 +505,7 @@ def target_encode_oof(
     id_col: str,
     n_folds: int = 4,
     smoothing: float = 20.0,
+    broadcast_encoding: bool = True,
 ) -> DataFrame:
     """Leakage-safe out-of-fold target encoding for a categorical feature.
 
@@ -527,9 +528,15 @@ def target_encode_oof(
     Plan shape: one partial-agg shuffle on (category, fold) → a frame with
     |categories|·n_folds rows; category totals come from a window over that
     TINY frame (not the raw data); the encoding joins back to the input on
-    (category, fold).  AQE's runtime size gate broadcasts the encoding
-    table when it fits (almost always — it is bounded by cardinality, not
-    data volume), so the 100 TB fact side never reshuffles.
+    (category, fold) under an explicit ``broadcast()`` hint
+    (``broadcast_encoding=True``), so the 100 TB fact side never
+    reshuffles.  The hint is explicit rather than AQE-delegated because
+    the executed plan showed AQE keeping a sort-merge join here (the
+    encoding subplan has window/cross-join stages AQE does not re-plan
+    through), and the table is bounded by CARDINALITY, not data volume —
+    the session policy's "genuinely small" case.  For extreme-cardinality
+    categoricals (e.g. per-user target encoding at 10⁸ users) pass
+    ``broadcast_encoding=False`` to fall back to a shuffled join.
     """
     with_fold = df.withColumn("_fold", oof_fold(id_col, n_folds))
     per_cf = with_fold.groupBy(cat_col, "_fold").agg(
@@ -559,6 +566,8 @@ def target_encode_oof(
             / (F.col("_c_oof") + F.lit(smoothing))
         ).alias("_enc"),
     )
+    if broadcast_encoding:
+        enc = F.broadcast(enc)
     return with_fold.join(enc, [cat_col, "_fold"]).withColumnRenamed(
         "_fold", "fold"
     ).withColumnRenamed("_enc", f"{cat_col}_target_enc")
