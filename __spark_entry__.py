@@ -33,14 +33,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned per-round by the committed PARITY_sf0.01_r0N.txt runs (r7's:
 # 158/158 at the first-batch point, refreshed after the second batch).
 # Round 7's window front-loads the queries over this round's CHANGED
-# code paths — the TWENTY-SEVEN new oracled queries (q149-q175: quarantine
+# code paths — the TWENTY-NINE new oracled queries (q149-q177: quarantine
 # routing, BPE parity, BM25, DSIR weights, k-anonymity, snapshot diff,
 # Lloyd step, Z-order key, JL projection, cohort retention, RFM
 # distributed-ntile, OOF target encoding, embargo split, oriented
 # triangle counting, EWMA fold, SemDeDup, feature hashing, MAD outliers,
 # Naive Bayes lang-id, distributed percent_rank, temperature mixture,
 # token-budget apportionment, calibration bins, CDC apply, TWAP,
-# Kaplan-Meier retention),
+# Kaplan-Meier retention, cross-engine table checksums, impossible-travel
+# geo flags),
 # the persisted-intermediate family now
 # running under the new cached-plan-AQE-coalescing session default
 # (q101/q102/q119 + the dedup/similarity lineages), the ivf_topk
@@ -49,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # dim-broadcast hints were dropped in favor of AQE runtime promotion
 # (the window tail; the remainder stay pinned by the parity artifact).
 _PRIORITY = [
-    # new this round, batches 2-5 (17): behavior/ML-encoding/graph
+    # new this round, batches 2-6 (19): behavior/ML-encoding/graph
     "q159_cohort_retention", "q160_rfm_segments", "q161_target_encoding",
     "q162_embargo_split", "q163_part_triangles", "q164_user_value_ewma",
     "q165_semantic_dedup", "q166_hashed_feature_buckets",
@@ -57,7 +58,8 @@ _PRIORITY = [
     "q169_value_percent_rank", "q170_temperature_mixture",
     "q171_token_budget_alloc", "q172_calibration_bins",
     "q173_cdc_apply", "q174_user_value_twap",
-    "q175_retention_survival",
+    "q175_retention_survival", "q176_table_checksums",
+    "q177_impossible_travel",
     # new this round, first batch (10)
     "q152_bm25_topk", "q153_dsir_weights", "q154_k_anonymize",
     "q155_snapshot_diff", "q156_kmeans_lloyd_step", "q157_zorder_key",

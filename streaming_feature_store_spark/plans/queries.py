@@ -7628,3 +7628,140 @@ def q175_retention_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier_retention(
         _t(spark, sf_dir, "events"), horizon_days=30
     )
+
+
+def _hex_poly_sql(md5_expr: str, start: int, n: int) -> str:
+    """SQL for the integer value of n hex digits of md5_expr (DuckDB has
+    no conv(); positional strpos arithmetic matches Spark's conv exactly)."""
+    e = "0"
+    for i in range(n):
+        d = (
+            f"(strpos('0123456789abcdef', "
+            f"substr({md5_expr}, {start + i}, 1)) - 1)"
+        )
+        e = f"({e} * 16 + {d})"
+    return e
+
+
+def _q176_sql() -> str:
+    tables = {
+        "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_orderpriority"],
+        "customer": ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+        "lineitem": ["l_orderkey", "l_linenumber", "l_returnflag",
+                     "l_linestatus"],
+    }
+    parts = []
+    for t, cols in tables.items():
+        rend = " || chr(31) || ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'NULL')"
+            for c in cols
+        )
+        poly = _hex_poly_sql(f"md5({rend})", 1, 8)
+        parts.append(
+            f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows, "
+            f"CAST(SUM(CAST({poly} AS HUGEINT)) % 1000000000000000000 "
+            f"AS BIGINT) AS checksum FROM {t}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("q176_table_checksums", sql=_q176_sql())
+def q176_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine table checksums (``profile.table_checksum``) for
+    orders/customer/lineitem over their integer/string columns — the
+    migration-audit primitive: any engine with md5 reproduces the same
+    single row per table, so a reference-to-Spark cutover can prove the
+    copied data identical without moving it again.  Order-independent
+    commutative digest sum; one map-combined aggregate per table.
+    (Doubles are excluded by design — engines disagree on float→string
+    rendering; checksum doubles via an explicit decimal cast.)"""
+    from streaming_feature_store_spark.operators.profile import (
+        table_checksum,
+    )
+
+    tables = {
+        "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_orderpriority"],
+        "customer": ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+        "lineitem": ["l_orderkey", "l_linenumber", "l_returnflag",
+                     "l_linestatus"],
+    }
+    out = None
+    for t, cols in tables.items():
+        cs = table_checksum(_t(spark, sf_dir, t), cols).select(
+            F.lit(t).alias("table_name"), "n_rows", "checksum"
+        )
+        out = cs if out is None else out.unionAll(cs)
+    return out
+
+
+def _q177_sql() -> str:
+    lat_poly = _hex_poly_sql("md5(CAST(event_id AS VARCHAR))", 1, 4)
+    lon_poly = _hex_poly_sql("md5(CAST(event_id AS VARCHAR))", 5, 4)
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        ({lat_poly} % 1800) / 10.0 - 90.0 AS lat,
+        ({lon_poly} % 3600) / 10.0 - 180.0 AS lon
+      FROM events
+    ), lagged AS (
+      SELECT *,
+        LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+        LAG(us) OVER w AS pus
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), d AS (
+      SELECT user_id,
+        2.0 * 6371.0 * asin(least(sqrt(
+          sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+          + cos(radians(plat)) * cos(radians(lat))
+            * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+        ), 1.0)) AS dist,
+        (us - pus) / 1000000.0 AS gap_s,
+        pus
+      FROM lagged
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+      CAST(SUM(CASE WHEN pus IS NOT NULL AND (
+          (gap_s = 0 AND dist > 0.001)
+          OR (gap_s > 0 AND dist / (gap_s / 3600.0) > 800.0)
+        ) THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM d GROUP BY 1
+    """
+
+
+@query("q177_impossible_travel", sql=_q177_sql())
+def q177_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impossible-travel detection (``geo.impossible_travel``): per-user
+    counts of consecutive-event pairs whose implied speed over the
+    haversine distance exceeds 800 km/h — the account-takeover geo signal
+    the reference's velocity clamp (transaction.py:91) stops short of.
+    Event coordinates are derived deterministically from md5(event_id)
+    (the corpus carries no geo columns); the trig is pure codegen over
+    one per-user LAG window.  Output is counts only, so the cross-engine
+    comparison never hashes a raw trig double."""
+    from streaming_feature_store_spark.operators.geo import (
+        impossible_travel,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    lat = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 1800
+    ) / 10.0 - 90.0
+    lon = (
+        F.conv(F.substring(h, 5, 4), 16, 10).cast("long") % 3600
+    ) / 10.0 - 180.0
+    pts = ev.select(
+        "user_id", "event_id", "ts",
+        lat.alias("lat"), lon.alias("lon"),
+    )
+    flagged = impossible_travel(
+        pts, "user_id", "ts", "lat", "lon",
+        max_speed_kmh=800.0, tiebreak_col="event_id",
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("impossible_travel").cast("long")).alias("n_flagged"),
+    )

@@ -651,3 +651,70 @@ def test_kaplan_meier_vs_manual(spark):
     assert out[2]["survival"] == pytest.approx(0.2, abs=1e-9)
     assert (out[3]["n_at_risk"], out[3]["churned"]) == (1, 0)
     assert out[3]["survival"] == pytest.approx(0.2, abs=1e-9)
+
+
+# --------------------------------------------------- checksum / geo
+
+
+def test_table_checksum_order_and_sensitivity(spark):
+    from streaming_feature_store_spark.operators.profile import (
+        table_checksum,
+    )
+
+    rows = [(i, f"name{i}") for i in range(500)]
+    a = spark.createDataFrame(rows, "k long, s string")
+    b = spark.createDataFrame(list(reversed(rows)), "k long, s string").repartition(7)
+    ca = table_checksum(a).collect()[0]
+    cb = table_checksum(b).collect()[0]
+    assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+    # one flipped byte changes it
+    mutated = [(i, f"name{i}" if i != 250 else "nameX") for i in range(500)]
+    cm = table_checksum(
+        spark.createDataFrame(mutated, "k long, s string")
+    ).collect()[0]
+    assert cm["checksum"] != ca["checksum"]
+    # null vs the string 'NULL' vs shifted fields all differ
+    n1 = table_checksum(
+        spark.createDataFrame([(1, None)], "k long, s string")
+    ).collect()[0]["checksum"]
+    n2 = table_checksum(
+        spark.createDataFrame([(1, "NULL")], "k long, s string")
+    ).collect()[0]["checksum"]
+    assert n1 != n2
+    f1 = table_checksum(
+        spark.createDataFrame([("ab", "c")], "x string, y string")
+    ).collect()[0]["checksum"]
+    f2 = table_checksum(
+        spark.createDataFrame([("a", "bc")], "x string, y string")
+    ).collect()[0]["checksum"]
+    assert f1 != f2
+
+
+def test_impossible_travel_known_answer(spark):
+    from streaming_feature_store_spark.operators.geo import (
+        haversine_km,
+        impossible_travel,
+    )
+
+    # London -> Paris ~343 km; London -> Sydney ~17000 km
+    rows = [
+        (1, 0, 51.5074, -0.1278),       # London at t=0
+        (1, 3600, 48.8566, 2.3522),     # Paris 1h later: ~343 km/h OK
+        (1, 7200, -33.8688, 151.2093),  # Sydney 1h later: impossible
+        (2, 0, 40.0, -74.0),
+        (2, 0, 40.5, -74.5),            # same ts, ~70 km apart: flagged
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, sec long, lat double, lon double"
+    ).select("u", F.timestamp_seconds("sec").alias("ts"), "lat", "lon",
+             F.col("sec").alias("i"))
+    out = impossible_travel(df, "u", "ts", "lat", "lon",
+                            tiebreak_col="i").collect()
+    by = {(r["u"], r["i"]): r for r in out}
+    assert by[(1, 0)]["impossible_travel"] is False   # first event
+    assert by[(1, 3600)]["impossible_travel"] is False
+    assert 300 < by[(1, 3600)]["dist_km"] < 400
+    assert by[(1, 7200)]["impossible_travel"] is True
+    assert by[(1, 7200)]["dist_km"] > 15000
+    flagged2 = [r for r in out if r["u"] == 2 and r["impossible_travel"]]
+    assert len(flagged2) == 1  # the zero-gap jump
