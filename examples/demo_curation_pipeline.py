@@ -155,6 +155,25 @@ def main() -> None:
         {r["source"]: r["bpe_tokens"] for r in budget},
     )
 
+    # round-7 mixture planning: tempered per-source rates and an exact
+    # integer token-budget apportionment over the curated survivors
+    from streaming_feature_store_spark.operators.curation import (
+        largest_remainder_alloc,
+        temperature_mixture_rates,
+    )
+
+    rates = temperature_mixture_rates(train, alpha=0.3)
+    top_boost = rates.orderBy(F.desc("keep_rate")).limit(3).collect()
+    print(
+        "temperature mixture (alpha=0.3, most-retained sources):",
+        {r["source"]: r["keep_rate"] for r in top_boost},
+    )
+    alloc = largest_remainder_alloc(
+        rates.select("source", "n_tokens"), budget=100_000
+    )
+    total_alloc = alloc.agg(F.sum("alloc")).collect()[0][0]
+    print(f"token budget apportionment: sum(alloc) == {total_alloc:,}")
+
     vecs = load_table(spark, sf_dir, "embeddings")
     cents = train_centroids(vecs, k=8)
     balanced = cluster_balanced_sample(vecs, k=8, per_cluster=20)
@@ -164,6 +183,16 @@ def main() -> None:
         f"centroids, {balanced.count()} in the balanced sample, "
         f"{emb_pairs.count()} near-dup pairs at cosine>=0.99"
     )
+    # semantic dedup on the trained clustering (GEMM kernel — scale path)
+    from streaming_feature_store_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    sem = semantic_dedup(
+        vecs, centroids=cents, threshold=0.95, kernel="arrow"
+    )
+    n_sem = sem.filter("dropped").count()
+    print(f"SemDeDup (trained centroids, cosine>=0.95): {n_sem} dropped")
     from streaming_feature_store_spark.cacheutil import release_all
 
     release_all()  # the gate's tagged persist + any operator intermediates

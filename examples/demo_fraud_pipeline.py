@@ -55,6 +55,26 @@ def main() -> None:
     print(f"generated {tx.count()} transactions, fraud rate "
           f"{tx.agg(F.avg(F.col('is_fraud').cast('int'))).collect()[0][0]:.3f}")
 
+    # 1b. impossible-travel geo screen (round 7): the generator plants
+    # fraud teleports away from each card's home point; the haversine
+    # speed flag over one per-card LAG window recovers them
+    from streaming_feature_store_spark.operators.geo import impossible_travel
+
+    geo = impossible_travel(
+        tx.select("card_id", "ts", "txn_id", "geo_lat", "geo_lon",
+                  "is_fraud"),
+        "card_id", "ts", "geo_lat", "geo_lon", tiebreak_col="txn_id",
+    )
+    conf = geo.groupBy("is_fraud", "impossible_travel").count().collect()
+    cm = {(r["is_fraud"], r["impossible_travel"]): r["count"] for r in conf}
+    flag_fraud = cm.get((True, True), 0)
+    flag_ok = cm.get((False, True), 0)
+    print(
+        f"impossible travel: {flag_fraud + flag_ok} flagged "
+        f"({flag_fraud} fraud / {flag_ok} legit) — "
+        f"precision {flag_fraud / max(flag_fraud + flag_ok, 1):.2f}"
+    )
+
     # 2-3. features → store (entity = card)
     reg = default_registry()
     view = reg.views["transaction_stats_5m"]

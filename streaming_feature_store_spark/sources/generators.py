@@ -79,8 +79,33 @@ def generate_transactions(
         .otherwise(_pick(COUNTRIES, ha))
         .alias("geo_country"),
         F.lit(None).cast("string").alias("geo_city"),
-        F.lit(None).cast("double").alias("geo_lat"),
-        F.lit(None).cast("double").alias("geo_lon"),
+        # deterministic geography: each card transacts near a hash-derived
+        # home point; fraud rows teleport to an independent location — the
+        # planted signal geo.impossible_travel recovers (the reference
+        # schema declares these fields but its generator leaves them null,
+        # txgen.py; populating them keeps the v1 schema and adds signal)
+        F.when(
+            is_fraud & (ha % 2 == 0),
+            (F.abs(F.xxhash64("id", F.lit(6))) % 14000) / 100.0 - 70.0,
+        )
+        .otherwise(
+            (F.abs(F.xxhash64(F.format_string(
+                "card_%08d", (card_pool + 1000).cast("long")))) % 14000)
+            / 100.0 - 70.0
+            + (F.abs(F.xxhash64("id", F.lit(7))) % 100) / 100000.0
+        )
+        .alias("geo_lat"),
+        F.when(
+            is_fraud & (ha % 2 == 0),
+            (F.abs(F.xxhash64("id", F.lit(8))) % 36000) / 100.0 - 180.0,
+        )
+        .otherwise(
+            (F.abs(F.xxhash64(F.concat(F.lit("lon"), F.format_string(
+                "card_%08d", (card_pool + 1000).cast("long"))))) % 36000)
+            / 100.0 - 180.0
+            + (F.abs(F.xxhash64("id", F.lit(9))) % 100) / 100000.0
+        )
+        .alias("geo_lon"),
         (F.lit(start_ms) + (F.col("id") * F.lit(int(1000 / rate_per_s))).cast("long")
          + (F.abs(F.xxhash64("id", F.lit(5))) % 30_000) - 15_000).alias("timestamp"),
         F.lit(None).cast("long").alias("processing_time"),
