@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned per-round by the committed PARITY_sf0.01_r0N.txt runs (r7's:
 # 158/158 at the first-batch point, refreshed after the second batch).
 # Round 7's window front-loads the queries over this round's CHANGED
-# code paths — the TWENTY-NINE new oracled queries (q149-q177: quarantine
+# code paths — the THIRTY-SEVEN new oracled queries (q149-q185: quarantine
 # routing, BPE parity, BM25, DSIR weights, k-anonymity, snapshot diff,
 # Lloyd step, Z-order key, JL projection, cohort retention, RFM
 # distributed-ntile, OOF target encoding, embargo split, oriented
@@ -41,7 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Naive Bayes lang-id, distributed percent_rank, temperature mixture,
 # token-budget apportionment, calibration bins, CDC apply, TWAP,
 # Kaplan-Meier retention, cross-engine table checksums, impossible-travel
-# geo flags),
+# geo flags, grouped Mann-Whitney AUC, weighted median, Markov event
+# transitions, nearest-in-time join, seasonal hour-of-day anomalies,
+# Pareto frontier, key-skew report, Bloom pre-join reduction),
 # the persisted-intermediate family now
 # running under the new cached-plan-AQE-coalescing session default
 # (q101/q102/q119 + the dedup/similarity lineages), the ivf_topk
@@ -50,6 +52,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # dim-broadcast hints were dropped in favor of AQE runtime promotion
 # (the window tail; the remainder stay pinned by the parity artifact).
 _PRIORITY = [
+    # new this round, batch 7 (8): eval/robust-stats/sequence/join breadth
+    "q178_grouped_auc", "q179_weighted_median_price",
+    "q180_event_transitions", "q181_nearest_event_value",
+    "q182_hourly_anomaly_rates", "q183_price_size_frontier",
+    "q184_custkey_skew_report", "q185_bloom_prejoin_stats",
     # new this round, batches 2-6 (19): behavior/ML-encoding/graph
     "q159_cohort_retention", "q160_rfm_segments", "q161_target_encoding",
     "q162_embargo_split", "q163_part_triangles", "q164_user_value_ewma",

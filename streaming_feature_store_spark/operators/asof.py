@@ -132,3 +132,69 @@ def asof_join(
         *[F.col(c) for c in label_cols],
         *[F.col(f"asof_{c}") for c in feature_cols],
     )
+
+
+def nearest_join(
+    labels: DataFrame,
+    features: DataFrame,
+    entity_col: str,
+    label_ts_us: str,
+    feature_ts_us: str,
+    feature_cols: list[str],
+    label_cols: list[str],
+    tiebreak_col: str = "event_id",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Nearest-in-time join: for each label row, the feature row
+    minimizing ``|feature_ts − label_ts|`` within the same entity
+    (pandas ``merge_asof(direction="nearest")``) — sensor-reading
+    alignment, closest-quote enrichment, nearest-checkpoint lookup.
+
+    Composition, not a new kernel: one backward and one forward
+    ``asof_join`` (each the linear union+carry pattern — no range-join
+    explosion) joined back on the label key, picking whichever side is
+    closer; exact ties go BACKWARD (the no-leakage default, matching
+    pandas).  ``tolerance_us`` bounds both directions.  The reconciling
+    join is label-sized ⋈ label-sized on the (entity, ts, key) triple —
+    an ordinary co-partitioned shuffle join, linear in the label count.
+
+    Output: label keys + ``near_<col>`` per feature column +
+    ``near_ts_us`` / ``near_delta_us`` (signed, negative = feature before
+    label; null when nothing qualifies).  All feature values come from
+    ONE row (the winner), unlike ``asof_join`` whose per-column
+    ignorenulls carry may mix rows.
+    """
+    feats = features.withColumn("_fts", F.col(feature_ts_us))
+    carried = [*feature_cols, "_fts"]
+    keys = [entity_col, "label_ts_us", "label_key"]
+    back = asof_join(
+        labels, feats, entity_col, label_ts_us, feature_ts_us,
+        carried, label_cols, tiebreak_col, "backward", tolerance_us,
+    ).select(
+        *keys, *label_cols,
+        *[F.col(f"asof_{c}").alias(f"_b_{c}") for c in carried],
+    )
+    fwd = asof_join(
+        labels, feats, entity_col, label_ts_us, feature_ts_us,
+        carried, [], tiebreak_col, "forward", tolerance_us,
+    ).select(
+        *keys,
+        *[F.col(f"asof_{c}").alias(f"_f_{c}") for c in carried],
+    )
+    j = back.join(fwd, keys)
+    bts, fts = F.col("_b__fts"), F.col("_f__fts")
+    bd = F.col("label_ts_us") - bts
+    fd = fts - F.col("label_ts_us")
+    use_b = bts.isNotNull() & (fts.isNull() | (bd <= fd))
+    picked = [
+        F.when(use_b, F.col(f"_b_{c}"))
+        .otherwise(F.col(f"_f_{c}"))
+        .alias(f"near_{c}")
+        for c in feature_cols
+    ]
+    near_ts = F.when(use_b, bts).otherwise(fts)
+    return j.select(
+        *keys, *label_cols, *picked,
+        near_ts.alias("near_ts_us"),
+        (near_ts - F.col("label_ts_us")).alias("near_delta_us"),
+    )

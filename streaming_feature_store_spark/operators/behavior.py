@@ -372,3 +372,120 @@ def kaplan_meier_retention(
             "survival",
         )
     )
+
+
+def distributed_prefix_agg(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    val_col: str,
+    kind: str = "sum",
+    inclusive: bool = True,
+    out_col: str = "_prefix",
+) -> DataFrame:
+    """Per-group running SUM/MAX over ``order_col`` with no
+    single-partition-per-group window — the prefix-scan primitive behind
+    ``profile.weighted_quantile`` (running weight mass) and
+    ``profile.pareto_frontier`` (running best-so-far).
+
+    The idiomatic ``agg OVER (PARTITION BY group ORDER BY order)`` window
+    puts each group in ONE task; at 100 TB a hot group is a straggler or
+    an OOM.  Here the scan decomposes exactly like ``global_row_number``:
+
+    1. range-partition on ``(group, order)`` (parallel sort) and pin the
+       layout with a tracked ``localCheckpoint`` (partition ids must agree
+       between the offsets job and the consumers);
+    2. run the window LOCALLY per ``(partition, group)`` — each task sorts
+       only its own slice;
+    3. lift to the global prefix with per-``(partition, group)`` exclusive
+       offsets.  RangePartitioner gives every group a contiguous run of
+       partition ids, so the offsets frame holds at most
+       ``#partitions + #groups`` rows — itself scanned with a window over
+       the tiny ``(group → partition)`` key and broadcast back.
+
+    ``df`` must already be unique on ``(group_col, order_col)`` (pre-agg
+    ties first): a non-total order would make the local/global split
+    partition-dependent.  ``kind="sum"`` expects an exact type (decimal /
+    integer) so the regrouped additions are order-insensitive;
+    ``inclusive=False`` yields the strict-predecessor scan (null when a
+    row has no predecessor — ``F.greatest`` / ``F.coalesce`` semantics
+    keep that exact for both kinds).
+    """
+    if kind not in ("sum", "max"):
+        raise ValueError(f"kind must be sum|max, got {kind}")
+    from streaming_feature_store_spark.cacheutil import (
+        local_checkpoint_tracked,
+    )
+
+    fn = F.sum if kind == "sum" else F.max
+    base = local_checkpoint_tracked(
+        df.repartitionByRange(F.col(group_col), F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    local = base.withColumn("_loc", fn(val_col).over(wloc))
+    # exclusive cross-partition offsets: ≤ #partitions + #groups rows
+    ptots = base.groupBy("_pid", group_col).agg(fn(val_col).alias("_pt"))
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ptots.withColumn("_off", fn("_pt").over(woff)).drop("_pt")
+    joined = local.join(broadcast(offs), ["_pid", group_col])
+    if kind == "max":
+        # greatest() skips nulls: null only when BOTH sides are absent
+        # (first row of the group under inclusive=False) — exactly the
+        # "no predecessor" contract.
+        prefix = F.greatest(F.col("_loc"), F.col("_off"))
+    else:
+        zero = F.lit(0).cast(dict(joined.dtypes)["_loc"])
+        prefix = F.when(
+            F.col("_loc").isNull() & F.col("_off").isNull(), F.lit(None)
+        ).otherwise(
+            F.coalesce(F.col("_loc"), zero) + F.coalesce(F.col("_off"), zero)
+        )
+    return joined.withColumn(out_col, prefix).drop("_pid", "_loc", "_off")
+
+
+def event_transitions(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: P(next event type | current event type).
+
+    The classic clickstream/journey model one step past the reference's
+    per-session funnels (`streaming/core/processors/clickstream.py` stops
+    at counts) — the transition matrix drives next-action prediction,
+    absorbing-state funnel analysis, and anomalous-sequence scoring.
+
+    Plan shape: one keyed window (LAG over the per-entity sort — the same
+    shuffle class as every A7 feature), one groupBy on the
+    ``|types|²``-bounded transition key, and a row-probability window over
+    that tiny aggregate.  Nothing global touches raw events twice.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("_prev").alias("from_type"), F.col(type_col).alias("to_type")
+    ).agg(F.count("*").alias("n_transitions"))
+    wrow = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "p_transition",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wrow),
+            6,
+        ),
+    )

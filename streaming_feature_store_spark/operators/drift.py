@@ -546,3 +546,52 @@ def cusum_changepoint(
     )
     peak = F.max(F.abs(F.col("cusum"))).over(w_all)
     return out.withColumn("is_peak", F.abs(F.col("cusum")) == peak)
+
+
+def seasonal_anomaly_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    z: float = 3.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly screen: flag values far from their OWN
+    (group, hour-of-day) population, then report per-cell anomaly rates.
+    The hour-of-day baseline is the cheapest seasonality model that
+    catches the classic monitoring failure — a global z-score (A11) calls
+    every 3 a.m. lull an anomaly and misses a 3 a.m. spike.
+
+    Exactness/scale: baseline = ONE map-side-combined aggregate over the
+    ≤ |groups|·24-row cell key (Σx, Σx² as decimals — order-insensitive);
+    the flag pass joins that tiny frame back by broadcast (zero extra
+    shuffle on the fact) and compares in squared form,
+    ``n(n−1)(x−μ)² > z²·n·var_num`` rearranged to avoid any division —
+    identical integer/decimal-derived doubles in Spark and the oracle.
+    """
+    hour = F.hour(ts_col).alias("_hr")
+    cells = df.select(
+        F.col(group_col), hour, F.col(value_col).alias("_v")
+    )
+    base = cells.groupBy(group_col, "_hr").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("_v").cast("decimal(18,4)")).cast("double").alias("_s"),
+        F.sum((F.col("_v") * F.col("_v")).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("_s2"),
+    )
+    j = cells.join(F.broadcast(base), [group_col, "_hr"])
+    n, s, s2, v = F.col("_n"), F.col("_s"), F.col("_s2"), F.col("_v")
+    # (v − s/n)² > z²·(s2 − s²/n)/(n−1)  ⟺  (n·v − s)²·(n−1) > z²·n·(n·s2 − s²)
+    lhs = (n * v - s) * (n * v - s) * (n - 1)
+    rhs = F.lit(z * z) * n * (n * s2 - s * s)
+    flagged = j.select(
+        F.col(group_col), F.col("_hr"),
+        F.when((n > 1) & (lhs > rhs), 1).otherwise(0).alias("_a"),
+    )
+    return flagged.groupBy(group_col, "_hr").agg(
+        F.count("*").alias("n_events"),
+        F.sum("_a").alias("n_anomalies"),
+    ).select(
+        F.col(group_col), F.col("_hr").alias("hour_of_day"),
+        "n_events", "n_anomalies",
+    )

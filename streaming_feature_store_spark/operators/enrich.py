@@ -83,3 +83,51 @@ def interval_join(
         & (events[event_us] < spans[span_end_us])
     )
     return events.join(spans, cond)
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    num_hashes: int = 5,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Bloom-filter pre-join reduction: shrink a huge probe side to the
+    rows that MIGHT match the build keys before the expensive exact join —
+    the runtime-filter pattern Spark's own AQE injects
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), exposed here as
+    an explicit operator with a DETERMINISTIC filter so the reduction is
+    reproducible cross-engine, false positives included.
+
+    Construction is a partitioned Bloom: per hash seed, the build side
+    distinct-projects to md5-prefix buckets (``16^prefix_len`` possible
+    values — ≤ 65 536 short strings at the default, trivially broadcast),
+    and the probe survives only if ALL ``num_hashes`` of its buckets are
+    occupied.  Each round is a map-side BROADCAST LEFT SEMI join: the
+    probe is never shuffled, never widened — k hash computations and k
+    hash-map lookups per row, exactly a Bloom membership test.  No false
+    negatives by construction; the false-positive rate falls as
+    ``(fill_ratio)^num_hashes``.
+    """
+
+    def bucket(col, seed: int):
+        return F.substring(
+            F.md5(
+                F.concat_ws(":", col.cast("string"), F.lit(str(seed)))
+            ),
+            1,
+            prefix_len,
+        )
+
+    out = probe
+    for s in range(1, num_hashes + 1):
+        occupied = build.select(
+            bucket(F.col(build_key), s).alias("_bb")
+        ).distinct()
+        out = out.join(
+            broadcast(occupied),
+            bucket(F.col(probe_key), s) == F.col("_bb"),
+            "left_semi",
+        )
+    return out

@@ -727,3 +727,103 @@ def table_checksum(
         .cast("long")
         .alias("checksum"),
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    q: float = 0.5,
+    out_col: str = "weighted_quantile",
+) -> DataFrame:
+    """Per-group weighted lower quantile (q=0.5 → weighted median): the
+    smallest value whose running weight mass reaches ``q`` of the group's
+    total — the estimator behind quantity-weighted price medians, token-
+    weighted length cuts, and importance-weighted thresholds.
+
+    Exactness: weights accumulate as DECIMAL(18,4) end-to-end (the
+    ``exprs.dsum`` convention), so the crossing comparison sees identical
+    numbers in Spark and the SQL oracle regardless of addition order.
+
+    Plan shape (no single-partition-per-group stage): pre-agg ties to one
+    row per (group, value); running mass via
+    ``behavior.distributed_prefix_agg`` (range-partitioned local scans +
+    broadcast cross-partition offsets); per-group totals are a
+    |groups|-bounded aggregate broadcast back.  The crossing row satisfies
+    ``cum − w < q·total ≤ cum`` — exactly one row per group.
+    """
+    from streaming_feature_store_spark.operators.behavior import (
+        distributed_prefix_agg,
+    )
+
+    pa = df.groupBy(
+        F.col(group_col), F.col(value_col)
+    ).agg(
+        F.sum(F.col(weight_col).cast("decimal(18,4)")).alias("_w")
+    )
+    cum = distributed_prefix_agg(
+        pa, group_col, value_col, "_w", kind="sum", inclusive=True,
+        out_col="_cum",
+    )
+    totals = pa.groupBy(group_col).agg(F.sum("_w").alias("_tot"))
+    thresh = F.col("_tot").cast("double") * F.lit(float(q))
+    return (
+        cum.join(broadcast(totals), group_col)
+        .filter(
+            (F.col("_cum").cast("double") >= thresh)
+            & ((F.col("_cum") - F.col("_w")).cast("double") < thresh)
+        )
+        .select(
+            F.col(group_col),
+            F.col(value_col).alias(out_col),
+            F.col("_tot").cast("double").alias("total_weight"),
+        )
+    )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    group_col: str,
+    cost_col: str,
+    gain_col: str,
+    id_cols: list[str],
+) -> DataFrame:
+    """Per-group Pareto frontier (2-D skyline): rows NOT strictly
+    dominated — no other row in the group has strictly lower ``cost`` AND
+    strictly higher ``gain``.  The price/performance shortlist query
+    (cheapest parts per size tier, fastest configs per budget).
+
+    The naive formulation is a per-group self-join (O(n²) pairs — the
+    exact explosion the dedup family avoids).  The 2-D skyline instead
+    reduces to one scan: a row is dominated iff the running MAX of
+    ``gain`` over strictly-lower costs exceeds its own gain.  That prefix
+    max runs on the (group, cost)-deduped pre-agg via
+    ``behavior.distributed_prefix_agg`` (kind="max", exclusive) — no
+    single-partition window, no self-join — and joins back to the id rows
+    on the (group, cost) key.  Equal-cost rows dominate each other only
+    via a strictly cheaper row, so within a cost tie every max-gain row
+    can survive (standard strict-dominance semantics).
+    """
+    from streaming_feature_store_spark.operators.behavior import (
+        distributed_prefix_agg,
+    )
+
+    pa = df.groupBy(F.col(group_col), F.col(cost_col)).agg(
+        F.max(F.col(gain_col)).alias("_tier_best")
+    )
+    prev = distributed_prefix_agg(
+        pa, group_col, cost_col, "_tier_best", kind="max",
+        inclusive=False, out_col="_prev_best",
+    ).drop("_tier_best")
+    return (
+        df.join(prev, [group_col, cost_col])
+        .filter(
+            F.col("_prev_best").isNull()
+            | (F.col("_prev_best") <= F.col(gain_col))
+        )
+        .select(
+            F.col(group_col), *[F.col(c) for c in id_cols],
+            F.col(cost_col), F.col(gain_col),
+        )
+    )

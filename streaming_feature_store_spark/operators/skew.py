@@ -66,3 +66,32 @@ def salted_agg(
             finals.append(merge(f"_p_{name}").alias(name))
     phase1 = salted.groupBy(key_col, "_salt").agg(*partials)
     return phase1.groupBy(key_col).agg(*finals)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter skew diagnostic for a prospective join/group key: the
+    top-N keys by row count with their share of the table and their size
+    relative to the mean key — the number that tells you whether the next
+    join needs ``salted_agg``/AQE skew handling BEFORE it straggles.
+
+    One groupBy on the key, a two-counter global aggregate, and a
+    TakeOrdered top-N (no global sort materializes); ties break on the
+    key for determinism.
+    """
+    counts = df.groupBy(F.col(key_col)).agg(F.count("*").alias("key_rows"))
+    totals = counts.agg(
+        F.sum("key_rows").alias("_tot"), F.count("*").alias("_nkeys")
+    )
+    top = counts.orderBy(F.desc("key_rows"), F.col(key_col)).limit(top_n)
+    return top.crossJoin(F.broadcast(totals)).select(
+        F.col(key_col),
+        "key_rows",
+        F.round(F.col("key_rows") / F.col("_tot"), 6).alias("row_share"),
+        F.round(
+            F.col("key_rows") * F.col("_nkeys") / F.col("_tot"), 4
+        ).alias("x_mean_key"),
+    )

@@ -7773,3 +7773,334 @@ def q177_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("impossible_travel").cast("long")).alias("n_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 7 — evaluation, robust stats, sequences, join breadth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q178_grouped_auc",
+    sql="""
+    WITH r AS (
+      SELECT CAST(vec_id % 3 AS BIGINT) AS segment,
+             CAST(embedding[2] AS DOUBLE) AS s,
+             label % 2 AS y
+      FROM embeddings
+    ), rk AS (
+      SELECT segment, y,
+        RANK() OVER (PARTITION BY segment ORDER BY s)
+          + (COUNT(*) OVER (PARTITION BY segment, s) - 1) / 2.0 AS ar
+      FROM r
+    ), a AS (
+      SELECT segment,
+        CAST(SUM(CASE WHEN y = 1 THEN CAST(ar AS DECIMAL(38,1)) END)
+             AS DOUBLE) AS rpos,
+        CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM rk GROUP BY segment
+    )
+    SELECT segment, n_pos, n_neg,
+      ROUND((rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+    FROM a
+    """,
+)
+def q178_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC per segment (``ml.training.distributed_auc``): the
+    Mann-Whitney rank-sum identity with average-rank ties, rank sums in
+    DECIMAL(38,1).  The oracle's RANK() window puts each segment in one
+    partition; the Spark side decomposes rank through the range-
+    partitioned global numbering (q169's machinery) — bit-identical AUC
+    with no single-partition sort, the scoring-eval metric the
+    reference's offline evaluator (ml/evaluate.py) reads from sklearn."""
+    from streaming_feature_store_spark.ml.training import distributed_auc
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 3).cast("long").alias("segment"),
+        F.element_at("embedding", 2).cast("double").alias("score"),
+        (F.col("label") % 2).alias("y"),
+    )
+    return distributed_auc(emb, "score", "y", group_col="segment")
+
+
+@query(
+    "q179_weighted_median_price",
+    sql="""
+    WITH pa AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, v, w,
+        SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS cw,
+        SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM pa
+    )
+    SELECT l_returnflag, v AS weighted_median,
+      CAST(tot AS DOUBLE) AS total_weight
+    FROM c
+    WHERE CAST(cw AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
+      AND CAST(cw - w AS DOUBLE) < 0.5 * CAST(tot AS DOUBLE)
+    """,
+)
+def q179_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag
+    (``profile.weighted_quantile``): running weight mass in exact
+    DECIMAL(18,4) via the distributed prefix scan
+    (``behavior.distributed_prefix_agg``) — range-partitioned local
+    cumsums lifted by broadcast cross-partition offsets, no
+    single-partition-per-group window.  The oracle's windowed cumsum
+    sees identical decimals, so both engines pick the same crossing
+    row."""
+    from streaming_feature_store_spark.operators.profile import (
+        weighted_quantile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_quantile(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", q=0.5,
+        out_col="weighted_median",
+    )
+
+
+@query(
+    "q180_event_transitions",
+    sql="""
+    WITH p AS (
+      SELECT event_type AS to_type,
+        LAG(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      FROM events
+    ), c AS (
+      SELECT from_type, to_type, COUNT(*) AS n_transitions
+      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+      ROUND(n_transitions / SUM(n_transitions)
+            OVER (PARTITION BY from_type), 6) AS p_transition
+    FROM c
+    """,
+)
+def q180_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (``behavior.event_transitions``): P(next type | current type) — the
+    journey model one step past the reference's session funnels
+    (streaming/core/processors/clickstream.py).  One keyed LAG window +
+    one |types|²-bounded aggregate; the probability window runs on that
+    tiny frame only."""
+    from streaming_feature_store_spark.operators.behavior import (
+        event_transitions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@query(
+    "q181_nearest_event_value",
+    sql="""
+    WITH l AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id
+      FROM events WHERE event_type = 'purchase'
+    ), f AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, value
+      FROM events WHERE event_type <> 'purchase'
+    )
+    SELECT l.user_id, l.us AS label_ts_us, l.event_id AS label_key,
+      n.value AS near_fval, n.us AS near_ts_us,
+      n.us - l.us AS near_delta_us
+    FROM l LEFT JOIN LATERAL (
+      SELECT f.us, f.value
+      FROM f WHERE f.user_id = l.user_id
+      ORDER BY abs(f.us - l.us),
+               CASE WHEN f.us <= l.us THEN 0 ELSE 1 END,
+               CASE WHEN f.us <= l.us THEN -f.event_id ELSE f.event_id END
+      LIMIT 1
+    ) n ON TRUE
+    """,
+)
+def q181_nearest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join (``asof.nearest_join``): for every purchase,
+    the closest other event by |Δt| (ties → backward, pandas
+    merge_asof(direction='nearest') semantics).  Two linear as-of passes
+    reconciled on the label key — never a range-join explosion; the
+    oracle's LATERAL top-1 mirrors the exact tie ladder (distance, side,
+    per-side tiebreak)."""
+    from streaming_feature_store_spark.operators.asof import nearest_join
+
+    ev = with_event_micros(_t(spark, sf_dir, "events"))
+    labels = ev.filter(F.col("event_type") == "purchase")
+    feats = ev.filter(F.col("event_type") != "purchase").withColumnRenamed(
+        "value", "fval"
+    )
+    return nearest_join(
+        labels, feats, "user_id", "us", "us", ["fval"], [], "event_id"
+    )
+
+
+@query(
+    "q182_hourly_anomaly_rates",
+    sql="""
+    WITH cells AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr, value AS v
+      FROM events
+    ), base AS (
+      SELECT event_type, hr, COUNT(*) AS n,
+        CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS s,
+        CAST(SUM(CAST(v * v AS DECIMAL(28,8))) AS DOUBLE) AS s2
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT c.event_type, CAST(c.hr AS INT) AS hour_of_day,
+      COUNT(*) AS n_events,
+      CAST(SUM(CASE WHEN b.n > 1 AND
+        (b.n * c.v - b.s) * (b.n * c.v - b.s) * (b.n - 1)
+          > 9.0 * b.n * (b.n * b.s2 - b.s * b.s)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM cells c JOIN base b
+      ON c.event_type = b.event_type AND c.hr = b.hr
+    GROUP BY 1, 2
+    """,
+)
+def q182_hourly_anomaly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) anomaly screen
+    (``drift.seasonal_anomaly_counts``): per (type, hour) cell, how many
+    values sit >3σ from their OWN cell's population — the seasonality-
+    aware upgrade of the reference's global z-score monitor.  The
+    baseline is one map-side aggregate over ≤ |types|·24 cells broadcast
+    back; the 3σ test compares in division-free squared form so both
+    engines evaluate identical doubles."""
+    from streaming_feature_store_spark.operators.drift import (
+        seasonal_anomaly_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_anomaly_counts(ev, "ts", "event_type", "value", z=3.0)
+
+
+@query(
+    "q183_price_size_frontier",
+    sql="""
+    SELECT p_brand, p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part o
+      WHERE o.p_brand = p.p_brand
+        AND o.p_retailprice < p.p_retailprice
+        AND o.p_size > p.p_size
+    )
+    """,
+)
+def q183_price_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (``profile.pareto_frontier``): parts not
+    strictly dominated on (cheaper price, larger size).  The oracle's
+    NOT EXISTS is the O(n²) self-join statement of the skyline; the Spark
+    plan is the O(n) scan — dominated iff the running MAX of size over
+    strictly-cheaper prices (distributed prefix-max, exclusive) exceeds
+    own size."""
+    from streaming_feature_store_spark.operators.profile import (
+        pareto_frontier,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return pareto_frontier(
+        part, "p_brand", "p_retailprice", "p_size", ["p_partkey"]
+    )
+
+
+@query(
+    "q184_custkey_skew_report",
+    sql="""
+    WITH c AS (
+      SELECT o_custkey, COUNT(*) AS key_rows FROM orders GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(key_rows) AS BIGINT) AS tot, COUNT(*) AS nkeys
+      FROM c
+    )
+    SELECT o_custkey, key_rows,
+      ROUND(key_rows / tot, 6) AS row_share,
+      ROUND(key_rows * nkeys / tot, 4) AS x_mean_key
+    FROM c, t
+    ORDER BY key_rows DESC, o_custkey
+    LIMIT 20
+    """,
+)
+def q184_custkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (``skew.key_skew_report``): top-20
+    heaviest customer keys in the order fact with row share and
+    ×-mean-key ratio — the pre-join report that says whether the next
+    stage needs salting/AQE skew handling.  TakeOrdered top-N (no global
+    sort), deterministic key tie-break."""
+    from streaming_feature_store_spark.operators.skew import key_skew_report
+
+    orders = _t(spark, sf_dir, "orders")
+    return key_skew_report(orders, "o_custkey", top_n=20)
+
+
+@query(
+    "q185_bloom_prejoin_stats",
+    sql="""
+    WITH build AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000
+    ), seeds AS (
+      SELECT UNNEST([1, 2, 3, 4, 5]) AS s
+    ), pos AS (
+      SELECT DISTINCT s,
+        substr(md5(CAST(c_custkey AS VARCHAR) || ':'
+                   || CAST(s AS VARCHAR)), 1, 2) AS b
+      FROM build, seeds
+    ), pp AS (
+      SELECT p.o_orderkey,
+        SUM(CASE WHEN pos.b IS NOT NULL THEN 1 ELSE 0 END) AS hits
+      FROM orders p CROSS JOIN seeds
+      LEFT JOIN pos ON pos.s = seeds.s
+        AND pos.b = substr(md5(CAST(p.o_custkey AS VARCHAR) || ':'
+                               || CAST(seeds.s AS VARCHAR)), 1, 2)
+      GROUP BY 1
+    ), bloom AS (
+      SELECT o_orderkey FROM pp WHERE hits = 5
+    ), exact AS (
+      SELECT o_orderkey FROM orders JOIN build ON o_custkey = c_custkey
+    )
+    SELECT (SELECT COUNT(*) FROM orders) AS probed,
+           (SELECT COUNT(*) FROM bloom) AS bloom_pass,
+           (SELECT COUNT(*) FROM exact) AS exact_pass,
+           (SELECT COUNT(*) FROM bloom)
+             - (SELECT COUNT(*) FROM exact) AS false_pos
+    """,
+)
+def q185_bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join reduction (``enrich.bloom_semi_join``):
+    deterministic md5-bucket partitioned Bloom (5 seeds × 256 buckets)
+    screening the order fact against high-balance customers — k map-side
+    broadcast semi-joins, probe never shuffled.  The filter is exactly
+    reproducible cross-engine, so the oracle verifies the FALSE-POSITIVE
+    count too, not just the no-false-negative containment."""
+    from streaming_feature_store_spark.operators.enrich import (
+        bloom_semi_join,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    kept = bloom_semi_join(
+        orders, "o_custkey", cust, "c_custkey",
+        num_hashes=5, prefix_len=2,
+    )
+    exact = orders.join(
+        cust.select("c_custkey").distinct(),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left_semi",
+    )
+    a = orders.agg(F.count("*").alias("probed"))
+    b = kept.agg(F.count("*").alias("bloom_pass"))
+    c = exact.agg(F.count("*").alias("exact_pass"))
+    return (
+        a.crossJoin(broadcast(b))
+        .crossJoin(broadcast(c))
+        .select(
+            "probed", "bloom_pass", "exact_pass",
+            (F.col("bloom_pass") - F.col("exact_pass")).alias("false_pos"),
+        )
+    )
