@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned per-round by the committed PARITY_sf0.01_r0N.txt runs (r7's:
 # 158/158 at the first-batch point, refreshed after the second batch).
 # Round 7's window front-loads the queries over this round's CHANGED
-# code paths — the THIRTY-SEVEN new oracled queries (q149-q185: quarantine
+# code paths — the FORTY-THREE new oracled queries (q149-q191: quarantine
 # routing, BPE parity, BM25, DSIR weights, k-anonymity, snapshot diff,
 # Lloyd step, Z-order key, JL projection, cohort retention, RFM
 # distributed-ntile, OOF target encoding, embargo split, oriented
@@ -43,7 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Kaplan-Meier retention, cross-engine table checksums, impossible-travel
 # geo flags, grouped Mann-Whitney AUC, weighted median, Markov event
 # transitions, nearest-in-time join, seasonal hour-of-day anomalies,
-# Pareto frontier, key-skew report, Bloom pre-join reduction),
+# Pareto frontier, key-skew report, Bloom pre-join reduction,
+# salt-and-replicate skew join, Welch A/B t-test, power-iteration PCA
+# step, cumulative-distinct breadth, l-diversity, Neyman allocation),
 # the persisted-intermediate family now
 # running under the new cached-plan-AQE-coalescing session default
 # (q101/q102/q119 + the dedup/similarity lineages), the ivf_topk
@@ -53,6 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the window tail; the remainder stay pinned by the parity artifact).
 _PRIORITY = [
     # new this round, batch 7 (8): eval/robust-stats/sequence/join breadth
+    # new this round, batch 8 (6): skew join, A/B stats, PCA step,
+    # distinct-breadth window, l-diversity, Neyman sampling plan
+    "q186_skew_safe_revenue", "q187_event_value_ab_test",
+    "q188_power_iteration", "q189_user_event_breadth",
+    "q190_l_diverse_release", "q191_neyman_sample_plan",
     "q178_grouped_auc", "q179_weighted_median_price",
     "q180_event_transitions", "q181_nearest_event_value",
     "q182_hourly_anomaly_rates", "q183_price_size_frontier",

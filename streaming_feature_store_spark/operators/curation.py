@@ -761,3 +761,45 @@ def largest_remainder_alloc(
             ).alias("alloc"),
         )
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+    std_scale: int = 4,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: split an integer
+    sample ``budget`` across strata proportionally to N_h·S_h (stratum
+    size × stratum stddev) — the variance-minimizing design for a fixed
+    budget, and the principled upgrade to proportional allocation when
+    strata differ in spread (e.g. sampling a validation set across
+    sources whose quality scores vary unevenly).
+
+    One map-side-combined aggregate produces the per-stratum (N_h, S_h)
+    moments; the weight N_h·round(S_h, ``std_scale``) is lifted to an
+    exact 64-bit integer so the apportionment itself runs through
+    ``largest_remainder_alloc`` — pure integer Hamilton rounding,
+    Σ alloc == budget always, engine-independent.  Zero-variance or
+    singleton strata get weight 0 (Neyman assigns them no sampling
+    beyond the remainder stage, matching the textbook rule).
+    """
+    mul = 10 ** std_scale
+    moments = df.groupBy(stratum_col).agg(
+        F.count(value_col).alias("n_rows"),
+        F.round(F.stddev_samp(value_col), std_scale).alias("value_std"),
+    )
+    weighted = moments.withColumn(
+        "_wt",
+        (
+            F.col("n_rows")
+            * F.round(
+                F.coalesce(F.col("value_std"), F.lit(0.0)) * mul, 0
+            ).cast("bigint")
+        ),
+    )
+    alloc = largest_remainder_alloc(
+        weighted, budget, key_col=stratum_col, weight_col="_wt"
+    ).select(stratum_col, "alloc")
+    return weighted.drop("_wt").join(alloc, on=stratum_col, how="inner")

@@ -595,3 +595,56 @@ def seasonal_anomaly_counts(
         F.col(group_col), F.col("_hr").alias("hour_of_day"),
         "n_events", "n_anomalies",
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    variant_col: str,
+    value_col: str,
+    variant_a,
+    variant_b,
+    alpha_t: float = 1.96,
+) -> DataFrame:
+    """Per-group Welch's unequal-variance t-test between two variants —
+    the A/B-experiment readout (does the treatment move the metric?) run
+    for EVERY experiment/segment in one aggregation pass.
+
+    Emits per group: both sample sizes and means, the Welch t statistic
+    t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b), the Welch–Satterthwaite
+    effective degrees of freedom, and a significance flag at the given
+    critical value (1.96 ≈ two-sided 5 % for large df).  All moments are
+    conditional aggregates (one map-side-combined shuffle on the group
+    key — no per-variant subqueries, no second pass); groups where either
+    arm has < 2 observations yield NULL t (variance undefined).
+
+    Closed-form throughout, so a SQL oracle recomputes it exactly; the
+    caller rounds at the presentation edge.
+    """
+    a = F.col(variant_col) == F.lit(variant_a)
+    b = F.col(variant_col) == F.lit(variant_b)
+    v = F.col(value_col)
+    out = df.groupBy(group_col).agg(
+        F.count(F.when(a, v)).alias("n_a"),
+        F.count(F.when(b, v)).alias("n_b"),
+        F.avg(F.when(a, v)).alias("mean_a"),
+        F.avg(F.when(b, v)).alias("mean_b"),
+        F.var_samp(F.when(a, v)).alias("_va"),
+        F.var_samp(F.when(b, v)).alias("_vb"),
+    )
+    se2 = F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (F.col("_va") / F.col("n_a")) ** 2 / (F.col("n_a") - 1)
+        + (F.col("_vb") / F.col("n_b")) ** 2 / (F.col("n_b") - 1)
+    )
+    return out.select(
+        group_col,
+        "n_a",
+        "n_b",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(dof, 2).alias("df_welch"),
+        (F.abs(t) > F.lit(alpha_t)).alias("significant"),
+    )

@@ -827,3 +827,33 @@ def pareto_frontier(
             F.col(cost_col), F.col(gain_col),
         )
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_threshold: int = 3,
+) -> DataFrame:
+    """l-diversity suppression — the privacy gate k-anonymity
+    (``k_anonymize``) misses: a quasi-identifier group can contain ≥ k
+    rows yet leak the sensitive attribute exactly when every row in it
+    shares one sensitive value.  Keeps only rows whose QI group carries
+    at least ``l_threshold`` DISTINCT sensitive values.
+
+    Exact distinct per group via one (QI, sensitive) pre-aggregation
+    (map-side combined — the distinct explosion never shuffles raw rows
+    twice) followed by a QI-level count and a broadcast-eligible semi
+    join of the surviving groups back onto the rows; AQE promotes the
+    join when the group table is small, and the fact side is never
+    re-sorted.  Emits the per-group ``sensitive_l`` alongside the kept
+    rows so downstream release audits can bin by diversity.
+    """
+    groups = (
+        df.select(*quasi_cols, sensitive_col)
+        .distinct()
+        .groupBy(*quasi_cols)
+        .agg(F.count("*").alias("sensitive_l"))
+        .filter(F.col("sensitive_l") >= l_threshold)
+    )
+    return df.join(groups, on=quasi_cols, how="inner")

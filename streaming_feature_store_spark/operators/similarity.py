@@ -897,3 +897,53 @@ def semantic_dedup(
             F.coalesce(F.col("_dropped"), F.lit(False)).alias("dropped"),
         )
     )
+
+
+def power_iteration_step(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """One synchronous power-iteration step for the corpus Gram matrix's
+    top eigenvector: u = normalize(Σᵢ (xᵢ·v₀) xᵢ), seeded with the
+    deterministic v₀ = 1/√d (uniform direction).  Iterating this map is
+    how the leading PCA component of an embedding corpus is computed at
+    scale without ever materializing the d×d covariance; like
+    ``kmeans_lloyd_step`` (q156) it exposes ONE exact round so a SQL
+    oracle can pin the distributed linear algebra.
+
+    Plan shape: the dot product is a per-row pinned-order fold (left fold
+    over the array — identical IEEE sequence in DuckDB's list_reduce);
+    the per-dimension accumulation posexplodes to (dim, dot·x) and
+    decimal-sums — an order-independent map-side-combined aggregate of
+    d×n terms into d rows, the only shuffle.  The normalizer is a d-row
+    aggregate crossJoined back (broadcast, no second pass over the data).
+    Output: (dim_idx, component) with ‖component‖₂ = 1.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    dot = (
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+        / F.lit(float(dim) ** 0.5)
+    ).alias("_dot")
+    exploded = emb.select(dot, F.posexplode(v).alias("dim_idx", "_x"))
+    u = exploded.groupBy("dim_idx").agg(
+        F.sum(
+            (F.col("_dot") * F.col("_x")).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("_u")
+    )
+    norm = u.agg(
+        F.sqrt(
+            F.sum((F.col("_u") * F.col("_u")).cast("decimal(38,10)")).cast(
+                "double"
+            )
+        ).alias("_norm")
+    )
+    return (
+        u.crossJoin(broadcast(norm))
+        .select(
+            "dim_idx",
+            F.round(F.col("_u") / F.col("_norm"), 6).alias("component"),
+        )
+    )

@@ -95,3 +95,50 @@ def key_skew_report(
             F.col("key_rows") * F.col("_nkeys") / F.col("_tot"), 4
         ).alias("x_mean_key"),
     )
+
+
+def replicated_skew_join(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    salt_col: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salt-and-replicate equi-join for a skewed fact key: each fact row
+    gets a deterministic salt from an existing unique column
+    (``pmod(xxhash64(salt_col), salt_buckets)``), the dim side is
+    replicated across every salt bucket with ``explode``, and the join
+    runs on ``(key, salt)`` — so a hot key's rows land on
+    ``salt_buckets`` reducers instead of one straggler.
+
+    This is the manual twin of AQE's skew-join splitting for the cases
+    AQE cannot reach: stream-stream/stateful joins (no runtime re-plan),
+    bucketed sort-merge joins whose layout must be preserved, or engines
+    where AQE is off.  Results are EXACTLY the plain join's rows (salting
+    only re-partitions; replication only duplicates the dim row each fact
+    row would have matched), which is what the q186 oracle pins.
+
+    Cost model: the dim shuffle grows ×``salt_buckets`` — use only when
+    |dim| × salt_buckets ≪ |fact|, the regime where skew hurts.  The
+    salt never leaves this function; output columns = fact ∪ dim.
+    """
+    salted = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets))
+    )
+    replicated = dim.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast(
+                "array<bigint>"
+            )
+        ),
+    )
+    joined = salted.join(
+        replicated,
+        (salted[fact_key] == replicated[dim_key])
+        & (salted["_salt"] == replicated["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")

@@ -313,3 +313,47 @@ def time_weighted_avg(
             6,
         ).alias("twap"),
     )
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    distinct_col: str,
+    tiebreak_col: str,
+    out_col: str = "distinct_so_far",
+) -> DataFrame:
+    """Expanding COUNT(DISTINCT x) OVER per-entity event time — "how many
+    distinct event types / devices / merchants has this entity touched so
+    far" — a breadth feature the reference's per-entity state tracks with
+    an in-memory set.
+
+    Spark's window aggregates reject DISTINCT, and carrying a set per row
+    is O(n·|set|) state; the scalable restatement is exact and set-free:
+    flag each row that is the FIRST occurrence of its (key, value) pair
+    (row_number over (key, value) ordered by time+tiebreak == 1), then
+    running-SUM the flags over the entity timeline.  Two window passes
+    over the same key partitioning — Spark reuses one sort for both
+    frames when the (key, order) prefix matches; per-row state at 100 TB
+    is one integer, never a set.
+
+    Ties: the unique ``tiebreak_col`` makes "first occurrence" and the
+    running frame deterministic under duplicate timestamps.
+    """
+    first_w = Window.partitionBy(key_col, distinct_col).orderBy(
+        order_col, tiebreak_col
+    )
+    run_w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.withColumn(
+        "_first",
+        F.when(F.row_number().over(first_w) == 1, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    return flagged.withColumn(out_col, F.sum("_first").over(run_w)).drop(
+        "_first"
+    )

@@ -8104,3 +8104,235 @@ def q185_bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bloom_pass") - F.col("exact_pass")).alias("false_pos"),
         )
     )
+
+
+@query(
+    "q186_skew_safe_revenue",
+    sql="""
+    SELECT c_mktsegment,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        AS segment_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q186_skew_safe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-and-replicate skew join (``skew.replicated_skew_join``):
+    the order fact is salted on its unique o_orderkey (16 buckets), the
+    customer dim is exploded across the salt space, and the join runs on
+    (custkey, salt) — a hot customer's rows spread over 16 reducers.
+    The oracle is the PLAIN join aggregate, proving salting+replication
+    changes the physical distribution and nothing else.  This is the
+    manual twin of AQE skew-split for plans AQE can't touch (stateful
+    stream-stream joins, pinned bucketed layouts)."""
+    from streaming_feature_store_spark.operators.skew import (
+        replicated_skew_join,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = replicated_skew_join(
+        orders, "o_custkey", cust, "c_custkey",
+        salt_col="o_orderkey", salt_buckets=16,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("segment_revenue"),
+    )
+
+
+@query(
+    "q187_event_value_ab_test",
+    sql="""
+    WITH t AS (
+      SELECT event_type, user_id % 2 AS variant, value FROM events
+    ), g AS (
+      SELECT event_type,
+        COUNT(CASE WHEN variant = 0 THEN value END) AS n_a,
+        COUNT(CASE WHEN variant = 1 THEN value END) AS n_b,
+        AVG(CASE WHEN variant = 0 THEN value END) AS m_a,
+        AVG(CASE WHEN variant = 1 THEN value END) AS m_b,
+        VAR_SAMP(CASE WHEN variant = 0 THEN value END) AS va,
+        VAR_SAMP(CASE WHEN variant = 1 THEN value END) AS vb
+      FROM t GROUP BY 1
+    )
+    SELECT event_type, n_a, n_b,
+      ROUND(m_a, 4) AS mean_a,
+      ROUND(m_b, 4) AS mean_b,
+      ROUND((m_a - m_b) / SQRT(va/n_a + vb/n_b), 4) AS t_stat,
+      ROUND(POW(va/n_a + vb/n_b, 2)
+            / (POW(va/n_a, 2)/(n_a - 1) + POW(vb/n_b, 2)/(n_b - 1)),
+            2) AS df_welch,
+      ABS((m_a - m_b) / SQRT(va/n_a + vb/n_b)) > 1.96 AS significant
+    FROM g
+    """,
+)
+def q187_event_value_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-experiment Welch's unequal-variance t-test
+    (``drift.welch_ttest``): every event type read as an experiment,
+    users hash-split into two arms (user_id parity), the treatment
+    effect on `value` tested with the Welch t statistic +
+    Welch–Satterthwaite df in ONE conditional-aggregate pass — no
+    per-arm subqueries, closed-form so the oracle recomputes it
+    exactly."""
+    from streaming_feature_store_spark.operators.drift import welch_ttest
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "variant", F.col("user_id") % 2
+    )
+    return welch_ttest(
+        ev, "event_type", "variant", "value", variant_a=0, variant_b=1
+    )
+
+
+@query(
+    "q188_power_iteration",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), d0 AS (
+      SELECT vec_id, v,
+        list_reduce(v, (acc, x) -> acc + x) / sqrt(64.0) AS dot
+      FROM e
+    ), ex AS (
+      SELECT gs.i - 1 AS dim_idx,
+        CAST(dot * v[gs.i] AS DECIMAL(18,6)) AS contrib
+      FROM d0 CROSS JOIN generate_series(1, 64) AS gs(i)
+    ), u AS (
+      SELECT dim_idx, CAST(SUM(contrib) AS DOUBLE) AS u
+      FROM ex GROUP BY 1
+    ), nrm AS (
+      SELECT SQRT(CAST(SUM(CAST(u * u AS DECIMAL(38,10))) AS DOUBLE))
+        AS norm
+      FROM u
+    )
+    SELECT dim_idx, ROUND(u / norm, 6) AS component FROM u, nrm
+    """,
+)
+def q188_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact power-iteration step toward the corpus PCA direction
+    (``similarity.power_iteration_step``): u = normalize(Σ (xᵢ·v₀)xᵢ)
+    from the deterministic uniform seed — the distributed linear-algebra
+    kernel behind large-scale PCA, pinned the same way q156 pins one
+    Lloyd round.  Per-row dots are pinned-order folds (bit-identical
+    left fold in both engines); the d×n per-dimension accumulation is an
+    order-independent decimal aggregate into 64 rows — the only
+    shuffle."""
+    from streaming_feature_store_spark.operators.similarity import (
+        power_iteration_step,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return power_iteration_step(emb, "embedding", dim=64)
+
+
+@query(
+    "q189_user_event_breadth",
+    sql="""
+    SELECT event_id, user_id,
+      COUNT(DISTINCT event_type) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS distinct_so_far
+    FROM events
+    """,
+)
+def q189_user_event_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding per-user COUNT DISTINCT over event time
+    (``windows.cumulative_distinct``): how many distinct event types the
+    user has touched as of each event — the set-breadth feature the
+    reference keeps in per-entity in-memory sets.  Spark windows reject
+    DISTINCT, so the exact set-free restatement flags first occurrences
+    (row_number == 1 over (user, type)) and running-sums the flags over
+    the user timeline; per-row state is one integer at any scale."""
+    from streaming_feature_store_spark.operators.windows import (
+        cumulative_distinct,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cumulative_distinct(
+        ev, "user_id", "ts", "event_type", "event_id"
+    ).select("event_id", "user_id", "distinct_so_far")
+
+
+@query(
+    "q190_l_diverse_release",
+    sql="""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+        CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band
+      FROM customer
+    ), g AS (
+      SELECT c_nationkey, bal_band,
+        COUNT(DISTINCT c_mktsegment) AS sensitive_l
+      FROM q GROUP BY 1, 2
+      HAVING COUNT(DISTINCT c_mktsegment) >= 3
+    )
+    SELECT q.c_custkey, q.c_nationkey, q.c_mktsegment, q.bal_band,
+      g.sensitive_l
+    FROM q JOIN g USING (c_nationkey, bal_band)
+    """,
+)
+def q190_l_diverse_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release gate (``profile.l_diversity``, l=3) on the
+    same quasi-identifier as the q154 k-anonymity gate — keeps only rows
+    whose (nation, balance-band) group spans ≥ 3 distinct market
+    segments, closing the homogeneity leak k-anonymity allows.  Exact
+    distinct via a (QI, sensitive) pre-aggregation, then an
+    AQE-broadcastable semi join of surviving groups onto the rows."""
+    from streaming_feature_store_spark.operators.profile import l_diversity
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+    )
+    return l_diversity(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment", l_threshold=3
+    )
+
+
+@query(
+    "q191_neyman_sample_plan",
+    sql="""
+    WITH m AS (
+      SELECT event_type, COUNT(value) AS n_rows,
+        ROUND(STDDEV_SAMP(value), 4) AS value_std
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT *,
+        n_rows * CAST(ROUND(COALESCE(value_std, 0) * 10000, 0) AS BIGINT)
+          AS wt
+      FROM m
+    ), t AS (
+      SELECT CAST(SUM(wt) AS BIGINT) AS tot_w FROM w
+    ), q AS (
+      SELECT event_type, n_rows, value_std, wt,
+        (10000 * wt) // tot_w AS base_alloc,
+        (10000 * wt) % tot_w AS rem
+      FROM w, t
+    ), l AS (
+      SELECT 10000 - SUM(base_alloc) AS leftover FROM q
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rk
+      FROM q
+    )
+    SELECT event_type, n_rows, value_std,
+      base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+    FROM r, l
+    """,
+)
+def q191_neyman_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling plan
+    (``curation.neyman_allocation``): a 10 000-row validation-sample
+    budget split across event types ∝ N_h·S_h — the variance-minimizing
+    allocation, computed from one moments aggregate and apportioned with
+    exact-integer Hamilton rounding (Σ alloc == budget ALWAYS; the
+    stddev weight is rounded-then-lifted to int64 so both engines
+    apportion identical integers)."""
+    from streaming_feature_store_spark.operators.curation import (
+        neyman_allocation,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return neyman_allocation(ev, "event_type", "value", budget=10000)
