@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned per-round by the committed PARITY_sf0.01_r0N.txt runs (r7's:
 # 158/158 at the first-batch point, refreshed after the second batch).
 # Round 7's window front-loads the queries over this round's CHANGED
-# code paths — the FORTY-THREE new oracled queries (q149-q191: quarantine
+# code paths — the FORTY-SEVEN new oracled queries (q149-q195: quarantine
 # routing, BPE parity, BM25, DSIR weights, k-anonymity, snapshot diff,
 # Lloyd step, Z-order key, JL projection, cohort retention, RFM
 # distributed-ntile, OOF target encoding, embargo split, oriented
@@ -45,7 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # transitions, nearest-in-time join, seasonal hour-of-day anomalies,
 # Pareto frontier, key-skew report, Bloom pre-join reduction,
 # salt-and-replicate skew join, Welch A/B t-test, power-iteration PCA
-# step, cumulative-distinct breadth, l-diversity, Neyman allocation),
+# step, cumulative-distinct breadth, l-diversity, Neyman allocation,
+# band join, conformal thresholds, incremental state merge, WOE/IV),
 # the persisted-intermediate family now
 # running under the new cached-plan-AQE-coalescing session default
 # (q101/q102/q119 + the dedup/similarity lineages), the ivf_topk
@@ -54,6 +55,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # dim-broadcast hints were dropped in favor of AQE runtime promotion
 # (the window tail; the remainder stay pinned by the parity artifact).
 _PRIORITY = [
+    # new this round, batch 9 (4): band join, conformal cutoffs,
+    # incremental partial-state merge, WOE/IV encoding
+    "q192_price_band_orders", "q193_conformal_value_cutoffs",
+    "q194_event_value_incremental", "q195_segment_woe",
     # new this round, batch 7 (8): eval/robust-stats/sequence/join breadth
     # new this round, batch 8 (6): skew join, A/B stats, PCA step,
     # distinct-breadth window, l-diversity, Neyman sampling plan

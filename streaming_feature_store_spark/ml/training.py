@@ -750,3 +750,47 @@ def distributed_auc(
         p, n, F.round(auc, 6).alias("auc"),
     ]
     return agg.select(*out_cols)
+
+
+def conformal_threshold(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tiebreak_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction threshold per group: the
+    ceil((n+1)(1−α))-th smallest calibration score — the
+    finite-sample-valid cutoff such that a fresh example's score falls
+    below it with probability ≥ 1−α (distribution-free; the guarantee
+    behind conformal prediction intervals).  Run per segment/model so
+    every serving group gets its own calibrated threshold.
+
+    Exact order statistic, not an approximate quantile: rank via
+    row_number over (score, tiebreak) per group plus the group count in
+    the same window partitioning (one sort shuffle, Spark reuses the
+    sort for both frames), keep the row at rank ceil((n+1)(1−α)) clamped
+    to n.  Exactness is what makes the coverage guarantee and the SQL
+    oracle hold; the unique ``tiebreak_col`` pins tie order
+    cross-engine.  At 100 TB calibration sets are per-group samples
+    (thousands of rows), so the per-group sort is small by construction;
+    for monster groups swap in approx_percentile and forfeit the
+    finite-sample exactness knowingly.
+    """
+    w = Window.partitionBy(group_col).orderBy(score_col, tiebreak_col)
+    wc = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col,
+        score_col,
+        F.row_number().over(w).alias("_rk"),
+        F.count("*").over(wc).alias("n_cal"),
+    )
+    target = F.least(
+        F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha)).cast("long"),
+        F.col("n_cal"),
+    )
+    return ranked.filter(F.col("_rk") == target).select(
+        group_col,
+        "n_cal",
+        F.round(F.col(score_col), 6).alias("q_hat"),
+    )

@@ -131,3 +131,39 @@ def bloom_semi_join(
             "left_semi",
         )
     return out
+
+
+def band_join(
+    fact: DataFrame,
+    value_col: str,
+    bands: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Band (range-bucket) join: attach to each fact row the dimension row
+    whose half-open interval [lo, hi) contains its ``value_col`` — the
+    price-tier / risk-band / SLA-bucket lookup every feature pipeline
+    carries (the reference hard-codes its amount bands in the risk
+    interpretation ladder; this is the data-driven generalization).
+
+    The band table is a configuration dimension — tens-to-thousands of
+    rows, CONSTANT in data scale — so the right physical plan at any fact
+    size is an explicit ``broadcast``: Spark executes the non-equi
+    predicate as a BroadcastNestedLoopJoin, each task scanning the
+    in-memory band list per row (O(|bands|) comparisons, no shuffle of
+    the fact side, no Exchange at all).  AQE cannot promote a nested-loop
+    join on its own, hence the one place a forced hint is policy-correct
+    (session.py:16 — genuinely-small dimension).  For a REGULAR grid,
+    derive an equi key with ``floor(value/step)`` instead and skip the
+    range predicate entirely; for band tables too large to broadcast,
+    bucket both sides on a coarse quantization of value and range-join
+    within buckets.
+
+    NULL values (and values outside every band) follow ``how``: dropped
+    under inner, kept with NULL band attributes under left.
+    """
+    cond = (F.col(value_col) >= bands[lo_col]) & (
+        F.col(value_col) < bands[hi_col]
+    )
+    return fact.join(broadcast(bands), cond, how)

@@ -8336,3 +8336,168 @@ def q191_neyman_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return neyman_allocation(ev, "event_type", "value", budget=10000)
+
+
+@query(
+    "q192_price_band_orders",
+    sql="""
+    WITH bands AS (
+      SELECT r_regionkey AS band_id,
+        r_regionkey * 120000.0 AS band_lo,
+        (r_regionkey + 1) * 120000.0 AS band_hi
+      FROM region
+    )
+    SELECT band_id, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders JOIN bands
+      ON o_totalprice >= band_lo AND o_totalprice < band_hi
+    GROUP BY 1
+    """,
+)
+def q192_price_band_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven price-tier lookup (``enrich.band_join``): each order
+    matched to the half-open price band [lo, hi) containing its total —
+    the generalization of the reference's hard-coded amount-band ladder
+    to a configuration-table dimension.  The band table (derived here
+    from region: 5 tiers of $120k) is constant-size at any data scale,
+    so the physical plan is a BroadcastNestedLoopJoin with NO shuffle of
+    the fact side; the only Exchange is the final tier aggregate."""
+    from streaming_feature_store_spark.operators.enrich import band_join
+
+    orders = _t(spark, sf_dir, "orders")
+    bands = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("band_id"),
+        (F.col("r_regionkey") * 120000.0).alias("band_lo"),
+        ((F.col("r_regionkey") + 1) * 120000.0).alias("band_hi"),
+    )
+    return (
+        band_join(orders, "o_totalprice", bands, "band_lo", "band_hi")
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q193_conformal_value_cutoffs",
+    sql="""
+    WITH r AS (
+      SELECT event_type, value,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY value, event_id) AS rk,
+        COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, n_cal, ROUND(value, 6) AS q_hat
+    FROM r
+    WHERE rk = LEAST(CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT), n_cal)
+    """,
+)
+def q193_conformal_value_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal threshold per event type
+    (``ml.training.conformal_threshold``, α=0.1): the exact
+    ceil((n+1)·0.9)-th smallest calibration value — the
+    distribution-free cutoff under which a fresh event's value falls
+    with probability ≥ 0.9.  One sort shuffle serves both the
+    row_number and the group count; event_id pins tie order
+    cross-engine."""
+    from streaming_feature_store_spark.ml.training import (
+        conformal_threshold,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return conformal_threshold(
+        ev, "event_type", "value", "event_id", alpha=0.1
+    )
+
+
+@query(
+    "q194_event_value_incremental",
+    sql="""
+    WITH p AS (
+      SELECT event_type, CAST(ts AS DATE) AS shard,
+        COUNT(value) AS n,
+        SUM(CAST(value AS DECIMAL(18,4))) AS s,
+        SUM(CAST(value * value AS DECIMAL(38,8))) AS ss,
+        MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+      COUNT(*) AS n_shards,
+      CAST(SUM(n) AS BIGINT) AS n_rows,
+      ROUND(CAST(SUM(s) AS DOUBLE), 4) AS value_sum,
+      ROUND(CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 6)
+        AS value_mean,
+      ROUND(CASE WHEN CAST(SUM(n) AS BIGINT) > 1 THEN
+        (CAST(SUM(ss) AS DOUBLE)
+         - CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)
+           / CAST(SUM(n) AS BIGINT))
+        / (CAST(SUM(n) AS BIGINT) - 1) END, 4) AS value_var,
+      MIN(vmin) AS vmin, MAX(vmax) AS vmax
+    FROM p GROUP BY 1
+    """,
+)
+def q194_event_value_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance equivalence
+    (``incremental.partial_aggregate`` + ``merge_partials``): per-day
+    mergeable (n, Σx, Σx², min, max) decimal states per event type,
+    merged back to group totals — and the oracle proves the merged
+    result is EXACTLY the direct aggregation over raw rows, the
+    contract that lets a 100 TB history absorb a new day by touching
+    one shard instead of rescanning."""
+    from streaming_feature_store_spark.operators.incremental import (
+        merge_partials,
+        partial_aggregate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    partials = partial_aggregate(
+        ev, ["event_type"], F.to_date("ts"), "value"
+    )
+    return merge_partials(partials, ["event_type"])
+
+
+@query(
+    "q195_segment_woe",
+    sql="""
+    WITH g AS (
+      SELECT c_mktsegment,
+        COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_bad,
+        COUNT(CASE WHEN NOT (c_acctbal < 0) THEN 1 END) AS n_good
+      FROM customer GROUP BY 1
+    ), t AS (
+      SELECT *,
+        SUM(n_bad) OVER () AS bad_tot,
+        SUM(n_good) OVER () AS good_tot
+      FROM g
+    ), w AS (
+      SELECT c_mktsegment, n_bad, n_good,
+        LN(((n_bad + 0.5) / (bad_tot + 1.0))
+           / ((n_good + 0.5) / (good_tot + 1.0))) AS woe_raw,
+        ((n_bad + 0.5) / (bad_tot + 1.0)
+         - (n_good + 0.5) / (good_tot + 1.0)) AS diff
+      FROM t
+    )
+    SELECT c_mktsegment, n_bad, n_good,
+      ROUND(woe_raw, 6) AS woe,
+      ROUND(diff * woe_raw, 6) AS iv_term,
+      CAST(SUM(CAST(ROUND(diff * woe_raw, 6) AS DECIMAL(18,6))) OVER ()
+        AS DOUBLE) AS iv_total
+    FROM w
+    """,
+)
+def q195_segment_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence + information value of market segment against
+    negative account balance (``profile.woe_iv``, Laplace smooth 0.5) —
+    the scorecard-standard categorical encoding and its feature-level
+    IV riding along on every row.  One conditional-aggregate pass to
+    |segments| rows; totals and the IV sum are window aggregates over
+    the tiny grouped frame."""
+    from streaming_feature_store_spark.operators.profile import woe_iv
+
+    cust = _t(spark, sf_dir, "customer")
+    return woe_iv(
+        cust, "c_mktsegment", F.col("c_acctbal") < 0, smooth=0.5
+    )
