@@ -1,0 +1,293 @@
+"""Large-scale experimentation readouts: grouped z-tests, multiple-testing
+control, difference-in-differences, and delta-method ratio metrics.
+
+The reference ships a single fraud-score A/B notebook habit; at feature-
+store scale the real workload is THOUSANDS of simultaneous readouts
+(every experiment × segment × metric), which makes three things
+first-class that a notebook ignores:
+
+- **Multiple-testing control** (:func:`bh_fdr`) — with 1 000 readouts at
+  α=0.05, ~50 false discoveries are expected; Benjamini–Hochberg bounds
+  the false-discovery RATE instead.  Pure rank logic over the tiny
+  per-hypothesis frame.
+- **Ratio metrics** (:func:`ratio_metric_delta`) — revenue-per-session
+  style metrics violate the i.i.d.-rows assumption (sessions cluster
+  within users); the delta method on per-UNIT sums is the industry-
+  standard fix, and it is two exact aggregation passes.
+- **Quasi-experiments** (:func:`diff_in_diff`) — when arms aren't
+  randomized, the pre/post × treat/control double difference removes
+  time-invariant group bias; one conditional-aggregate pass.
+
+Everything is closed form (moments + the Abramowitz–Stegun erfc
+polynomial shared with operators/drift.py), so DuckDB oracles recompute
+the full decision chain — statistic, p-value, rejection — exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from streaming_feature_store_spark.operators.drift import _erfc
+
+_SQRT2 = 2.0 ** 0.5
+
+
+def normal_sf2(z_abs: Column) -> Column:
+    """Two-sided normal tail probability P(|Z| > z) = erfc(z/√2) for
+    z ≥ 0 — the large-sample p-value for any z/t statistic (A&S 7.1.26
+    polynomial, |err| < 1.5e-7, far inside 6-dp rounding).
+
+    NULL-guarded explicitly: Spark's least/greatest SKIP nulls (unlike
+    arithmetic), so without the when() a NULL statistic would clamp to
+    p = 0.0 — a spurious maximally-significant readout."""
+    return F.when(
+        z_abs.isNotNull(),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), _erfc(z_abs / _SQRT2))),
+    )
+
+
+def grouped_ztest(
+    df: DataFrame,
+    group_cols: list[str],
+    variant_col,
+    value_col: str,
+) -> DataFrame:
+    """Per-group two-sample z-test between variant False/True arms: the
+    Welch statistic z = (m_b − m_a)/√(v_a/n_a + v_b/n_b) with the
+    large-sample normal two-sided p-value — one hypothesis PER GROUP,
+    all computed in one conditional-aggregate pass (map-side combined;
+    no per-arm subqueries).  ``variant_col`` is a boolean column or
+    expression (False = control arm A, True = treatment arm B).
+
+    The normal approximation to Welch's t is the standard large-n
+    experimentation readout; groups with an arm under ~30 observations
+    should use :func:`operators.drift.welch_ttest` df instead.  Groups
+    where either arm has < 2 values yield NULL z/p (variance undefined)
+    — feed through :func:`bh_fdr`, which ranks NULL p-values last and
+    never rejects them.
+    """
+    t = F.col(variant_col) if isinstance(variant_col, str) else variant_col
+    v = F.col(value_col)
+    # order-independent moments: per-row decimal casts, exact decimal sums
+    # (the repo's dsum policy) — raw double AVG/VAR_SAMP would make the
+    # 6-dp p-value partial-order-dependent.
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.when(~t, v)).alias("n_a"),
+        F.count(F.when(t, v)).alias("n_b"),
+        F.sum(F.when(~t, v).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("_sa"),
+        F.sum(F.when(t, v).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("_sb"),
+        F.sum(F.when(~t, v * v).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("_ssa"),
+        F.sum(F.when(t, v * v).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("_ssb"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("_sa") / na
+    mb = F.col("_sb") / nb
+    va = F.when(
+        na > 1, (F.col("_ssa") - F.col("_sa") * F.col("_sa") / na) / (na - 1)
+    )
+    vb = F.when(
+        nb > 1, (F.col("_ssb") - F.col("_sb") * F.col("_sb") / nb) / (nb - 1)
+    )
+    se2 = va / na + vb / nb
+    z = (mb - ma) / F.sqrt(se2)
+    return g.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round(z, 4).alias("z_stat"),
+        F.round(normal_sf2(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    tiebreak_cols: list[str],
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control over one frame of
+    hypotheses: rank p-values ascending, find the largest rank k with
+    p_(k) ≤ k·α/m, reject ranks 1..k.  Also emits the BH-adjusted
+    p-value p_adj_(i) = min_{j≥i}(m·p_(j)/j) clamped to 1, so callers
+    can re-threshold without re-ranking.
+
+    Rank ties are pinned by ``tiebreak_cols`` (cross-engine determinism).
+    NULL p-values sort last, never satisfy the step-up condition, and
+    get NULL p_adj with rejected = false.
+
+    The input is the per-hypothesis frame — |experiments × segments|
+    rows, thousands at most, already aggregated down from the raw data —
+    so the single-partition windows here move hypothesis rows, never
+    fact rows.  The step-up "largest passing rank" is a global MAX
+    window; the adjusted-p suffix minimum is a reverse running MIN.
+    """
+    order = [F.col(p_col).asc_nulls_last()] + [
+        F.col(c) for c in tiebreak_cols
+    ]
+    w = Window.orderBy(*order)
+    wall = Window.partitionBy()
+    wsuffix = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    m = F.count(p_col).over(wall)  # NULL p-values are not hypotheses
+    ranked = df.withColumn(
+        "_rk", F.row_number().over(w).cast("long")
+    ).withColumn("_m", m)
+    passing = F.when(
+        F.col(p_col) <= F.col("_rk") * F.lit(alpha) / F.col("_m"),
+        F.col("_rk"),
+    )
+    cutoff = F.max(passing).over(wall)
+    p_adj = F.least(
+        F.lit(1.0),
+        F.min(F.col("_m") * F.col(p_col) / F.col("_rk")).over(wsuffix),
+    )
+    return (
+        ranked.withColumn(
+            "p_adj",
+            F.when(F.col(p_col).isNotNull(), F.round(p_adj, 6)),
+        )
+        .withColumn(
+            "rejected",
+            F.coalesce(F.col("_rk") <= cutoff, F.lit(False))
+            & F.col(p_col).isNotNull(),
+        )
+        .withColumnRenamed("_rk", "p_rank")
+        .drop("_m")
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_cols: list[str],
+    treat_col,
+    post_col,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences per group: the 2×2 cell means over
+    (treat × post) and the DiD estimate
+    (m_t,post − m_t,pre) − (m_c,post − m_c,pre), with the large-sample
+    standard error √(Σ v_cell/n_cell) and normal z/p — the canonical
+    quasi-experimental readout when treatment wasn't randomized.
+
+    One conditional-aggregate pass builds all four cells per group
+    (map-side combined, |groups| output rows); groups with any cell
+    under 2 observations yield NULL se/z/p.
+    """
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    p = F.col(post_col) if isinstance(post_col, str) else post_col
+    v = F.col(value_col)
+    cells = {
+        "c_pre": ~t & ~p,
+        "c_post": ~t & p,
+        "t_pre": t & ~p,
+        "t_post": t & p,
+    }
+    aggs = []
+    for name, cond in cells.items():
+        aggs += [
+            F.count(F.when(cond, v)).alias(f"n_{name}"),
+            F.sum(F.when(cond, v).cast("decimal(18,4)"))
+            .cast("double")
+            .alias(f"_s_{name}"),
+            F.sum(F.when(cond, v * v).cast("decimal(38,8)"))
+            .cast("double")
+            .alias(f"_ss_{name}"),
+        ]
+    g = df.groupBy(*group_cols).agg(*aggs)
+
+    def mean(name):
+        return F.col(f"_s_{name}") / F.col(f"n_{name}")
+
+    def var(name):
+        n = F.col(f"n_{name}")
+        s = F.col(f"_s_{name}")
+        return F.when(
+            n > 1, (F.col(f"_ss_{name}") - s * s / n) / (n - 1)
+        )
+
+    did = (mean("t_post") - mean("t_pre")) - (
+        mean("c_post") - mean("c_pre")
+    )
+    se = F.sqrt(sum(var(n) / F.col(f"n_{n}") for n in cells))
+    z = did / se
+    return g.select(
+        *group_cols,
+        *[F.col(f"n_{n}") for n in cells],
+        *[F.round(mean(n), 4).alias(f"mean_{n}") for n in cells],
+        F.round(did, 4).alias("did"),
+        F.round(se, 4).alias("se"),
+        F.round(z, 4).alias("z_stat"),
+        F.round(normal_sf2(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+def ratio_metric_delta(
+    df: DataFrame,
+    unit_col: str,
+    group_cols: list[str],
+    num_col: str,
+    den_col,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric
+    R = Σ num / Σ den per group, where rows cluster within randomization
+    units (users): revenue-per-event, CTR, items-per-session.  Treating
+    rows as i.i.d. understates the variance whenever units contribute
+    multiple rows; the correct unit-level variance is
+
+        Var(R) ≈ (s_x² − 2R·s_xy + R²·s_y²) / (n · ȳ²)
+
+    over per-unit sums (x_u, y_u) — the standard delta-method linearization.
+
+    Two exact aggregation passes: rows → per-unit decimal sums (the only
+    fact shuffle, map-side combined on (group, unit)), then unit sums →
+    group moments including the cross-moment Σxy for the covariance.
+    ``den_col`` may be a column name or an expression (e.g. ``F.lit(1)``
+    to read R as a per-unit mean).  Emits R, se, and the ±z_crit CI.
+    """
+    d = F.col(den_col) if isinstance(den_col, str) else den_col
+    zero = F.lit(0).cast("decimal(18,4)")
+    units = df.groupBy(*group_cols, unit_col).agg(
+        F.coalesce(
+            F.sum(F.col(num_col).cast("decimal(18,4)")), zero
+        ).alias("_x"),
+        F.coalesce(F.sum(d.cast("decimal(18,4)")), zero).alias("_y"),
+    )
+    x = F.col("_x").cast("double")
+    y = F.col("_y").cast("double")
+    g = units.groupBy(*group_cols).agg(
+        F.count("*").alias("n_units"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("_sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).cast("double").alias("_syy"),
+        F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("_sxy"),
+    )
+    n = F.col("n_units")
+    sx, sy = F.col("_sx"), F.col("_sy")
+    r = sx / sy
+    ybar = sy / n
+    # sample (co)variances from merged moments
+    vxx = (F.col("_sxx") - sx * sx / n) / (n - 1)
+    vyy = (F.col("_syy") - sy * sy / n) / (n - 1)
+    vxy = (F.col("_sxy") - sx * sy / n) / (n - 1)
+    var_r = (vxx - 2.0 * r * vxy + r * r * vyy) / (n * ybar * ybar)
+    se = F.sqrt(F.greatest(F.lit(0.0), var_r))
+    return g.select(
+        *group_cols,
+        "n_units",
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - z_crit * se, 6).alias("ci_lo"),
+        F.round(r + z_crit * se, 6).alias("ci_hi"),
+    )

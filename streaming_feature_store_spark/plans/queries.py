@@ -8501,3 +8501,261 @@ def q195_segment_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return woe_iv(
         cust, "c_mktsegment", F.col("c_acctbal") < 0, smooth=0.5
     )
+
+
+# ---------------------------------------------------------------------------
+# Experimentation readouts at fleet scale (operators/experiment.py):
+# many simultaneous z-tests + BH-FDR control, diff-in-diff, delta-method
+# ratio metrics.  The erfc-based normal tail is the same A&S 7.1.26
+# polynomial as operators/drift._erfc, restated in SQL so DuckDB
+# recomputes statistic -> p-value -> rejection end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _erfc_sql(x: str) -> str:
+    """A&S 7.1.26 erfc(x) for x >= 0 as a SQL expression (mirrors
+    operators/drift._erfc term-for-term so the doubles agree)."""
+    t = f"(1.0 / (1.0 + 0.3275911 * ({x})))"
+    return (
+        f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741"
+        f" + {t} * (-1.453152027 + {t} * 1.061405429)))) * EXP(-({x})*({x})))"
+    )
+
+
+# two-sided normal tail P(|Z| > z) = erfc(|z| / sqrt(2)), clamped
+_P2_SQL = (
+    "LEAST(1.0, GREATEST(0.0, "
+    + _erfc_sql("ABS({z}) / 1.4142135623730951")
+    + "))"
+)
+
+_Z196 = (
+    "(sb/n_b - sa/n_a) / SQRT(((ssa - sa*sa/n_a)/(n_a - 1))/n_a"
+    " + ((ssb - sb*sb/n_b)/(n_b - 1))/n_b)"
+)
+
+
+@query(
+    "q196_ab_fdr_screen",
+    sql=f"""
+    WITH h AS (
+      SELECT event_type,
+        CAST(FLOOR(EXTRACT(HOUR FROM ts) / 6) AS BIGINT) AS slot,
+        (user_id % 2) = 1 AS trt, value
+      FROM events WHERE value IS NOT NULL
+    ), g AS (
+      SELECT event_type, slot,
+        COUNT(CASE WHEN NOT trt THEN value END) AS n_a,
+        COUNT(CASE WHEN trt THEN value END) AS n_b,
+        CAST(SUM(CASE WHEN NOT trt THEN CAST(value AS DECIMAL(18,4)) END)
+          AS DOUBLE) AS sa,
+        CAST(SUM(CASE WHEN trt THEN CAST(value AS DECIMAL(18,4)) END)
+          AS DOUBLE) AS sb,
+        CAST(SUM(CASE WHEN NOT trt
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE) AS ssa,
+        CAST(SUM(CASE WHEN trt
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE) AS ssb
+      FROM h GROUP BY 1, 2
+    ), zt AS (
+      SELECT event_type, slot, n_a, n_b,
+        ROUND(sa / n_a, 4) AS mean_a,
+        ROUND(sb / n_b, 4) AS mean_b,
+        ROUND(CASE WHEN n_a > 1 AND n_b > 1 THEN {_Z196} END, 4) AS z_stat,
+        ROUND(CASE WHEN n_a > 1 AND n_b > 1 THEN
+          {_P2_SQL.format(z=_Z196)} END, 6) AS p_value
+      FROM g
+    ), r AS (
+      SELECT *,
+        ROW_NUMBER() OVER
+          (ORDER BY p_value ASC NULLS LAST, event_type, slot) AS p_rank,
+        COUNT(p_value) OVER () AS m
+      FROM zt
+    ), c AS (
+      SELECT *,
+        MAX(CASE WHEN p_value <= p_rank * 0.05 / m
+                 THEN p_rank END) OVER () AS cutoff,
+        MIN(m * p_value / p_rank) OVER
+          (ORDER BY p_value ASC NULLS LAST, event_type, slot
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sufmin
+      FROM r
+    )
+    SELECT event_type, slot, n_a, n_b, mean_a, mean_b, z_stat, p_value,
+      p_rank,
+      CASE WHEN p_value IS NOT NULL
+           THEN ROUND(LEAST(1.0, sufmin), 6) END AS p_adj,
+      COALESCE(p_rank <= cutoff, FALSE) AND p_value IS NOT NULL AS rejected
+    FROM c
+    """,
+)
+def q196_ab_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-scale A/B screen with false-discovery-rate control
+    (``experiment.grouped_ztest`` + ``experiment.bh_fdr``): one z-test
+    per (event_type × 6-hour slot) cell comparing user-parity arms on
+    `value` — 20 simultaneous hypotheses — then Benjamini–Hochberg
+    step-up at α=0.05 with adjusted p-values.  The test pass is one
+    conditional decimal-moment aggregation over the fact rows; BH is
+    pure rank logic over the 20-row hypothesis frame (the
+    single-partition windows move hypothesis rows, never facts)."""
+    from streaming_feature_store_spark.operators.experiment import (
+        bh_fdr,
+        grouped_ztest,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn(
+            "slot", F.floor(F.hour("ts") / 6).cast("long")
+        )
+    )
+    zt = grouped_ztest(
+        ev, ["event_type", "slot"], (F.col("user_id") % 2) == 1, "value"
+    )
+    return bh_fdr(zt, "p_value", ["event_type", "slot"], alpha=0.05)
+
+
+@query(
+    "q197_event_value_did",
+    sql=f"""
+    WITH d AS (
+      SELECT event_type, (user_id % 2) = 1 AS trt,
+        ts >= {_DRIFT_CUT} AS post, value
+      FROM events
+    ), g AS (
+      SELECT event_type,
+        COUNT(CASE WHEN NOT trt AND NOT post THEN value END) AS n_c_pre,
+        COUNT(CASE WHEN NOT trt AND post THEN value END) AS n_c_post,
+        COUNT(CASE WHEN trt AND NOT post THEN value END) AS n_t_pre,
+        COUNT(CASE WHEN trt AND post THEN value END) AS n_t_post,
+        CAST(SUM(CASE WHEN NOT trt AND NOT post
+          THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS s_c_pre,
+        CAST(SUM(CASE WHEN NOT trt AND post
+          THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS s_c_post,
+        CAST(SUM(CASE WHEN trt AND NOT post
+          THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS s_t_pre,
+        CAST(SUM(CASE WHEN trt AND post
+          THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS s_t_post,
+        CAST(SUM(CASE WHEN NOT trt AND NOT post
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE)
+          AS ss_c_pre,
+        CAST(SUM(CASE WHEN NOT trt AND post
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE)
+          AS ss_c_post,
+        CAST(SUM(CASE WHEN trt AND NOT post
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE)
+          AS ss_t_pre,
+        CAST(SUM(CASE WHEN trt AND post
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE)
+          AS ss_t_post
+      FROM d GROUP BY 1
+    ), f AS (
+      SELECT event_type, n_c_pre, n_c_post, n_t_pre, n_t_post,
+        s_c_pre / n_c_pre AS m_c_pre, s_c_post / n_c_post AS m_c_post,
+        s_t_pre / n_t_pre AS m_t_pre, s_t_post / n_t_post AS m_t_post,
+        (s_t_post / n_t_post - s_t_pre / n_t_pre)
+          - (s_c_post / n_c_post - s_c_pre / n_c_pre) AS did_raw,
+        SQRT(
+          (CASE WHEN n_c_pre > 1 THEN
+            (ss_c_pre - s_c_pre * s_c_pre / n_c_pre) / (n_c_pre - 1) END)
+            / n_c_pre
+          + (CASE WHEN n_c_post > 1 THEN
+            (ss_c_post - s_c_post * s_c_post / n_c_post)
+              / (n_c_post - 1) END) / n_c_post
+          + (CASE WHEN n_t_pre > 1 THEN
+            (ss_t_pre - s_t_pre * s_t_pre / n_t_pre) / (n_t_pre - 1) END)
+            / n_t_pre
+          + (CASE WHEN n_t_post > 1 THEN
+            (ss_t_post - s_t_post * s_t_post / n_t_post)
+              / (n_t_post - 1) END) / n_t_post
+        ) AS se_raw
+      FROM g
+    )
+    SELECT event_type, n_c_pre, n_c_post, n_t_pre, n_t_post,
+      ROUND(m_c_pre, 4) AS mean_c_pre,
+      ROUND(m_c_post, 4) AS mean_c_post,
+      ROUND(m_t_pre, 4) AS mean_t_pre,
+      ROUND(m_t_post, 4) AS mean_t_post,
+      ROUND(did_raw, 4) AS did,
+      ROUND(se_raw, 4) AS se,
+      ROUND(did_raw / se_raw, 4) AS z_stat,
+      ROUND({_P2_SQL.format(z='did_raw / se_raw')}, 6) AS p_value
+    FROM f
+    """,
+)
+def q197_event_value_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences per event type
+    (``experiment.diff_in_diff``): user-parity arms × the stream-half
+    pre/post split on `value` — the quasi-experimental double
+    difference that removes time-invariant arm bias, with the
+    large-sample SE over the four cells and the erfc-form normal
+    p-value.  ONE conditional decimal-moment aggregation builds all
+    four cells per group."""
+    from streaming_feature_store_spark.operators.experiment import (
+        diff_in_diff,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return diff_in_diff(
+        ev,
+        ["event_type"],
+        (F.col("user_id") % 2) == 1,
+        F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"),
+        "value",
+    )
+
+
+@query(
+    "q198_value_per_event_ci",
+    sql="""
+    WITH u AS (
+      SELECT event_type, user_id,
+        COALESCE(SUM(CAST(value AS DECIMAL(18,4))),
+                 CAST(0 AS DECIMAL(18,4))) AS x,
+        COALESCE(SUM(CAST(1.0 AS DECIMAL(18,4))),
+                 CAST(0 AS DECIMAL(18,4))) AS y
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT event_type, COUNT(*) AS n_units,
+        CAST(SUM(x) AS DOUBLE) AS sx,
+        CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+          AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+          AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+          AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      FROM u GROUP BY 1
+    ), f AS (
+      SELECT event_type, n_units, sx / sy AS r,
+        SQRT(GREATEST(0.0,
+          ((sxx - sx * sx / n_units) / (n_units - 1)
+           - 2.0 * (sx / sy) * ((sxy - sx * sy / n_units) / (n_units - 1))
+           + (sx / sy) * (sx / sy)
+             * ((syy - sy * sy / n_units) / (n_units - 1)))
+          / (n_units * (sy / n_units) * (sy / n_units)))) AS se_raw
+      FROM g
+    )
+    SELECT event_type, n_units,
+      ROUND(r, 6) AS ratio,
+      ROUND(se_raw, 6) AS se,
+      ROUND(r - 1.96 * se_raw, 6) AS ci_lo,
+      ROUND(r + 1.96 * se_raw, 6) AS ci_hi
+    FROM f
+    """,
+)
+def q198_value_per_event_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for the ratio metric value-per-event per event
+    type, clustered by user (``experiment.ratio_metric_delta``): rows
+    cluster within users, so the i.i.d.-rows variance is wrong — the
+    unit-level delta-method variance over per-user (Σvalue, count)
+    sums is the standard correction.  Two exact aggregation passes:
+    facts → per-user decimal sums (the only fact shuffle), unit sums →
+    group moments incl. the Σxy cross-moment."""
+    from streaming_feature_store_spark.operators.experiment import (
+        ratio_metric_delta,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ratio_metric_delta(
+        ev, "user_id", ["event_type"], "value", F.lit(1.0)
+    )

@@ -1,0 +1,187 @@
+"""Experimentation operators (operators/experiment.py) pinned to
+scipy-free closed-form recomputes: grouped z-test, BH-FDR step-up,
+diff-in-diff, delta-method ratio variance."""
+
+import math
+
+import pyspark.sql.functions as F
+
+
+def _norm_sf2(z):
+    return math.erfc(abs(z) / math.sqrt(2.0))
+
+
+def test_grouped_ztest_matches_closed_form(spark):
+    from streaming_feature_store_spark.operators.experiment import (
+        grouped_ztest,
+    )
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    b = [4.0, 5.0, 6.0, 7.0, 8.0, 15.0]
+    rows = [("g", False, v) for v in a] + [("g", True, v) for v in b]
+    df = spark.createDataFrame(rows, "grp string, trt boolean, v double")
+    r = grouped_ztest(df, ["grp"], "trt", "v").collect()[0]
+
+    def stats(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        var = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, var
+
+    na, ma, va = stats(a)
+    nb, mb, vb = stats(b)
+    z = (mb - ma) / math.sqrt(va / na + vb / nb)
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["mean_a"] == round(ma, 4) and r["mean_b"] == round(mb, 4)
+    assert math.isclose(r["z_stat"], round(z, 4), abs_tol=1e-9)
+    # A&S 7.1.26 erfc is accurate to 1.5e-7 vs the exact tail
+    assert math.isclose(r["p_value"], _norm_sf2(z), abs_tol=1e-5)
+
+
+def test_grouped_ztest_degenerate_arm_yields_null(spark):
+    from streaming_feature_store_spark.operators.experiment import (
+        grouped_ztest,
+    )
+
+    rows = [("g", False, 1.0), ("g", False, 2.0), ("g", True, 3.0)]
+    df = spark.createDataFrame(rows, "grp string, trt boolean, v double")
+    r = grouped_ztest(df, ["grp"], "trt", "v").collect()[0]
+    assert r["z_stat"] is None and r["p_value"] is None
+
+
+def test_bh_fdr_textbook_example(spark):
+    from streaming_feature_store_spark.operators.experiment import bh_fdr
+
+    # classic example: m=10, alpha=0.05 -> largest k with p_(k) <= k*0.005
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212,
+          0.36]
+    df = spark.createDataFrame(
+        [(f"h{i}", p) for i, p in enumerate(ps)], "hyp string, p double"
+    )
+    got = {r["hyp"]: r for r in bh_fdr(df, "p", ["hyp"]).collect()}
+    # thresholds: 0.005,0.010,0.015,0.020,...  p_(4)=0.041>0.020 but
+    # step-up takes the LARGEST passing rank: p_(2)=0.008<=0.010 -> k*=2
+    rejected = {h for h, r in got.items() if r["rejected"]}
+    assert rejected == {"h0", "h1"}
+    # adjusted p: p_adj_(1) = min over suffix of m*p_j/j
+    assert got["h0"]["p_adj"] == round(min(
+        10 * p / (i + 1) for i, p in enumerate(ps)), 6)
+    # monotone non-decreasing in rank order
+    adj_in_rank_order = [r["p_adj"] for r in
+                         sorted(got.values(), key=lambda r: r["p_rank"])]
+    assert adj_in_rank_order == sorted(adj_in_rank_order)
+    assert max(adj_in_rank_order) <= 1.0
+
+
+def test_bh_fdr_null_pvalues_never_rejected(spark):
+    from streaming_feature_store_spark.operators.experiment import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 0.001), ("b", None), ("c", 0.9)], "hyp string, p double"
+    )
+    got = {r["hyp"]: r for r in bh_fdr(df, "p", ["hyp"]).collect()}
+    assert got["b"]["rejected"] is False and got["b"]["p_adj"] is None
+    # m counts only real hypotheses (2, not 3)
+    assert got["a"]["rejected"] is True  # 0.001 <= 1*0.05/2
+    assert got["b"]["p_rank"] == 3  # nulls sort last
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    from streaming_feature_store_spark.operators.experiment import (
+        diff_in_diff,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for trt in (False, True):
+        for post in (False, True):
+            base = 10.0 + (2.0 if trt else 0.0) + (1.0 if post else 0.0)
+            lift = 5.0 if (trt and post) else 0.0
+            for _ in range(200):
+                rows.append(
+                    ("g", trt, post, base + lift + rng.gauss(0, 1.0))
+                )
+    df = spark.createDataFrame(
+        rows, "grp string, trt boolean, post boolean, v double"
+    )
+    r = diff_in_diff(df, ["grp"], "trt", "post", "v").collect()[0]
+    assert abs(r["did"] - 5.0) < 0.5
+    assert r["p_value"] < 1e-4
+    assert r["n_t_post"] == 200
+
+    # hand-check the double difference from the cell means it reports
+    dd = (r["mean_t_post"] - r["mean_t_pre"]) - (
+        r["mean_c_post"] - r["mean_c_pre"]
+    )
+    assert math.isclose(r["did"], dd, abs_tol=2e-4)  # 4-dp rounding
+
+
+def test_ratio_metric_delta_matches_numpy_formula(spark):
+    from streaming_feature_store_spark.operators.experiment import (
+        ratio_metric_delta,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    # 50 users, each with 1-8 rows of (value, 1)
+    rows = []
+    per_user = {}
+    for u in range(50):
+        k = rng.randint(1, 8)
+        vals = [round(rng.uniform(0, 20), 4) for _ in range(k)]
+        per_user[u] = (sum(vals), k)
+        rows += [("g", u, v) for v in vals]
+    df = spark.createDataFrame(rows, "grp string, uid long, v double")
+    r = ratio_metric_delta(df, "uid", ["grp"], "v", F.lit(1.0)).collect()[0]
+
+    xs = [x for x, _ in per_user.values()]
+    ys = [float(y) for _, y in per_user.values()]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    ratio = sx / sy
+    mx, my = sx / n, sy / n
+    vxx = sum((x - mx) ** 2 for x in xs) / (n - 1)
+    vyy = sum((y - my) ** 2 for y in ys) / (n - 1)
+    vxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n - 1)
+    var_r = (vxx - 2 * ratio * vxy + ratio**2 * vyy) / (n * my * my)
+    se = math.sqrt(var_r)
+    assert r["n_units"] == n
+    assert math.isclose(r["ratio"], ratio, abs_tol=1e-6)
+    assert math.isclose(r["se"], se, rel_tol=1e-4)
+    assert math.isclose(r["ci_lo"], ratio - 1.96 * se, abs_tol=1e-3)
+
+
+def test_ratio_metric_clustered_se_exceeds_iid_when_correlated(spark):
+    """The reason the operator exists: when users with many events also
+    have high per-event values, rows are positively correlated within
+    units and the naive i.i.d. SE understates uncertainty."""
+    from streaming_feature_store_spark.operators.experiment import (
+        ratio_metric_delta,
+    )
+
+    import random
+
+    rng = random.Random(9)
+    rows = []
+    flat = []
+    for u in range(60):
+        heavy = u % 2 == 0
+        k = 8 if heavy else 1
+        mu = 20.0 if heavy else 1.0
+        for _ in range(k):
+            v = mu + rng.gauss(0, 0.5)
+            rows.append(("g", u, v))
+            flat.append(v)
+    df = spark.createDataFrame(rows, "grp string, uid long, v double")
+    se_cluster = ratio_metric_delta(
+        df, "uid", ["grp"], "v", F.lit(1.0)
+    ).collect()[0]["se"]
+    n = len(flat)
+    m = sum(flat) / n
+    iid_se = math.sqrt(
+        sum((x - m) ** 2 for x in flat) / (n - 1) / n
+    )
+    assert se_cluster > 1.2 * iid_se
