@@ -55,10 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # dim-broadcast hints were dropped in favor of AQE runtime promotion
 # (the window tail; the remainder stay pinned by the parity artifact).
 _PRIORITY = [
-    # new this round, batch 10 (3): experimentation — BH-FDR A/B screen,
-    # diff-in-diff, delta-method clustered ratio CI
+    # new this round, batch 10 (4): experimentation + ranking eval —
+    # BH-FDR A/B screen, diff-in-diff, delta-method clustered ratio CI,
+    # NDCG/precision/recall@k
     "q196_ab_fdr_screen", "q197_event_value_did",
-    "q198_value_per_event_ci",
+    "q198_value_per_event_ci", "q199_recs_ranking_quality",
     # new this round, batch 9 (4): band join, conformal cutoffs,
     # incremental partial-state merge, WOE/IV encoding
     "q192_price_band_orders", "q193_conformal_value_cutoffs",

@@ -8759,3 +8759,78 @@ def q198_value_per_event_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ratio_metric_delta(
         ev, "user_id", ["event_type"], "value", F.lit(1.0)
     )
+
+
+@query(
+    "q199_recs_ranking_quality",
+    sql=f"""
+    WITH pairs AS (
+      SELECT user_id % 4 AS cohort, user_id, event_type,
+        CAST(SUM(CASE WHEN ts < {_DRIFT_CUT}
+          THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+          / COUNT(CASE WHEN ts < {_DRIFT_CUT} THEN value END) AS score,
+        COUNT(CASE WHEN ts >= {_DRIFT_CUT} THEN 1 END) AS rel
+      FROM events GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT cohort, user_id,
+        COALESCE(CAST(rel AS DOUBLE), 0.0) AS r,
+        ROW_NUMBER() OVER (PARTITION BY cohort, user_id
+          ORDER BY score DESC NULLS LAST, event_type) AS rk,
+        ROW_NUMBER() OVER (PARTITION BY cohort, user_id
+          ORDER BY COALESCE(CAST(rel AS DOUBLE), 0.0) DESC, event_type)
+          AS irk
+      FROM pairs
+    ), pu AS (
+      SELECT cohort, user_id,
+        SUM(CASE WHEN rk <= 3
+          THEN CAST(r / log2(rk + 1.0) AS DECIMAL(18,8)) END) AS dcg,
+        SUM(CASE WHEN irk <= 3
+          THEN CAST(r / log2(irk + 1.0) AS DECIMAL(18,8)) END) AS idcg,
+        COUNT(CASE WHEN rk <= 3 AND r > 0 THEN 1 END) AS hits,
+        COUNT(CASE WHEN r > 0 THEN 1 END) AS nrel
+      FROM ranked GROUP BY 1, 2
+    ), sc AS (
+      SELECT cohort,
+        CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) AS ndcg,
+        hits / 3.0 AS p,
+        hits / CAST(nrel AS DOUBLE) AS rcl
+      FROM pu WHERE nrel > 0
+    )
+    SELECT cohort, COUNT(*) AS n_users,
+      ROUND(CAST(SUM(CAST(ndcg AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*),
+            6) AS ndcg_at_k,
+      ROUND(CAST(SUM(CAST(p AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*),
+            6) AS precision_at_k,
+      ROUND(CAST(SUM(CAST(rcl AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*),
+            6) AS recall_at_k
+    FROM sc GROUP BY 1
+    """,
+)
+def q199_recs_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline ranking-quality evaluation (``ml.ranking.ranking_metrics``,
+    k=3): each user's event types ranked by their pre-cut mean value (the
+    prediction proxy) and judged against post-cut interaction counts
+    (the observed relevance) — mean NDCG@3 / precision@3 / recall@3 per
+    user cohort.  The score is an exact decimal mean so the RANK ORDER
+    itself is cross-engine deterministic (a raw double avg could flip
+    near-ties); DCG terms accumulate in decimal(18,8).  One hash shuffle
+    on (cohort, user) feeds both window sorts."""
+    from streaming_feature_store_spark.ml.ranking import ranking_metrics
+
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    pre = F.col("ts") < cut
+    pairs = ev.groupBy(
+        (F.col("user_id") % 4).alias("cohort"), "user_id", "event_type"
+    ).agg(
+        (
+            F.sum(F.when(pre, F.col("value")).cast("decimal(18,4)")).cast(
+                "double"
+            )
+            / F.count(F.when(pre, F.col("value")))
+        ).alias("score"),
+        F.count(F.when(~pre, 1)).alias("rel"),
+    )
+    return ranking_metrics(
+        pairs, ["cohort"], "user_id", "event_type", "score", "rel", k=3
+    )
