@@ -291,3 +291,69 @@ def ratio_metric_delta(
         F.round(r - z_crit * se, 6).alias("ci_lo"),
         F.round(r + z_crit * se, 6).alias("ci_hi"),
     )
+
+
+def uplift_deciles(
+    df: DataFrame,
+    treat_col,
+    score_col: str,
+    response_col,
+    tiebreak_cols: list[str],
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Uplift (Qini) readout by model-score decile: bucket the population
+    into exact score ntiles, then per bucket compare response rates
+    between treatment and control, plus the cumulative incremental-gain
+    curve walking DOWN from the highest-score bucket —
+
+        qini_cum(k) = Σ_{top k buckets} (resp_t − resp_c · n_t / n_c)
+
+    the area under which is the standard uplift-model quality number.
+
+    Exact ntiles come from ``behavior.distributed_ntile`` (range-
+    partitioned global row numbers — no single-partition sort, the same
+    machinery the q160/q169 oracles pin), so bucket assignment is
+    cross-engine deterministic given the (score, tiebreak) total order.
+    The per-bucket pass is one conditional aggregate; the cumulative
+    curve is a prefix sum over the |buckets|-row frame with terms cast
+    to decimal(18,6) first (windowed double SUMs may reassociate —
+    decimal accumulation is order-free).
+    """
+    from streaming_feature_store_spark.operators.behavior import (
+        distributed_ntile,
+    )
+
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    r = (
+        F.col(response_col)
+        if isinstance(response_col, str)
+        else response_col
+    )
+    order = [F.col(score_col)] + [F.col(c) for c in tiebreak_cols]
+    b = distributed_ntile(df, order, n_buckets, "bucket")
+    g = b.groupBy("bucket").agg(
+        F.count(F.when(t, 1)).alias("n_t"),
+        F.count(F.when(~t, 1)).alias("n_c"),
+        F.sum(F.when(t, r.cast("long"))).alias("resp_t"),
+        F.sum(F.when(~t, r.cast("long"))).alias("resp_c"),
+    )
+    rate_t = F.col("resp_t") / F.col("n_t")
+    rate_c = F.col("resp_c") / F.col("n_c")
+    term = (
+        F.col("resp_t")
+        - F.col("resp_c") * F.col("n_t") / F.col("n_c")
+    ).cast("decimal(18,6)")
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "bucket",
+        "n_t",
+        "n_c",
+        "resp_t",
+        "resp_c",
+        F.round(rate_t, 6).alias("rate_t"),
+        F.round(rate_c, 6).alias("rate_c"),
+        F.round(rate_t - rate_c, 6).alias("uplift"),
+        F.round(F.sum(term).over(w).cast("double"), 4).alias("qini_cum"),
+    )

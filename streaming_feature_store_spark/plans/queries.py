@@ -8834,3 +8834,60 @@ def q199_recs_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics(
         pairs, ["cohort"], "user_id", "event_type", "score", "rel", k=3
     )
+
+
+@query(
+    "q200_uplift_deciles",
+    sql="""
+    WITH e AS (
+      SELECT event_id, value, (user_id % 2) = 1 AS trt,
+        CAST(event_type = 'purchase' AS BIGINT) AS resp
+      FROM events WHERE value IS NOT NULL
+    ), b AS (
+      SELECT *, CAST(NTILE(10) OVER (ORDER BY value, event_id) AS INT)
+        AS bucket
+      FROM e
+    ), g AS (
+      SELECT bucket,
+        COUNT(CASE WHEN trt THEN 1 END) AS n_t,
+        COUNT(CASE WHEN NOT trt THEN 1 END) AS n_c,
+        SUM(CASE WHEN trt THEN resp END) AS resp_t,
+        SUM(CASE WHEN NOT trt THEN resp END) AS resp_c
+      FROM b GROUP BY 1
+    )
+    SELECT bucket, n_t, n_c,
+      CAST(resp_t AS BIGINT) AS resp_t,
+      CAST(resp_c AS BIGINT) AS resp_c,
+      ROUND(resp_t / CAST(n_t AS DOUBLE), 6) AS rate_t,
+      ROUND(resp_c / CAST(n_c AS DOUBLE), 6) AS rate_c,
+      ROUND(resp_t / CAST(n_t AS DOUBLE)
+            - resp_c / CAST(n_c AS DOUBLE), 6) AS uplift,
+      ROUND(CAST(SUM(CAST(resp_t - resp_c * n_t / CAST(n_c AS DOUBLE)
+                          AS DECIMAL(18,6)))
+        OVER (ORDER BY bucket DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS DOUBLE), 4) AS qini_cum
+    FROM g
+    """,
+)
+def q200_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift / Qini readout by score decile
+    (``experiment.uplift_deciles``): events bucketed into exact value
+    deciles via the DISTRIBUTED ntile (range-partitioned ranks — no
+    single-partition sort at 100 TB, same machinery as q160/q169),
+    user-parity arms compared on purchase response per decile, and the
+    cumulative incremental-gain (Qini) curve walked down from the
+    top-score bucket with decimal-accumulated prefix sums."""
+    from streaming_feature_store_spark.operators.experiment import (
+        uplift_deciles,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return uplift_deciles(
+        ev,
+        (F.col("user_id") % 2) == 1,
+        "value",
+        F.col("event_type") == "purchase",
+        ["event_id"],
+        n_buckets=10,
+    )

@@ -185,3 +185,38 @@ def test_ratio_metric_clustered_se_exceeds_iid_when_correlated(spark):
         sum((x - m) ** 2 for x in flat) / (n - 1) / n
     )
     assert se_cluster > 1.2 * iid_se
+
+
+def test_uplift_deciles_planted_uplift_in_top_bucket(spark):
+    from streaming_feature_store_spark.operators.experiment import (
+        uplift_deciles,
+    )
+
+    # score in [0, 100); response depends on treatment ONLY for the top
+    # half of scores -> uplift concentrates in the upper buckets
+    rows = []
+    rid = 0
+    for s in range(100):
+        for trt in (False, True):
+            for _ in range(5):
+                resp = 1 if (trt and s >= 50) else 0
+                rows.append((rid, float(s), trt, resp))
+                rid += 1
+    df = spark.createDataFrame(
+        rows, "rid long, score double, trt boolean, resp int"
+    )
+    got = {
+        r["bucket"]: r
+        for r in uplift_deciles(
+            df, "trt", "score", F.col("resp") == 1, ["rid"], n_buckets=4
+        ).collect()
+    }
+    # buckets 1-2 (low scores): zero uplift; buckets 3-4: full uplift
+    assert got[1]["uplift"] == 0.0 and got[2]["uplift"] == 0.0
+    assert got[3]["uplift"] == 1.0 and got[4]["uplift"] == 1.0
+    # balanced arms: qini term per top bucket = resp_t - resp_c*n_t/n_c
+    assert got[4]["qini_cum"] == got[4]["resp_t"]  # resp_c = 0
+    assert got[1]["qini_cum"] == got[4]["resp_t"] + got[3]["resp_t"]
+    # exact ntile: equal bucket sizes
+    sizes = {b: r["n_t"] + r["n_c"] for b, r in got.items()}
+    assert set(sizes.values()) == {250}
