@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned per-round by the committed PARITY_sf0.01_r0N.txt runs (r7's:
 # 158/158 at the first-batch point, refreshed after the second batch).
 # Round 7's window front-loads the queries over this round's CHANGED
-# code paths — the FORTY-SEVEN new oracled queries (q149-q195: quarantine
+# code paths — the FIFTY-TWO new oracled queries (q149-q200: quarantine
 # routing, BPE parity, BM25, DSIR weights, k-anonymity, snapshot diff,
 # Lloyd step, Z-order key, JL projection, cohort retention, RFM
 # distributed-ntile, OOF target encoding, embargo split, oriented
@@ -46,7 +46,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Pareto frontier, key-skew report, Bloom pre-join reduction,
 # salt-and-replicate skew join, Welch A/B t-test, power-iteration PCA
 # step, cumulative-distinct breadth, l-diversity, Neyman allocation,
-# band join, conformal thresholds, incremental state merge, WOE/IV),
+# band join, conformal thresholds, incremental state merge, WOE/IV,
+# BH-FDR A/B screen, diff-in-diff, delta-method ratio CI, NDCG@k,
+# uplift/Qini deciles),
 # the persisted-intermediate family now
 # running under the new cached-plan-AQE-coalescing session default
 # (q101/q102/q119 + the dedup/similarity lineages), the ivf_topk
