@@ -329,13 +329,25 @@ def uplift_deciles(
         if isinstance(response_col, str)
         else response_col
     )
+    # project to the four needed columns BEFORE the ntile: the
+    # distributed ranking localCheckpoints its input, so frame width is
+    # checkpoint bytes — the full fact frame would be written verbatim
+    # (measured 87 s -> 17 s at 1e7 rows x 8 cols, tools/
+    # scale_batch10_probe.py)
+    slim = df.select(
+        F.col(score_col),
+        *[F.col(c) for c in tiebreak_cols],
+        t.alias("_trt"),
+        r.cast("long").alias("_resp"),
+    )
+    tc = F.col("_trt")
     order = [F.col(score_col)] + [F.col(c) for c in tiebreak_cols]
-    b = distributed_ntile(df, order, n_buckets, "bucket")
+    b = distributed_ntile(slim, order, n_buckets, "bucket")
     g = b.groupBy("bucket").agg(
-        F.count(F.when(t, 1)).alias("n_t"),
-        F.count(F.when(~t, 1)).alias("n_c"),
-        F.sum(F.when(t, r.cast("long"))).alias("resp_t"),
-        F.sum(F.when(~t, r.cast("long"))).alias("resp_c"),
+        F.count(F.when(tc, 1)).alias("n_t"),
+        F.count(F.when(~tc, 1)).alias("n_c"),
+        F.sum(F.when(tc, F.col("_resp"))).alias("resp_t"),
+        F.sum(F.when(~tc, F.col("_resp"))).alias("resp_c"),
     )
     rate_t = F.col("resp_t") / F.col("n_t")
     rate_c = F.col("resp_c") / F.col("n_c")
