@@ -914,3 +914,65 @@ def woe_iv(
         .cast("double"),
     )
     return out
+
+
+def erasure_purge(
+    df: DataFrame, key_col: str, subjects: DataFrame, subject_col: str
+) -> DataFrame:
+    """Right-to-erasure purge: drop every row whose ``key_col`` appears
+    in the subject request list — a broadcast LEFT ANTI join (erasure
+    request volumes are human-generated, thousands-to-millions of keys:
+    bounded, broadcastable; the fact side never shuffles)."""
+    subj = subjects.select(F.col(subject_col).alias("_erase_k")).distinct()
+    return df.join(
+        broadcast(subj), df[key_col] == F.col("_erase_k"), "left_anti"
+    )
+
+
+def erasure_audit(
+    tables: dict[str, tuple[DataFrame, str]],
+    subjects: DataFrame,
+    subject_col: str,
+) -> DataFrame:
+    """Right-to-erasure AUDIT across every table holding subject keys:
+    per table, how many rows a purge of the request list would remove —
+    the compliance evidence a deletion job must produce before and after
+    running (the reference keeps per-entity Redis keys and would delete
+    by key; a lakehouse needs the multi-table sweep this audits).
+
+    One broadcast left join + one aggregate per table (fact sides never
+    shuffle), unioned into a single report frame: (table_name,
+    rows_total, rows_purged, rows_kept, purge_pct).  Duplicate subject
+    keys are de-duplicated first so the hit flag never double-counts.
+    """
+    subj = (
+        subjects.select(F.col(subject_col).alias("_erase_k"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    reports = []
+    for name, (df, key_col) in tables.items():
+        j = df.select(F.col(key_col).alias("_k")).join(
+            broadcast(subj), F.col("_k") == F.col("_erase_k"), "left"
+        )
+        purged = F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+        reports.append(
+            j.agg(
+                F.count("*").alias("rows_total"),
+                purged.alias("rows_purged"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                "rows_total",
+                "rows_purged",
+                (F.col("rows_total") - F.col("rows_purged")).alias(
+                    "rows_kept"
+                ),
+                F.round(
+                    F.col("rows_purged") / F.col("rows_total"), 6
+                ).alias("purge_pct"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -8891,3 +8891,65 @@ def q200_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"],
         n_buckets=10,
     )
+
+
+@query(
+    "q201_erasure_audit",
+    sql="""
+    WITH drops AS (
+      SELECT DISTINCT user_id AS k FROM events WHERE user_id % 1000 = 7
+    ), ev AS (
+      SELECT COUNT(*) AS rows_total,
+        COUNT(CASE WHEN user_id IN (SELECT k FROM drops) THEN 1 END)
+          AS rows_purged
+      FROM events
+    ), od AS (
+      SELECT COUNT(*) AS rows_total,
+        COUNT(CASE WHEN o_custkey IN (SELECT k FROM drops) THEN 1 END)
+          AS rows_purged
+      FROM orders
+    ), cu AS (
+      SELECT COUNT(*) AS rows_total,
+        COUNT(CASE WHEN c_custkey IN (SELECT k FROM drops) THEN 1 END)
+          AS rows_purged
+      FROM customer
+    )
+    SELECT 'events' AS table_name, rows_total, rows_purged,
+      rows_total - rows_purged AS rows_kept,
+      ROUND(rows_purged / CAST(rows_total AS DOUBLE), 6) AS purge_pct
+    FROM ev
+    UNION ALL
+    SELECT 'orders', rows_total, rows_purged,
+      rows_total - rows_purged,
+      ROUND(rows_purged / CAST(rows_total AS DOUBLE), 6)
+    FROM od
+    UNION ALL
+    SELECT 'customer', rows_total, rows_purged,
+      rows_total - rows_purged,
+      ROUND(rows_purged / CAST(rows_total AS DOUBLE), 6)
+    FROM cu
+    """,
+)
+def q201_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure compliance audit (``profile.erasure_audit``):
+    a deterministic synthetic request list (users with id ≡ 7 mod 1000)
+    swept across every table keyed by a subject id — per-table purge
+    counts and percentages, the evidence a deletion job produces before
+    and after running.  One broadcast left join + one aggregate per
+    table; no fact side ever shuffles (request lists are
+    human-generated and bounded at any data scale)."""
+    from streaming_feature_store_spark.operators.profile import (
+        erasure_audit,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    subjects = ev.filter(F.col("user_id") % 1000 == 7).select("user_id")
+    return erasure_audit(
+        {
+            "events": (ev, "user_id"),
+            "orders": (_t(spark, sf_dir, "orders"), "o_custkey"),
+            "customer": (_t(spark, sf_dir, "customer"), "c_custkey"),
+        },
+        subjects,
+        "user_id",
+    )

@@ -221,3 +221,36 @@ def test_split_violations_rejects_collision_and_persists_once(spark):
     )
     assert clean.count() == 1 and bad.count() == 0
     assert release_cached_intermediates() >= 1
+
+
+def test_erasure_purge_and_audit_agree(spark):
+    from streaming_feature_store_spark.operators.profile import (
+        erasure_audit,
+        erasure_purge,
+    )
+
+    facts = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "row_id long, uid long"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"u{k}") for k in range(5)], "uid long, name string"
+    )
+    # duplicate subject keys must not double-count
+    subjects = spark.createDataFrame([(2,), (2,), (4,)], "uid long")
+
+    purged = erasure_purge(facts, "uid", subjects, "uid")
+    assert purged.count() == 60
+    assert purged.filter("uid in (2, 4)").count() == 0
+
+    audit = {
+        r["table_name"]: r
+        for r in erasure_audit(
+            {"facts": (facts, "uid"), "dim": (dim, "uid")},
+            subjects,
+            "uid",
+        ).collect()
+    }
+    assert audit["facts"]["rows_purged"] == 40
+    assert audit["facts"]["rows_kept"] == purged.count()
+    assert audit["dim"]["rows_purged"] == 2
+    assert audit["facts"]["purge_pct"] == 0.4
