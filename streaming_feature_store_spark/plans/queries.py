@@ -8953,3 +8953,164 @@ def q201_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         subjects,
         "user_id",
     )
+
+
+_C202 = """
+    WITH u AS (
+      SELECT event_type, user_id, (user_id % 2) = 1 AS trt,
+        COALESCE(SUM(CASE WHEN ts < {cut}
+          THEN CAST(value AS DECIMAL(18,4)) END),
+          CAST(0 AS DECIMAL(18,4))) AS x,
+        COALESCE(SUM(CASE WHEN ts >= {cut}
+          THEN CAST(value AS DECIMAL(18,4)) END),
+          CAST(0 AS DECIMAL(18,4))) AS y
+      FROM events GROUP BY 1, 2, 3
+    ), g AS (
+      SELECT event_type,
+        COUNT(CASE WHEN NOT trt THEN 1 END) AS n_a,
+        COUNT(CASE WHEN trt THEN 1 END) AS n_b,
+        CAST(SUM(CASE WHEN NOT trt THEN CAST(CAST(x AS DOUBLE)
+          AS DECIMAL(38,8)) END) AS DOUBLE) AS sxa,
+        CAST(SUM(CASE WHEN trt THEN CAST(CAST(x AS DOUBLE)
+          AS DECIMAL(38,8)) END) AS DOUBLE) AS sxb,
+        CAST(SUM(CASE WHEN NOT trt THEN CAST(CAST(y AS DOUBLE)
+          AS DECIMAL(38,8)) END) AS DOUBLE) AS sya,
+        CAST(SUM(CASE WHEN trt THEN CAST(CAST(y AS DOUBLE)
+          AS DECIMAL(38,8)) END) AS DOUBLE) AS syb,
+        CAST(SUM(CASE WHEN NOT trt THEN CAST(CAST(x AS DOUBLE)
+          * CAST(x AS DOUBLE) AS DECIMAL(38,8)) END) AS DOUBLE) AS sxxa,
+        CAST(SUM(CASE WHEN trt THEN CAST(CAST(x AS DOUBLE)
+          * CAST(x AS DOUBLE) AS DECIMAL(38,8)) END) AS DOUBLE) AS sxxb,
+        CAST(SUM(CASE WHEN NOT trt THEN CAST(CAST(y AS DOUBLE)
+          * CAST(y AS DOUBLE) AS DECIMAL(38,8)) END) AS DOUBLE) AS syya,
+        CAST(SUM(CASE WHEN trt THEN CAST(CAST(y AS DOUBLE)
+          * CAST(y AS DOUBLE) AS DECIMAL(38,8)) END) AS DOUBLE) AS syyb,
+        CAST(SUM(CASE WHEN NOT trt THEN CAST(CAST(x AS DOUBLE)
+          * CAST(y AS DOUBLE) AS DECIMAL(38,8)) END) AS DOUBLE) AS sxya,
+        CAST(SUM(CASE WHEN trt THEN CAST(CAST(x AS DOUBLE)
+          * CAST(y AS DOUBLE) AS DECIMAL(38,8)) END) AS DOUBLE) AS sxyb
+      FROM u GROUP BY 1
+    ), k AS (
+      SELECT *,
+        n_a + n_b AS n,
+        sxa + sxb AS sx, sya + syb AS sy,
+        sxxa + sxxb AS sxx, sxya + sxyb AS sxy
+      FROM g
+    ), th AS (
+      SELECT *,
+        ((sxy - sx * sy / n) / (n - 1))
+          / ((sxx - sx * sx / n) / (n - 1)) AS theta,
+        sx / n AS xbar
+      FROM k
+    ), f AS (
+      SELECT event_type, n_a, n_b, theta,
+        (syb / n_b - theta * (sxb / n_b - xbar))
+          - (sya / n_a - theta * (sxa / n_a - xbar)) AS effect,
+        SQRT(
+          ((syya - sya * sya / n_a) / (n_a - 1)
+            - 2.0 * theta * ((sxya - sxa * sya / n_a) / (n_a - 1))
+            + theta * theta * ((sxxa - sxa * sxa / n_a) / (n_a - 1)))
+            / n_a
+          + ((syyb - syb * syb / n_b) / (n_b - 1)
+            - 2.0 * theta * ((sxyb - sxb * syb / n_b) / (n_b - 1))
+            + theta * theta * ((sxxb - sxb * sxb / n_b) / (n_b - 1)))
+            / n_b) AS se,
+        SQRT(((syya - sya * sya / n_a) / (n_a - 1)) / n_a
+          + ((syyb - syb * syb / n_b) / (n_b - 1)) / n_b) AS se_raw
+      FROM th
+    )
+    SELECT event_type, n_a, n_b,
+      ROUND(theta, 6) AS theta,
+      ROUND(effect, 4) AS adj_effect,
+      ROUND(se, 4) AS se_adj,
+      ROUND(se_raw, 4) AS se_raw,
+      ROUND(1.0 - (se * se) / (se_raw * se_raw), 4) AS var_reduction,
+      ROUND(effect / se, 4) AS z_stat,
+      ROUND({p2}, 6) AS p_value
+    FROM f
+"""
+
+
+@query(
+    "q202_cuped_adjusted_effect",
+    sql=_C202.format(
+        cut=_DRIFT_CUT, p2=_P2_SQL.format(z="effect / se")
+    ),
+)
+def q202_cuped_adjusted_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced treatment effect per event type
+    (``experiment.cuped_adjusted_effect``): each user's post-period
+    value sum adjusted by their PRE-period sum (θ = pooled cov/var),
+    arms compared on the adjusted metric — the standard sensitivity
+    lever that trades one covariate column for weeks of traffic.  The
+    whole estimator is one per-user decimal aggregation plus one
+    conditional-moment pass (Y′ is linear in (X, Y), so its mean/var
+    per arm are closed forms of the joint moments — no second scan)."""
+    from streaming_feature_store_spark.operators.experiment import (
+        cuped_adjusted_effect,
+    )
+
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    pre = F.col("ts") < cut
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("x_pre", F.when(pre, F.col("value")))
+        .withColumn("y_post", F.when(~pre, F.col("value")))
+    )
+    return cuped_adjusted_effect(
+        ev,
+        ["event_type"],
+        "user_id",
+        (F.col("user_id") % 2) == 1,
+        "x_pre",
+        "y_post",
+    )
+
+
+@query(
+    "q203_experiment_mde",
+    sql="""
+    WITH g AS (
+      SELECT event_type,
+        COUNT(CASE WHEN NOT ((user_id % 2) = 1) THEN value END) AS n_a,
+        COUNT(CASE WHEN (user_id % 2) = 1 THEN value END) AS n_b,
+        CAST(SUM(CASE WHEN NOT ((user_id % 2) = 1)
+          THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS sa,
+        CAST(SUM(CASE WHEN (user_id % 2) = 1
+          THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS sb,
+        CAST(SUM(CASE WHEN NOT ((user_id % 2) = 1)
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE) AS ssa,
+        CAST(SUM(CASE WHEN (user_id % 2) = 1
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE) AS ssb
+      FROM events GROUP BY 1
+    ), f AS (
+      SELECT event_type, n_a, n_b, sa / n_a AS mean_control,
+        (1.96 + 0.8416) * SQRT(
+          (CASE WHEN n_a > 1
+            THEN (ssa - sa * sa / n_a) / (n_a - 1) END) / n_a
+          + (CASE WHEN n_b > 1
+            THEN (ssb - sb * sb / n_b) / (n_b - 1) END) / n_b) AS mde
+      FROM g
+    )
+    SELECT event_type, n_a, n_b,
+      ROUND(mean_control, 4) AS mean_control,
+      ROUND(mde, 4) AS mde_abs,
+      ROUND(mde / mean_control, 6) AS mde_rel
+    FROM f
+    """,
+)
+def q203_experiment_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning per event type
+    (``experiment.minimum_detectable_effect``, α=0.05 two-sided, power
+    0.80): the smallest true effect the current arm sizes and variances
+    would detect — absolute and relative to the control mean — from the
+    same one-pass order-independent decimal moments as the z-test
+    fleet."""
+    from streaming_feature_store_spark.operators.experiment import (
+        minimum_detectable_effect,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return minimum_detectable_effect(
+        ev, ["event_type"], (F.col("user_id") % 2) == 1, "value"
+    )

@@ -220,3 +220,78 @@ def test_uplift_deciles_planted_uplift_in_top_bucket(spark):
     # exact ntile: equal bucket sizes
     sizes = {b: r["n_t"] + r["n_c"] for b, r in got.items()}
     assert set(sizes.values()) == {250}
+
+
+def test_cuped_reduces_variance_and_keeps_effect(spark):
+    from streaming_feature_store_spark.operators.experiment import (
+        cuped_adjusted_effect,
+    )
+
+    import random
+
+    rng = random.Random(21)
+    # per-user baseline spend X; post metric Y = X + noise + effect(trt)
+    rows = []
+    for u in range(400):
+        trt = u % 2 == 1
+        x = rng.uniform(10, 100)
+        y = x + rng.gauss(0, 2.0) + (5.0 if trt else 0.0)
+        rows.append(("g", u, trt, x, y))
+    df = spark.createDataFrame(
+        rows, "grp string, uid long, trt boolean, x double, y double"
+    )
+    r = cuped_adjusted_effect(
+        df, ["grp"], "uid", "trt", "x", "y"
+    ).collect()[0]
+    # unbiased effect, theta ~ 1 (Y tracks X 1:1), big variance cut
+    assert abs(r["adj_effect"] - 5.0) < 0.6
+    assert abs(r["theta"] - 1.0) < 0.1
+    assert r["se_adj"] < 0.3 * r["se_raw"]
+    assert r["var_reduction"] > 0.9
+    assert r["p_value"] < 1e-6
+
+
+def test_cuped_uncorrelated_covariate_is_harmless(spark):
+    from streaming_feature_store_spark.operators.experiment import (
+        cuped_adjusted_effect,
+    )
+
+    import random
+
+    rng = random.Random(22)
+    rows = [
+        ("g", u, u % 2 == 1, rng.uniform(0, 1), rng.gauss(10, 1))
+        for u in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, uid long, trt boolean, x double, y double"
+    )
+    r = cuped_adjusted_effect(
+        df, ["grp"], "uid", "trt", "x", "y"
+    ).collect()[0]
+    # theta ~ 0: adjusted and raw SEs agree, no fake variance reduction
+    assert abs(r["theta"]) < 0.5
+    assert abs(r["var_reduction"]) < 0.05
+
+
+def test_mde_matches_closed_form(spark):
+    from streaming_feature_store_spark.operators.experiment import (
+        minimum_detectable_effect,
+    )
+
+    a = [10.0, 12.0, 11.0, 9.0, 13.0, 10.5]
+    b = [10.0, 11.5, 12.5, 9.5, 12.0]
+    rows = [("g", False, v) for v in a] + [("g", True, v) for v in b]
+    df = spark.createDataFrame(rows, "grp string, trt boolean, v double")
+    r = minimum_detectable_effect(df, ["grp"], "trt", "v").collect()[0]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    mde = (1.96 + 0.8416) * math.sqrt(var(a) / len(a) + var(b) / len(b))
+    assert math.isclose(r["mde_abs"], round(mde, 4), abs_tol=1e-9)
+    assert r["mean_control"] == round(sum(a) / len(a), 4)
+    assert math.isclose(
+        r["mde_rel"], mde / (sum(a) / len(a)), abs_tol=1e-4
+    )
