@@ -64,6 +64,7 @@ _PRIORITY = [
     "q198_value_per_event_ci", "q199_recs_ranking_quality",
     "q200_uplift_deciles", "q201_erasure_audit",
     "q202_cuped_adjusted_effect", "q203_experiment_mde",
+    "q204_srm_guardrail",
     # new this round, batch 9 (4): band join, conformal cutoffs,
     # incremental partial-state merge, WOE/IV encoding
     "q192_price_band_orders", "q193_conformal_value_cutoffs",

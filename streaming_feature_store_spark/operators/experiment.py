@@ -536,3 +536,51 @@ def minimum_detectable_effect(
         F.round(mde, 4).alias("mde_abs"),
         F.round(mde / mean_a, 6).alias("mde_rel"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    group_cols: list[str],
+    variant_col,
+    unit_col: str | None = None,
+    expected_b: float = 0.5,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail per group: is the observed
+    treatment share consistent with the designed split?  The #1
+    validity check run BEFORE any A/B readout — a biased split (broken
+    assignment, lossy logging, bot filtering hitting one arm) silently
+    invalidates every downstream p-value, and the conventional α here
+    is 0.001 (an SRM alarm should be near-certain, not borderline).
+
+    Exact normal test on the binomial count: z = (n_b − N·p) / √(N·p·(1−p)),
+    two-sided erfc p-value — equivalent to the 1-dof chi-square GOF but
+    entirely in the closed forms both engines share.  When ``unit_col``
+    is given, units (users) are counted once via COUNT DISTINCT — the
+    assignment is per-unit, so per-ROW counting would weight heavy
+    users and mask or fake mismatches; otherwise rows are counted.
+    One aggregate pass either way.
+    """
+    t = F.col(variant_col) if isinstance(variant_col, str) else variant_col
+    if unit_col is None:
+        cnt_a = F.count(F.when(~t, 1))
+        cnt_b = F.count(F.when(t, 1))
+    else:
+        cnt_a = F.count_distinct(F.when(~t, F.col(unit_col)))
+        cnt_b = F.count_distinct(F.when(t, F.col(unit_col)))
+    g = df.groupBy(*group_cols).agg(
+        cnt_a.alias("n_a"), cnt_b.alias("n_b")
+    )
+    n = F.col("n_a") + F.col("n_b")
+    p = F.lit(expected_b)
+    z = (F.col("n_b") - n * p) / F.sqrt(n * p * (1.0 - p))
+    pv = normal_sf2(F.abs(z))
+    return g.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(F.col("n_b") / n, 6).alias("share_b"),
+        F.round(z, 4).alias("z_stat"),
+        F.round(pv, 6).alias("p_value"),
+        (pv < F.lit(alpha)).alias("srm_detected"),
+    )

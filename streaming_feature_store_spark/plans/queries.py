@@ -9114,3 +9114,44 @@ def q203_experiment_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_detectable_effect(
         ev, ["event_type"], (F.col("user_id") % 2) == 1, "value"
     )
+
+
+_Z204 = (
+    "(n_b - (n_a + n_b) * 0.5)"
+    " / SQRT((n_a + n_b) * 0.5 * (1.0 - 0.5))"
+)
+
+
+@query(
+    "q204_srm_guardrail",
+    sql=f"""
+    WITH g AS (
+      SELECT event_type,
+        COUNT(DISTINCT CASE WHEN NOT ((user_id % 2) = 1)
+          THEN user_id END) AS n_a,
+        COUNT(DISTINCT CASE WHEN (user_id % 2) = 1
+          THEN user_id END) AS n_b
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n_a, n_b,
+      ROUND(n_b / CAST(n_a + n_b AS DOUBLE), 6) AS share_b,
+      ROUND({_Z204}, 4) AS z_stat,
+      ROUND({_P2_SQL.format(z=_Z204)}, 6) AS p_value,
+      {_P2_SQL.format(z=_Z204)} < 0.001 AS srm_detected
+    FROM g
+    """,
+)
+def q204_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (``experiment.srm_check``): per
+    event type, are the user-parity arms consistent with the designed
+    50/50 split?  Units counted once (COUNT DISTINCT user — assignment
+    is per-unit; row counting would weight heavy users), exact normal
+    test on the binomial count, erfc p-value, alarm at the
+    conventional α=0.001.  The validity check every other experiment
+    query in this catalog assumes."""
+    from streaming_feature_store_spark.operators.experiment import srm_check
+
+    ev = _t(spark, sf_dir, "events")
+    return srm_check(
+        ev, ["event_type"], (F.col("user_id") % 2) == 1, unit_col="user_id"
+    )

@@ -295,3 +295,38 @@ def test_mde_matches_closed_form(spark):
     assert math.isclose(
         r["mde_rel"], mde / (sum(a) / len(a)), abs_tol=1e-4
     )
+
+
+def test_srm_check_balanced_and_broken_splits(spark):
+    from streaming_feature_store_spark.operators.experiment import srm_check
+
+    # balanced: 500/500 units; broken: 650/350 (massive SRM)
+    rows = []
+    for u in range(1000):
+        rows.append(("ok", u, u % 2 == 1))
+    for u in range(1000):
+        rows.append(("broken", u, u % 100 < 35))  # 35% treated
+    df = spark.createDataFrame(rows, "grp string, uid long, trt boolean")
+    got = {r["grp"]: r for r in
+           srm_check(df, ["grp"], "trt", unit_col="uid").collect()}
+    assert got["ok"]["srm_detected"] is False
+    assert got["ok"]["share_b"] == 0.5
+    assert got["broken"]["srm_detected"] is True
+    assert got["broken"]["p_value"] < 1e-6
+
+    # z matches the closed form for the broken split
+    import math
+    n, nb = 1000, 350
+    z = (nb - n * 0.5) / math.sqrt(n * 0.25)
+    assert math.isclose(got["broken"]["z_stat"], round(z, 4), abs_tol=1e-9)
+
+
+def test_srm_unit_counting_ignores_row_weight(spark):
+    """Per-unit assignment means a heavy user must count once — row
+    counting would alarm on a perfectly fair split."""
+    from streaming_feature_store_spark.operators.experiment import srm_check
+
+    rows = [("g", 1, False)] * 500 + [("g", 2, True)]  # fair: 1 unit each
+    df = spark.createDataFrame(rows, "grp string, uid long, trt boolean")
+    r = srm_check(df, ["grp"], "trt", unit_col="uid").collect()[0]
+    assert r["n_a"] == 1 and r["n_b"] == 1 and r["srm_detected"] is False
