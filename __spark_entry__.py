@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned per-round by the committed PARITY_sf0.01_r0N.txt runs (r7's:
 # 158/158 at the first-batch point, refreshed after the second batch).
 # Round 7's window front-loads the queries over this round's CHANGED
-# code paths — the FIFTY-TWO new oracled queries (q149-q200: quarantine
+# code paths — the FIFTY-SIX new oracled queries (q149-q204: quarantine
 # routing, BPE parity, BM25, DSIR weights, k-anonymity, snapshot diff,
 # Lloyd step, Z-order key, JL projection, cohort retention, RFM
 # distributed-ntile, OOF target encoding, embargo split, oriented
@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # step, cumulative-distinct breadth, l-diversity, Neyman allocation,
 # band join, conformal thresholds, incremental state merge, WOE/IV,
 # BH-FDR A/B screen, diff-in-diff, delta-method ratio CI, NDCG@k,
-# uplift/Qini deciles),
+# uplift/Qini deciles, erasure audit, CUPED, MDE, SRM guardrail),
 # the persisted-intermediate family now
 # running under the new cached-plan-AQE-coalescing session default
 # (q101/q102/q119 + the dedup/similarity lineages), the ivf_topk
