@@ -57,6 +57,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # dim-broadcast hints were dropped in favor of AQE runtime promotion
 # (the window tail; the remainder stay pinned by the parity artifact).
 _PRIORITY = [
+    # r8 item #1: the six catalog queries that overflowed round 7's
+    # 50-slot window and so have never carried a driver-recorded
+    # CORRECTNESS row (judge-verified green out-of-band in r7; rotated
+    # to positions 1-6 so r8's artifact closes the bookkeeping gap)
+    "q149_quarantine_rows", "q150_bpe_merges", "q151_bpe_token_counts",
+    "q156_kmeans_lloyd_step", "q157_zorder_key", "q158_random_projection",
     # new this round, batch 10 (4): experimentation + ranking eval —
     # BH-FDR A/B screen, diff-in-diff, delta-method clustered ratio CI,
     # NDCG/precision/recall@k
@@ -91,9 +97,7 @@ _PRIORITY = [
     "q177_impossible_travel",
     # new this round, first batch (10)
     "q152_bm25_topk", "q153_dsir_weights", "q154_k_anonymize",
-    "q155_snapshot_diff", "q156_kmeans_lloyd_step", "q157_zorder_key",
-    "q158_random_projection",
-    "q149_quarantine_rows", "q150_bpe_merges", "q151_bpe_token_counts",
+    "q155_snapshot_diff",
     # cached-plan AQE coalescing default + dedup/similarity family (12)
     "q101_unigram_logprob", "q102_bigram_collocations",
     "q119_brand_basket_lift", "q60_dedup_survivors",

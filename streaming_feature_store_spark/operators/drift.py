@@ -165,7 +165,12 @@ def _ks_pvalue(d: Column, n1: Column, n2: Column) -> Column:
     series = (
         F.exp(-2.0 * lam2) - F.exp(-8.0 * lam2) + F.exp(-18.0 * lam2)
     )
-    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series))
+    # defensive null guard: least/greatest SKIP nulls, so a NULL statistic
+    # would clamp to p = 0.0 (spurious max significance) instead of NULL
+    return F.when(
+        d.isNotNull() & n1.isNotNull() & n2.isNotNull(),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series)),
+    )
 
 
 def drift_severity(p: Column, alpha: float = 0.05) -> Column:
@@ -302,7 +307,11 @@ def chi2_sf(x: Column, dof: int) -> Column:
     while s < dof / 2.0 - 0.25:
         q = q + (y ** s) * F.exp(-y) / math.gamma(s + 1.0)
         s += 1.0
-    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), q))
+    # defensive null guard: least/greatest SKIP nulls (NULL x would clamp
+    # to p = 0.0 instead of propagating NULL)
+    return F.when(
+        x.isNotNull(), F.least(F.lit(1.0), F.greatest(F.lit(0.0), q))
+    )
 
 
 def chi_square_report(
@@ -597,6 +606,43 @@ def seasonal_anomaly_counts(
     )
 
 
+_SQRT2 = 2.0 ** 0.5
+
+
+def t_sf2(t_abs: Column, nu: Column) -> Column:
+    """Two-sided Student-t tail P(|T_ν| > t) via Hill's normalizing
+    transform (ACM Algorithm 395, CACM 13(10), 1970): map |t| with ν
+    degrees of freedom to an equivalent normal deviate
+
+        y = (ν − ½)·ln(1 + t²/ν),  b = 48·(ν − ½)²
+        z = [(((−0.4y − 3.3)y − 24)y − 85.5)/(0.8y² + 100 + b) + y + 3)/b
+             + 1]·√y
+
+    then read p = erfc(z/√2).  Closed form (log/sqrt/polynomial only),
+    so DuckDB oracles recompute it bit-for-bit — the property the exact
+    incomplete-beta tail cannot offer in SQL.  Accuracy vs the exact t
+    tail (validated numerically in tests/test_experiment_guards.py):
+    |err| < 5e-4 at ν = 2, < 3e-6 at ν = 4, < 1e-8 for ν ≥ 8, degrading
+    to ~3e-2 at ν = 1 (both arms n = 2 — below any credible readout).
+
+    NULL-guarded (least/greatest SKIP nulls): NULL t or ν → NULL p,
+    never a spurious clamp to 0.
+    """
+    y0 = t_abs * t_abs / nu
+    ylog = F.when(y0 > 1e-6, F.log(F.lit(1.0) + y0)).otherwise(y0)
+    a = nu - 0.5
+    b = 48.0 * a * a
+    y = a * ylog
+    z = (
+        ((((-0.4 * y - 3.3) * y - 24.0) * y - 85.5)
+         / (0.8 * y * y + 100.0 + b) + y + 3.0) / b + 1.0
+    ) * F.sqrt(y)
+    return F.when(
+        t_abs.isNotNull() & nu.isNotNull(),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), _erfc(z / _SQRT2))),
+    )
+
+
 def welch_ttest(
     df: DataFrame,
     group_col: str,
@@ -612,14 +658,20 @@ def welch_ttest(
 
     Emits per group: both sample sizes and means, the Welch t statistic
     t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b), the Welch–Satterthwaite
-    effective degrees of freedom, and a significance flag at the given
-    critical value (1.96 ≈ two-sided 5 % for large df).  All moments are
-    conditional aggregates (one map-side-combined shuffle on the group
-    key — no per-variant subqueries, no second pass); groups where either
-    arm has < 2 observations yield NULL t (variance undefined).
+    effective degrees of freedom, the two-sided t p-value (:func:`t_sf2`,
+    Hill's CACM-395 transform — exact for the df ranges that matter), and
+    a significance flag at the given critical value (1.96 ≈ two-sided 5 %
+    for large df).  All moments are conditional aggregates (one map-side-
+    combined shuffle on the group key — no per-variant subqueries, no
+    second pass); groups where either arm has < 2 observations yield NULL
+    t/p (variance undefined).
 
-    Closed-form throughout, so a SQL oracle recomputes it exactly; the
-    caller rounds at the presentation edge.
+    Moments follow the repo determinism policy: per-row decimal casts +
+    exact decimal sums (Σx as decimal(18,4), Σx² as decimal(38,8)), with
+    mean/variance derived from the merged moments — raw double
+    AVG/VAR_SAMP would make the 4-dp t and the significance flag
+    partial-order-dependent across partitionings, which is exactly the
+    flakiness a pinned cross-engine parity artifact cannot tolerate.
     """
     a = F.col(variant_col) == F.lit(variant_a)
     b = F.col(variant_col) == F.lit(variant_b)
@@ -627,24 +679,44 @@ def welch_ttest(
     out = df.groupBy(group_col).agg(
         F.count(F.when(a, v)).alias("n_a"),
         F.count(F.when(b, v)).alias("n_b"),
-        F.avg(F.when(a, v)).alias("mean_a"),
-        F.avg(F.when(b, v)).alias("mean_b"),
-        F.var_samp(F.when(a, v)).alias("_va"),
-        F.var_samp(F.when(b, v)).alias("_vb"),
+        F.sum(F.when(a, v).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("_sa"),
+        F.sum(F.when(b, v).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("_sb"),
+        F.sum(F.when(a, v * v).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("_ssa"),
+        F.sum(F.when(b, v * v).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("_ssb"),
     )
-    se2 = F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")
-    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("_sa") / na
+    mb = F.col("_sb") / nb
+    va = F.when(
+        na > 1, (F.col("_ssa") - F.col("_sa") * F.col("_sa") / na) / (na - 1)
+    )
+    vb = F.when(
+        nb > 1, (F.col("_ssb") - F.col("_sb") * F.col("_sb") / nb) / (nb - 1)
+    )
+    # se2 == 0.0 (both arms constant) must yield NULL t/df/p, not an
+    # ANSI divide-by-zero job failure — a metric that is constant in a
+    # thin segment is a fact of fleet-scale readouts, not an error
+    se2 = F.when(va / na + vb / nb > 0, va / na + vb / nb)
+    t = (ma - mb) / F.sqrt(se2)
     dof = (se2 * se2) / (
-        (F.col("_va") / F.col("n_a")) ** 2 / (F.col("n_a") - 1)
-        + (F.col("_vb") / F.col("n_b")) ** 2 / (F.col("n_b") - 1)
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
     )
     return out.select(
         group_col,
         "n_a",
         "n_b",
-        F.round("mean_a", 4).alias("mean_a"),
-        F.round("mean_b", 4).alias("mean_b"),
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
         F.round(t, 4).alias("t_stat"),
         F.round(dof, 2).alias("df_welch"),
+        F.round(t_sf2(F.abs(t), dof), 6).alias("p_value"),
         (F.abs(t) > F.lit(alpha_t)).alias("significant"),
     )

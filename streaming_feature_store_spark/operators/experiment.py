@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from streaming_feature_store_spark.operators.drift import _erfc
+from streaming_feature_store_spark.operators.drift import _erfc, t_sf2
 
 _SQRT2 = 2.0 ** 0.5
 
@@ -52,19 +52,25 @@ def grouped_ztest(
     group_cols: list[str],
     variant_col,
     value_col: str,
+    small_arm_n: int = 30,
 ) -> DataFrame:
     """Per-group two-sample z-test between variant False/True arms: the
-    Welch statistic z = (m_b − m_a)/√(v_a/n_a + v_b/n_b) with the
-    large-sample normal two-sided p-value — one hypothesis PER GROUP,
-    all computed in one conditional-aggregate pass (map-side combined;
-    no per-arm subqueries).  ``variant_col`` is a boolean column or
-    expression (False = control arm A, True = treatment arm B).
+    Welch statistic z = (m_b − m_a)/√(v_a/n_a + v_b/n_b) with a
+    two-sided p-value — one hypothesis PER GROUP, all computed in one
+    conditional-aggregate pass (map-side combined; no per-arm
+    subqueries).  ``variant_col`` is a boolean column or expression
+    (False = control arm A, True = treatment arm B).
 
-    The normal approximation to Welch's t is the standard large-n
-    experimentation readout; groups with an arm under ~30 observations
-    should use :func:`operators.drift.welch_ttest` df instead.  Groups
-    where either arm has < 2 values yield NULL z/p (variance undefined)
-    — feed through :func:`bh_fdr`, which ranks NULL p-values last and
+    Small arms auto-dispatch: the normal approximation over-rejects when
+    an arm is thin, and thousand-segment readouts ALWAYS contain thin
+    segments — so groups with min(n_a, n_b) < ``small_arm_n`` read the
+    p-value from the Student-t tail at the Welch–Satterthwaite df
+    (:func:`operators.drift.t_sf2`, Hill's CACM-395 closed form — still
+    SQL-oracle-exact) instead of the normal tail; the dispatch is one
+    F.when over moments the aggregate already computed.  The emitted
+    ``small_arm`` flag says which tail priced each row.  Groups where
+    either arm has < 2 values yield NULL z/p (variance undefined) —
+    feed through :func:`bh_fdr`, which ranks NULL p-values last and
     never rejects them.
     """
     t = F.col(variant_col) if isinstance(variant_col, str) else variant_col
@@ -97,8 +103,17 @@ def grouped_ztest(
     vb = F.when(
         nb > 1, (F.col("_ssb") - F.col("_sb") * F.col("_sb") / nb) / (nb - 1)
     )
-    se2 = va / na + vb / nb
+    # se2 == 0.0 (both arms constant — routine in thin segments) must
+    # yield NULL z/df/p, not an ANSI divide-by-zero job failure
+    se2 = F.when(va / na + vb / nb > 0, va / na + vb / nb)
     z = (mb - ma) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    small = F.least(na, nb) < small_arm_n
+    p = F.when(small, t_sf2(F.abs(z), dof)).otherwise(
+        normal_sf2(F.abs(z))
+    )
     return g.select(
         *group_cols,
         "n_a",
@@ -106,7 +121,8 @@ def grouped_ztest(
         F.round(ma, 4).alias("mean_a"),
         F.round(mb, 4).alias("mean_b"),
         F.round(z, 4).alias("z_stat"),
-        F.round(normal_sf2(F.abs(z)), 6).alias("p_value"),
+        F.round(p, 6).alias("p_value"),
+        small.alias("small_arm"),
     )
 
 
@@ -219,7 +235,8 @@ def diff_in_diff(
         mean("c_post") - mean("c_pre")
     )
     se = F.sqrt(sum(var(n) / F.col(f"n_{n}") for n in cells))
-    z = did / se
+    # all-constant cells -> se == 0.0: NULL z/p, not an ANSI div-by-zero
+    z = did / F.when(se > 0, se)
     return g.select(
         *group_cols,
         *[F.col(f"n_{n}") for n in cells],
@@ -274,15 +291,26 @@ def ratio_metric_delta(
         F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("_sxy"),
     )
     n = F.col("n_units")
-    sx, sy = F.col("_sx"), F.col("_sy")
+    # a zero denominator sum (all units' y sum to exactly 0 — the decimal
+    # accumulation makes "exactly" well-defined) means the ratio metric is
+    # undefined: NULL through, never an ANSI divide-by-zero
+    sx = F.col("_sx")
+    sy = F.when(F.col("_sy") != 0, F.col("_sy"))
     r = sx / sy
     ybar = sy / n
-    # sample (co)variances from merged moments
-    vxx = (F.col("_sxx") - sx * sx / n) / (n - 1)
-    vyy = (F.col("_syy") - sy * sy / n) / (n - 1)
-    vxy = (F.col("_sxy") - sx * sy / n) / (n - 1)
+    # sample (co)variances from merged moments; the n > 1 guard is ANSI
+    # load-bearing — at n = 1 the numerator is a NON-null 0.0, so the
+    # (n-1) division would be a job-killing 0/0, not a quiet NULL
+    nm1 = F.when(n > 1, n - 1)
+    vxx = (F.col("_sxx") - sx * sx / n) / nm1
+    vyy = (F.col("_syy") - sy * sy / n) / nm1
+    vxy = (F.col("_sxy") - sx * sy / n) / nm1
     var_r = (vxx - 2.0 * r * vxy + r * r * vyy) / (n * ybar * ybar)
-    se = F.sqrt(F.greatest(F.lit(0.0), var_r))
+    # null-guarded clamp: greatest() SKIPS nulls, so a single-unit group
+    # (n=1 → NULL sample variance) would otherwise clamp to se = 0.0 and
+    # emit a confidently zero-width CI instead of NULL — the same skip-null
+    # bug class normal_sf2 guards (experiment.py:41-47)
+    se = F.when(var_r.isNotNull(), F.sqrt(F.greatest(F.lit(0.0), var_r)))
     return g.select(
         *group_cols,
         "n_units",
@@ -341,7 +369,13 @@ def uplift_deciles(
         r.cast("long").alias("_resp"),
     )
     tc = F.col("_trt")
-    order = [F.col(score_col)] + [F.col(c) for c in tiebreak_cols]
+    # NULLS LAST pins cross-engine bucket assignment on nullable scores:
+    # Spark sorts NULL first ascending, DuckDB's NTILE ORDER BY defaults
+    # to NULLS LAST — without the modifier the operator contract would
+    # silently depend on the caller pre-filtering NULL scores
+    order = [F.col(score_col).asc_nulls_last()] + [
+        F.col(c) for c in tiebreak_cols
+    ]
     b = distributed_ntile(slim, order, n_buckets, "bucket")
     g = b.groupBy("bucket").agg(
         F.count(F.when(tc, 1)).alias("n_t"),
@@ -436,26 +470,32 @@ def cuped_adjusted_effect(
     sy = F.col("_sya") + F.col("_syb")
     sxx = F.col("_sxxa") + F.col("_sxxb")
     sxy = F.col("_sxya") + F.col("_sxyb")
-    var_x_pool = (sxx - sx * sx / n) / (n - 1)
-    cov_pool = (sxy - sx * sy / n) / (n - 1)
-    theta = cov_pool / var_x_pool
+    # ANSI-load-bearing guards: at n = 1 the centered numerators are a
+    # NON-null 0.0, so the (n-1) divisions would be job-killing 0/0s;
+    # a zero pooled X variance (constant covariate) makes θ undefined —
+    # NULL through, never divide-by-zero
+    nm1 = F.when(n > 1, n - 1)
+    var_x_pool = (sxx - sx * sx / n) / nm1
+    cov_pool = (sxy - sx * sy / n) / nm1
+    theta = cov_pool / F.when(var_x_pool > 0, var_x_pool)
     xbar = sx / n
 
     def arm(suffix, cnt):
+        cm1 = F.when(cnt > 1, cnt - 1)
         mx = F.col(f"_sx{suffix}") / cnt
         my = F.col(f"_sy{suffix}") / cnt
         vx = (
             F.col(f"_sxx{suffix}")
             - F.col(f"_sx{suffix}") * F.col(f"_sx{suffix}") / cnt
-        ) / (cnt - 1)
+        ) / cm1
         vy = (
             F.col(f"_syy{suffix}")
             - F.col(f"_sy{suffix}") * F.col(f"_sy{suffix}") / cnt
-        ) / (cnt - 1)
+        ) / cm1
         cxy = (
             F.col(f"_sxy{suffix}")
             - F.col(f"_sx{suffix}") * F.col(f"_sy{suffix}") / cnt
-        ) / (cnt - 1)
+        ) / cm1
         mean_adj = my - theta * (mx - xbar)
         var_adj = vy - 2.0 * theta * cxy + theta * theta * vx
         return mean_adj, var_adj, vy
@@ -463,9 +503,11 @@ def cuped_adjusted_effect(
     mean_a, var_a, vy_a = arm("a", na)
     mean_b, var_b, vy_b = arm("b", nb)
     effect = mean_b - mean_a
+    # constant-metric arms -> zero se: NULL z/p/var_reduction, never an
+    # ANSI divide-by-zero
     se = F.sqrt(var_a / na + var_b / nb)
     se_raw = F.sqrt(vy_a / na + vy_b / nb)
-    z = effect / se
+    z = effect / F.when(se > 0, se)
     return g.select(
         *group_cols,
         "n_a",
@@ -474,9 +516,9 @@ def cuped_adjusted_effect(
         F.round(effect, 4).alias("adj_effect"),
         F.round(se, 4).alias("se_adj"),
         F.round(se_raw, 4).alias("se_raw"),
-        F.round(1.0 - (se * se) / (se_raw * se_raw), 4).alias(
-            "var_reduction"
-        ),
+        F.round(
+            1.0 - (se * se) / F.when(se_raw > 0, se_raw * se_raw), 4
+        ).alias("var_reduction"),
         F.round(z, 4).alias("z_stat"),
         F.round(normal_sf2(F.abs(z)), 6).alias("p_value"),
     )
@@ -534,7 +576,8 @@ def minimum_detectable_effect(
         "n_b",
         F.round(mean_a, 4).alias("mean_control"),
         F.round(mde, 4).alias("mde_abs"),
-        F.round(mde / mean_a, 6).alias("mde_rel"),
+        # zero control mean -> relative MDE undefined (NULL, not div0)
+        F.round(mde / F.when(mean_a != 0, mean_a), 6).alias("mde_rel"),
     )
 
 

@@ -848,9 +848,15 @@ def l_diversity(
     join when the group table is small, and the fact side is never
     re-sorted.  Emits the per-group ``sensitive_l`` alongside the kept
     rows so downstream release audits can bin by diversity.
+
+    A NULL sensitive value does NOT count toward diversity (it is a
+    missing measurement, not a real value an attacker could be told) —
+    matching SQL ``COUNT(DISTINCT sensitive)``, which excludes NULLs;
+    a ``.distinct()`` alone would treat NULL as a value and inflate l.
     """
     groups = (
         df.select(*quasi_cols, sensitive_col)
+        .filter(F.col(sensitive_col).isNotNull())
         .distinct()
         .groupBy(*quasi_cols)
         .agg(F.count("*").alias("sensitive_l"))

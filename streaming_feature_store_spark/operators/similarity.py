@@ -787,6 +787,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kernel: str = "join",
+    max_cluster_rows: int | None = 50_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication of an embedding
     corpus — cluster with k-means, then inside each cluster drop every
@@ -806,11 +807,17 @@ def semantic_dedup(
     k ≈ corpus/10⁴ keeps each cluster's pair count bounded, turning the
     impossible corpus-wide O(n²) into Σ|cluster|².  A pathological mega-
     cluster (mode collapse in the embedding space) degrades to the same
-    quadratic the paper hits; the mitigation is the banded-LSH pair
-    kernel (``embedding_near_dups``) scoped per cluster, which this
-    operator deliberately does not silently switch to — at 0.95+
-    thresholds the exact within-cluster pair check is the audited
-    baseline.
+    quadratic the paper hits — and the arrow kernel additionally
+    materializes that cluster's full similarity matrix in ONE executor's
+    memory — so cluster sizes are ENFORCED, not just documented
+    (``cosine_topk_blas``'s ``max_rows`` pattern): one cheap count
+    aggregate checks the largest cluster BEFORE any quadratic work and
+    raises past ``max_cluster_rows`` (default 50 k ⇒ ≤ 2.5e9 pair ops /
+    ~20 GB·flop and a 20 GB S matrix worst case per straggler task) with
+    an actionable message — re-cluster with larger k, or run the
+    banded-LSH pair kernel (``embedding_near_dups``) scoped per cluster.
+    Pass ``max_cluster_rows=None`` to skip the check (and its one extra
+    assignment pass) when cluster sizes are already known-bounded.
 
     ``kernel`` picks how the within-cluster pair check executes:
     ``"join"`` (default) is the pure-codegen self-join whose dot-product
@@ -831,6 +838,26 @@ def semantic_dedup(
     assigned = assign_clusters(
         vecs, centroids=centroids, k=k, id_col=id_col, vec_col=vec_col
     ).select(id_col, "cluster_id")
+    if max_cluster_rows is not None:
+        top = (
+            assigned.groupBy("cluster_id")
+            .count()
+            .orderBy(F.col("count").desc(), "cluster_id")
+            .first()
+        )
+        if top is not None and top["count"] > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: cluster {top['cluster_id']} has "
+                f"{top['count']} rows > max_cluster_rows={max_cluster_rows}"
+                " — a mode-collapsed embedding space would run a silent "
+                "O(|cluster|^2) single task (and, with kernel='arrow', "
+                "materialize that cluster's full similarity matrix in one "
+                "executor). Re-cluster with a larger k (the paper's rule "
+                "is k ~ corpus/1e4), pass trained centroids, or switch "
+                "the degenerate clusters to the banded-LSH pair kernel "
+                "(embedding_near_dups) — or raise max_cluster_rows "
+                "explicitly if you mean it."
+            )
     v = (
         as_double_vec(vecs, vec_col)
         .select(

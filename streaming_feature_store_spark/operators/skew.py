@@ -123,7 +123,30 @@ def replicated_skew_join(
     Cost model: the dim shuffle grows ×``salt_buckets`` — use only when
     |dim| × salt_buckets ≪ |fact|, the regime where skew hurts.  The
     salt never leaves this function; output columns = fact ∪ dim.
+
+    Only fact-preserving modes are sound: the dim side is exploded
+    ×``salt_buckets`` BEFORE the join, so any mode that emits unmatched
+    DIM rows (right/full outer) would surface each unmatched dim row once
+    per salt bucket.  ``inner``/``left`` (and fact-side ``left_semi``/
+    ``left_anti``, which never duplicate and see every key in every salt
+    bucket) are accepted; the unsound modes raise rather than silently
+    duplicate.
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "semi", "left_anti", "leftanti", "anti",
+    }
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in allowed
+    }:
+        raise ValueError(
+            f"replicated_skew_join: how={how!r} is unsound — the dim side "
+            f"is replicated x{salt_buckets} before the join, so modes that "
+            "emit unmatched dim rows (right/full outer) or evaluate "
+            "dim-side membership (semi/anti from dim) would multiply them "
+            "by the salt count. Use how in {'inner','left'}; for outer "
+            "semantics on the dim side, run the plain join or swap sides."
+        )
     salted = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets))
     )

@@ -339,6 +339,12 @@ def cumulative_distinct(
 
     Ties: the unique ``tiebreak_col`` makes "first occurrence" and the
     running frame deterministic under duplicate timestamps.
+
+    NULL values are NOT counted as a distinct value — matching SQL's
+    ``COUNT(DISTINCT x) OVER`` (which excludes NULLs), not a set that
+    admits None.  Without the guard, row_number's partition key would
+    treat NULL as its own value and the count would diverge from the SQL
+    twin on nullable columns.
     """
     first_w = Window.partitionBy(key_col, distinct_col).orderBy(
         order_col, tiebreak_col
@@ -350,9 +356,11 @@ def cumulative_distinct(
     )
     flagged = df.withColumn(
         "_first",
-        F.when(F.row_number().over(first_w) == 1, F.lit(1)).otherwise(
-            F.lit(0)
-        ),
+        F.when(
+            F.col(distinct_col).isNotNull()
+            & (F.row_number().over(first_w) == 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     )
     return flagged.withColumn(out_col, F.sum("_first").over(run_w)).drop(
         "_first"

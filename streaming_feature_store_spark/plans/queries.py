@@ -8106,6 +8106,81 @@ def q185_bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Experimentation readouts at fleet scale (operators/experiment.py):
+# many simultaneous z-tests + BH-FDR control, diff-in-diff, delta-method
+# ratio metrics.  The erfc-based normal tail is the same A&S 7.1.26
+# polynomial as operators/drift._erfc, restated in SQL so DuckDB
+# recomputes statistic -> p-value -> rejection end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _erfc_sql(x: str) -> str:
+    """A&S 7.1.26 erfc(x) for x >= 0 as a SQL expression (mirrors
+    operators/drift._erfc term-for-term so the doubles agree)."""
+    t = f"(1.0 / (1.0 + 0.3275911 * ({x})))"
+    return (
+        f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741"
+        f" + {t} * (-1.453152027 + {t} * 1.061405429)))) * EXP(-({x})*({x})))"
+    )
+
+
+# two-sided normal tail P(|Z| > z) = erfc(|z| / sqrt(2)), clamped
+_P2_SQL = (
+    "LEAST(1.0, GREATEST(0.0, "
+    + _erfc_sql("ABS({z}) / 1.4142135623730951")
+    + "))"
+)
+
+
+def _tsf2_sql(t: str, nu: str) -> str:
+    """Two-sided Student-t tail via Hill's normalizing transform (ACM
+    Algorithm 395) — mirrors operators/drift.t_sf2 term-for-term so the
+    doubles agree, INCLUDING the null guard: DuckDB's LEAST/GREATEST
+    skip NULLs exactly like Spark's, so an unguarded clamp would turn a
+    NULL statistic into p = 0.0 in the oracle too.  ``t``/``nu`` should
+    be simple column references from a prior CTE (the expression repeats
+    them heavily)."""
+    y0 = f"(({t})*({t})/({nu}))"
+    ylog = f"(CASE WHEN {y0} > 1e-6 THEN LN(1.0 + {y0}) ELSE {y0} END)"
+    a = f"(({nu}) - 0.5)"
+    b = f"(48.0 * {a} * {a})"
+    y = f"({a} * {ylog})"
+    z = (
+        f"(((((((-0.4 * {y} - 3.3) * {y} - 24.0) * {y} - 85.5)"
+        f" / (0.8 * {y} * {y} + 100.0 + {b}) + {y} + 3.0) / {b}) + 1.0)"
+        f" * SQRT({y}))"
+    )
+    return (
+        f"CASE WHEN ({t}) IS NOT NULL AND ({nu}) IS NOT NULL THEN "
+        "LEAST(1.0, GREATEST(0.0, "
+        + _erfc_sql(f"({z}) / 1.4142135623730951")
+        + ")) END"
+    )
+
+_Z196 = (
+    "(sb/n_b - sa/n_a) / SQRT(((ssa - sa*sa/n_a)/(n_a - 1))/n_a"
+    " + ((ssb - sb*sb/n_b)/(n_b - 1))/n_b)"
+)
+
+# Welch–Satterthwaite df from the same decimal moments (mirrors the
+# grouped_ztest/welch_ttest column expressions)
+# pooled squared standard error from the same moments (zero iff both
+# arms are constant -- the Spark side yields NULL z/df/p there, so the
+# oracle must too rather than divide by zero)
+_SE2W = (
+    "(((ssa - sa*sa/n_a)/(n_a - 1))/n_a"
+    " + ((ssb - sb*sb/n_b)/(n_b - 1))/n_b)"
+)
+
+_DFW = (
+    "POW(((ssa - sa*sa/n_a)/(n_a - 1))/n_a"
+    " + ((ssb - sb*sb/n_b)/(n_b - 1))/n_b, 2)"
+    " / (POW(((ssa - sa*sa/n_a)/(n_a - 1))/n_a, 2)/(n_a - 1)"
+    " + POW(((ssb - sb*sb/n_b)/(n_b - 1))/n_b, 2)/(n_b - 1))"
+)
+
+
 @query(
     "q186_skew_safe_revenue",
     sql="""
@@ -8144,28 +8219,45 @@ def q186_skew_safe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q187_event_value_ab_test",
-    sql="""
+    sql=f"""
     WITH t AS (
       SELECT event_type, user_id % 2 AS variant, value FROM events
     ), g AS (
       SELECT event_type,
         COUNT(CASE WHEN variant = 0 THEN value END) AS n_a,
         COUNT(CASE WHEN variant = 1 THEN value END) AS n_b,
-        AVG(CASE WHEN variant = 0 THEN value END) AS m_a,
-        AVG(CASE WHEN variant = 1 THEN value END) AS m_b,
-        VAR_SAMP(CASE WHEN variant = 0 THEN value END) AS va,
-        VAR_SAMP(CASE WHEN variant = 1 THEN value END) AS vb
+        CAST(SUM(CASE WHEN variant = 0
+          THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS sa,
+        CAST(SUM(CASE WHEN variant = 1
+          THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS sb,
+        CAST(SUM(CASE WHEN variant = 0
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE) AS ssa,
+        CAST(SUM(CASE WHEN variant = 1
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE) AS ssb
       FROM t GROUP BY 1
+    ), m AS (
+      SELECT event_type, n_a, n_b, sa, sb,
+        CASE WHEN n_a > 1 THEN (ssa - sa*sa/n_a)/(n_a - 1) END AS va,
+        CASE WHEN n_b > 1 THEN (ssb - sb*sb/n_b)/(n_b - 1) END AS vb
+      FROM g
+    ), s AS (
+      SELECT event_type, n_a, n_b, sa, sb,
+        CASE WHEN va/n_a + vb/n_b > 0
+          THEN (sa/n_a - sb/n_b) / SQRT(va/n_a + vb/n_b) END AS t_raw,
+        CASE WHEN va/n_a + vb/n_b > 0
+          THEN POW(va/n_a + vb/n_b, 2)
+            / (POW(va/n_a, 2)/(n_a - 1) + POW(vb/n_b, 2)/(n_b - 1))
+          END AS df_raw
+      FROM m
     )
     SELECT event_type, n_a, n_b,
-      ROUND(m_a, 4) AS mean_a,
-      ROUND(m_b, 4) AS mean_b,
-      ROUND((m_a - m_b) / SQRT(va/n_a + vb/n_b), 4) AS t_stat,
-      ROUND(POW(va/n_a + vb/n_b, 2)
-            / (POW(va/n_a, 2)/(n_a - 1) + POW(vb/n_b, 2)/(n_b - 1)),
-            2) AS df_welch,
-      ABS((m_a - m_b) / SQRT(va/n_a + vb/n_b)) > 1.96 AS significant
-    FROM g
+      ROUND(sa/n_a, 4) AS mean_a,
+      ROUND(sb/n_b, 4) AS mean_b,
+      ROUND(t_raw, 4) AS t_stat,
+      ROUND(df_raw, 2) AS df_welch,
+      ROUND({_tsf2_sql('ABS(t_raw)', 'df_raw')}, 6) AS p_value,
+      ABS(t_raw) > 1.96 AS significant
+    FROM s
     """,
 )
 def q187_event_value_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8173,9 +8265,11 @@ def q187_event_value_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``drift.welch_ttest``): every event type read as an experiment,
     users hash-split into two arms (user_id parity), the treatment
     effect on `value` tested with the Welch t statistic +
-    Welch–Satterthwaite df in ONE conditional-aggregate pass — no
-    per-arm subqueries, closed-form so the oracle recomputes it
-    exactly."""
+    Welch–Satterthwaite df + Hill-transform t p-value in ONE
+    conditional-aggregate pass over exact decimal moments — no per-arm
+    subqueries, order-independent partial sums (raw double AVG/VAR_SAMP
+    would make the 4-dp statistic partitioning-dependent), closed-form
+    so the oracle recomputes the full decision chain exactly."""
     from streaming_feature_store_spark.operators.drift import welch_ttest
 
     ev = _t(spark, sf_dir, "events").withColumn(
@@ -8503,36 +8597,6 @@ def q195_segment_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Experimentation readouts at fleet scale (operators/experiment.py):
-# many simultaneous z-tests + BH-FDR control, diff-in-diff, delta-method
-# ratio metrics.  The erfc-based normal tail is the same A&S 7.1.26
-# polynomial as operators/drift._erfc, restated in SQL so DuckDB
-# recomputes statistic -> p-value -> rejection end-to-end.
-# ---------------------------------------------------------------------------
-
-
-def _erfc_sql(x: str) -> str:
-    """A&S 7.1.26 erfc(x) for x >= 0 as a SQL expression (mirrors
-    operators/drift._erfc term-for-term so the doubles agree)."""
-    t = f"(1.0 / (1.0 + 0.3275911 * ({x})))"
-    return (
-        f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741"
-        f" + {t} * (-1.453152027 + {t} * 1.061405429)))) * EXP(-({x})*({x})))"
-    )
-
-
-# two-sided normal tail P(|Z| > z) = erfc(|z| / sqrt(2)), clamped
-_P2_SQL = (
-    "LEAST(1.0, GREATEST(0.0, "
-    + _erfc_sql("ABS({z}) / 1.4142135623730951")
-    + "))"
-)
-
-_Z196 = (
-    "(sb/n_b - sa/n_a) / SQRT(((ssa - sa*sa/n_a)/(n_a - 1))/n_a"
-    " + ((ssb - sb*sb/n_b)/(n_b - 1))/n_b)"
-)
 
 
 @query(
@@ -8556,14 +8620,23 @@ _Z196 = (
         CAST(SUM(CASE WHEN trt
           THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE) AS ssb
       FROM h GROUP BY 1, 2
+    ), zt0 AS (
+      SELECT event_type, slot, n_a, n_b, sa, sb,
+        CASE WHEN n_a > 1 AND n_b > 1 AND {_SE2W} > 0
+          THEN {_Z196} END AS z_raw,
+        CASE WHEN n_a > 1 AND n_b > 1 AND {_SE2W} > 0
+          THEN {_DFW} END AS df_raw
+      FROM g
     ), zt AS (
       SELECT event_type, slot, n_a, n_b,
         ROUND(sa / n_a, 4) AS mean_a,
         ROUND(sb / n_b, 4) AS mean_b,
-        ROUND(CASE WHEN n_a > 1 AND n_b > 1 THEN {_Z196} END, 4) AS z_stat,
-        ROUND(CASE WHEN n_a > 1 AND n_b > 1 THEN
-          {_P2_SQL.format(z=_Z196)} END, 6) AS p_value
-      FROM g
+        ROUND(z_raw, 4) AS z_stat,
+        ROUND(CASE WHEN LEAST(n_a, n_b) < 30
+              THEN {_tsf2_sql('ABS(z_raw)', 'df_raw')}
+              ELSE {_P2_SQL.format(z='z_raw')} END, 6) AS p_value,
+        LEAST(n_a, n_b) < 30 AS small_arm
+      FROM zt0
     ), r AS (
       SELECT *,
         ROW_NUMBER() OVER
@@ -8580,7 +8653,7 @@ _Z196 = (
       FROM r
     )
     SELECT event_type, slot, n_a, n_b, mean_a, mean_b, z_stat, p_value,
-      p_rank,
+      small_arm, p_rank,
       CASE WHEN p_value IS NOT NULL
            THEN ROUND(LEAST(1.0, sufmin), 6) END AS p_adj,
       COALESCE(p_rank <= cutoff, FALSE) AND p_value IS NOT NULL AS rejected
@@ -8677,8 +8750,9 @@ def q196_ab_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROUND(m_t_post, 4) AS mean_t_post,
       ROUND(did_raw, 4) AS did,
       ROUND(se_raw, 4) AS se,
-      ROUND(did_raw / se_raw, 4) AS z_stat,
-      ROUND({_P2_SQL.format(z='did_raw / se_raw')}, 6) AS p_value
+      ROUND(CASE WHEN se_raw > 0 THEN did_raw / se_raw END, 4) AS z_stat,
+      ROUND(CASE WHEN se_raw > 0 THEN
+        {_P2_SQL.format(z='did_raw / se_raw')} END, 6) AS p_value
     FROM f
     """,
 )
@@ -8725,15 +8799,21 @@ def q197_event_value_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
           AS DECIMAL(38,8))) AS DOUBLE) AS sxy
       FROM u GROUP BY 1
+    ), g2 AS (
+      SELECT event_type, n_units, sx,
+        CASE WHEN sy != 0 THEN sy END AS sy, sxx, syy, sxy
+      FROM g
     ), f AS (
       SELECT event_type, n_units, sx / sy AS r,
+        CASE WHEN n_units > 1 AND sy IS NOT NULL THEN
         SQRT(GREATEST(0.0,
           ((sxx - sx * sx / n_units) / (n_units - 1)
            - 2.0 * (sx / sy) * ((sxy - sx * sy / n_units) / (n_units - 1))
            + (sx / sy) * (sx / sy)
              * ((syy - sy * sy / n_units) / (n_units - 1)))
-          / (n_units * (sy / n_units) * (sy / n_units)))) AS se_raw
-      FROM g
+          / (n_units * (sy / n_units) * (sy / n_units))))
+        END AS se_raw
+      FROM g2
     )
     SELECT event_type, n_units,
       ROUND(r, 6) AS ratio,
@@ -8998,8 +9078,9 @@ _C202 = """
       FROM g
     ), th AS (
       SELECT *,
-        ((sxy - sx * sy / n) / (n - 1))
-          / ((sxx - sx * sx / n) / (n - 1)) AS theta,
+        CASE WHEN n > 1 AND (sxx - sx * sx / n) / (n - 1) > 0
+          THEN ((sxy - sx * sy / n) / (n - 1))
+            / ((sxx - sx * sx / n) / (n - 1)) END AS theta,
         sx / n AS xbar
       FROM k
     ), f AS (
@@ -9024,9 +9105,10 @@ _C202 = """
       ROUND(effect, 4) AS adj_effect,
       ROUND(se, 4) AS se_adj,
       ROUND(se_raw, 4) AS se_raw,
-      ROUND(1.0 - (se * se) / (se_raw * se_raw), 4) AS var_reduction,
-      ROUND(effect / se, 4) AS z_stat,
-      ROUND({p2}, 6) AS p_value
+      ROUND(CASE WHEN se_raw > 0
+        THEN 1.0 - (se * se) / (se_raw * se_raw) END, 4) AS var_reduction,
+      ROUND(CASE WHEN se > 0 THEN effect / se END, 4) AS z_stat,
+      ROUND(CASE WHEN se > 0 THEN {p2} END, 6) AS p_value
     FROM f
 """
 
@@ -9095,7 +9177,8 @@ def q202_cuped_adjusted_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n_a, n_b,
       ROUND(mean_control, 4) AS mean_control,
       ROUND(mde, 4) AS mde_abs,
-      ROUND(mde / mean_control, 6) AS mde_rel
+      ROUND(CASE WHEN mean_control != 0
+        THEN mde / mean_control END, 6) AS mde_rel
     FROM f
     """,
 )
@@ -9154,4 +9237,76 @@ def q204_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return srm_check(
         ev, ["event_type"], (F.col("user_id") % 2) == 1, unit_col="user_id"
+    )
+
+
+@query(
+    "q205_small_arm_ab",
+    sql=f"""
+    WITH t AS (
+      SELECT o_orderstatus AS status,
+        CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+        (o_orderkey % 2) = 1 AS trt, o_totalprice AS value
+      FROM orders
+    ), g AS (
+      SELECT status, o_year, o_month,
+        COUNT(CASE WHEN NOT trt THEN value END) AS n_a,
+        COUNT(CASE WHEN trt THEN value END) AS n_b,
+        CAST(SUM(CASE WHEN NOT trt THEN CAST(value AS DECIMAL(18,4)) END)
+          AS DOUBLE) AS sa,
+        CAST(SUM(CASE WHEN trt THEN CAST(value AS DECIMAL(18,4)) END)
+          AS DOUBLE) AS sb,
+        CAST(SUM(CASE WHEN NOT trt
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE) AS ssa,
+        CAST(SUM(CASE WHEN trt
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE) AS ssb
+      FROM t
+      GROUP BY 1, 2, 3
+    ), s AS (
+      SELECT status, o_year, o_month, n_a, n_b, sa, sb,
+        CASE WHEN n_a > 1 AND n_b > 1 AND {_SE2W} > 0
+          THEN {_Z196} END AS z_raw,
+        CASE WHEN n_a > 1 AND n_b > 1 AND {_SE2W} > 0
+          THEN {_DFW} END AS df_raw
+      FROM g
+    )
+    SELECT status, o_year, o_month, n_a, n_b,
+      ROUND(sa / n_a, 4) AS mean_a,
+      ROUND(sb / n_b, 4) AS mean_b,
+      ROUND(z_raw, 4) AS z_stat,
+      ROUND(CASE WHEN LEAST(n_a, n_b) < 30
+            THEN {_tsf2_sql('ABS(z_raw)', 'df_raw')}
+            ELSE {_P2_SQL.format(z='z_raw')} END, 6) AS p_value,
+      LEAST(n_a, n_b) < 30 AS small_arm
+    FROM s
+    """,
+)
+def q205_small_arm_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-arm-aware A/B fleet readout (``experiment.grouped_ztest``
+    with its Student-t auto-dispatch): orders split into orderkey-parity
+    arms, one hypothesis per (orderstatus, year, month) cell — 2001
+    cut-off months are a handful of orders (one cell even has an empty
+    arm, pinning the NULL-variance path), mid-size months sit in the
+    15-30 band, exactly the thin segments where the normal approximation
+    over-rejects, so they price through the Hill-transform t tail at the
+    Welch-Satterthwaite df; larger cells keep the normal tail.
+    Both branches of the dispatch are exercised and recomputed verbatim
+    by the oracle."""
+    from streaming_feature_store_spark.operators.experiment import (
+        grouped_ztest,
+    )
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+            (F.col("o_orderkey") % 2 == 1).alias("trt"),
+            F.col("o_totalprice").alias("value"),
+        )
+    )
+    return grouped_ztest(
+        orders, ["status", "o_year", "o_month"], "trt", "value"
     )

@@ -180,3 +180,62 @@ def test_neyman_allocation_sums_to_budget_and_orders_by_nh_sh(spark):
     assert out["wide"]["alloc"] > out["mid"]["alloc"] > out["tight"]["alloc"]
     # singleton stratum: undefined stddev → zero weight
     assert out["single"]["alloc"] == 0
+
+
+def test_replicated_skew_join_rejects_dim_preserving_modes(spark):
+    """r7 advice: right/full outer would emit each unmatched dim row once
+    per salt bucket — the operator must refuse, not silently x16."""
+    import pytest as _pytest
+
+    from streaming_feature_store_spark.operators.skew import (
+        replicated_skew_join,
+    )
+
+    fact = spark.createDataFrame([(1, 10)], "k long, row_id long")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "dk long, attr string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with _pytest.raises(ValueError, match="unsound"):
+            replicated_skew_join(
+                fact, "k", dim, "dk", salt_col="row_id", how=how
+            )
+    # fact-side semi/anti are sound (never duplicate, every key in every
+    # salt bucket) and must keep working
+    semi = replicated_skew_join(
+        fact, "k", dim, "dk", salt_col="row_id", how="left_semi"
+    ).collect()
+    assert len(semi) == 1 and semi[0]["k"] == 1
+
+
+def test_cumulative_distinct_skips_null_values(spark):
+    """NULL is a missing measurement, not a distinct value — matching
+    SQL COUNT(DISTINCT x) OVER semantics (r7 advice)."""
+    from streaming_feature_store_spark.operators.windows import (
+        cumulative_distinct,
+    )
+
+    rows = [
+        (1, 1, None), (2, 1, "a"), (3, 1, None), (4, 1, "b"), (5, 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user long, et string")
+    got = {
+        r["event_id"]: r["distinct_so_far"]
+        for r in cumulative_distinct(
+            df, "user", "event_id", "et", "event_id"
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+def test_l_diversity_null_sensitive_not_counted(spark):
+    """A NULL sensitive value must not inflate diversity: a group with
+    {a, a, NULL} has l = 1, not 2 (r7 advice)."""
+    from streaming_feature_store_spark.operators.profile import l_diversity
+
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", None),
+         ("g2", "a"), ("g2", "b"), ("g2", None)],
+        "qi string, sens string",
+    )
+    out = l_diversity(df, ["qi"], "sens", l_threshold=2).collect()
+    assert {r["qi"] for r in out} == {"g2"}
+    assert all(r["sensitive_l"] == 2 for r in out)

@@ -718,3 +718,30 @@ def test_impossible_travel_known_answer(spark):
     assert by[(1, 7200)]["dist_km"] > 15000
     flagged2 = [r for r in out if r["u"] == 2 and r["impossible_travel"]]
     assert len(flagged2) == 1  # the zero-gap jump
+
+
+def test_semantic_dedup_mega_cluster_guard(spark):
+    """r7 verdict item #3: a mode-collapsed embedding space (every vector
+    in one cluster) must raise an actionable error BEFORE the quadratic
+    work, not silently run an O(n^2) single task."""
+    import pytest as _pytest
+
+    from streaming_feature_store_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # 30 identical vectors -> all distances tie -> one cluster
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for kernel in ("join", "arrow"):
+        with _pytest.raises(ValueError, match="max_cluster_rows"):
+            semantic_dedup(
+                df, k=4, threshold=0.99, kernel=kernel, max_cluster_rows=10
+            )
+    # explicit opt-out (or a generous bound) still runs
+    out = semantic_dedup(
+        df, k=4, threshold=0.99, max_cluster_rows=None
+    ).collect()
+    assert len(out) == 30
+    # identical vectors: everything except the lowest id is dropped
+    assert sum(r["dropped"] for r in out) == 29

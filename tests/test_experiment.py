@@ -11,6 +11,20 @@ def _norm_sf2(z):
     return math.erfc(abs(z) / math.sqrt(2.0))
 
 
+def _hill_t_sf2(t, nu):
+    """Python twin of drift.t_sf2 (Hill ACM-395 normalizing transform)."""
+    y = t * t / nu
+    y = math.log(1.0 + y) if y > 1e-6 else y
+    a = nu - 0.5
+    b = 48.0 * a * a
+    y = a * y
+    z = (
+        ((((-0.4 * y - 3.3) * y - 24.0) * y - 85.5)
+         / (0.8 * y * y + 100.0 + b) + y + 3.0) / b + 1.0
+    ) * math.sqrt(y)
+    return math.erfc(z / math.sqrt(2.0))
+
+
 def test_grouped_ztest_matches_closed_form(spark):
     from streaming_feature_store_spark.operators.experiment import (
         grouped_ztest,
@@ -30,12 +44,26 @@ def test_grouped_ztest_matches_closed_form(spark):
 
     na, ma, va = stats(a)
     nb, mb, vb = stats(b)
-    z = (mb - ma) / math.sqrt(va / na + vb / nb)
+    se2 = va / na + vb / nb
+    z = (mb - ma) / math.sqrt(se2)
+    dof = se2 * se2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
     assert r["n_a"] == na and r["n_b"] == nb
     assert r["mean_a"] == round(ma, 4) and r["mean_b"] == round(mb, 4)
     assert math.isclose(r["z_stat"], round(z, 4), abs_tol=1e-9)
-    # A&S 7.1.26 erfc is accurate to 1.5e-7 vs the exact tail
-    assert math.isclose(r["p_value"], _norm_sf2(z), abs_tol=1e-5)
+    # six-per-arm is a small-arm group: the p-value must come from the
+    # Student-t tail at the Welch df, not the over-rejecting normal
+    assert r["small_arm"] is True
+    assert math.isclose(r["p_value"], _hill_t_sf2(abs(z), dof), abs_tol=1e-5)
+    assert r["p_value"] > _norm_sf2(z)  # t tail is strictly fatter
+
+    # dispatch off -> the old large-sample normal readout
+    r0 = grouped_ztest(
+        df, ["grp"], "trt", "v", small_arm_n=0
+    ).collect()[0]
+    assert r0["small_arm"] is False
+    assert math.isclose(r0["p_value"], _norm_sf2(z), abs_tol=1e-5)
 
 
 def test_grouped_ztest_degenerate_arm_yields_null(spark):
@@ -330,3 +358,29 @@ def test_srm_unit_counting_ignores_row_weight(spark):
     df = spark.createDataFrame(rows, "grp string, uid long, trt boolean")
     r = srm_check(df, ["grp"], "trt", unit_col="uid").collect()[0]
     assert r["n_a"] == 1 and r["n_b"] == 1 and r["srm_detected"] is False
+
+
+def test_uplift_deciles_null_scores_bucket_last(spark):
+    """NULL scores must sort NULLS LAST (DuckDB NTILE's default) so the
+    bucket assignment is cross-engine deterministic without relying on
+    the caller pre-filtering NULLs (r7 advice)."""
+    from streaming_feature_store_spark.operators.experiment import (
+        uplift_deciles,
+    )
+
+    rows = [
+        (i, float(i) if i < 8 else None, i % 2 == 0, 1 if i % 3 == 0 else 0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, score double, trt boolean, resp int"
+    )
+    out = uplift_deciles(
+        df, "trt", "score", "resp", ["rid"], n_buckets=5
+    ).collect()
+    # 10 rows -> 2 per bucket; the two NULL scores (rid 8, 9) must land
+    # in the LAST bucket (5), never bucket 1
+    by_bucket = {r["bucket"]: (r["n_t"], r["n_c"]) for r in out}
+    assert set(by_bucket) == {1, 2, 3, 4, 5}
+    # rid 8 (trt) and rid 9 (control) are the only NULL-score rows
+    assert by_bucket[5] == (1, 1)
