@@ -63,6 +63,13 @@ _PRIORITY = [
     # to positions 1-6 so r8's artifact closes the bookkeeping gap)
     "q149_quarantine_rows", "q150_bpe_merges", "q151_bpe_token_counts",
     "q156_kmeans_lloyd_step", "q157_zorder_key", "q158_random_projection",
+    # new in r8: Student-t small-arm dispatch (both branches + the
+    # NULL-variance path), blocked edit-distance dedup, lag-1
+    # autocorrelation, Beta-posterior bandit readout, mSPRT always-valid
+    # p-values, FK referential-integrity audit
+    "q205_small_arm_ab", "q206_part_name_edit_dups",
+    "q207_value_autocorr", "q208_bandit_posteriors",
+    "q209_always_valid_ab", "q210_fk_orphan_audit",
     # new this round, batch 10 (4): experimentation + ranking eval —
     # BH-FDR A/B screen, diff-in-diff, delta-method clustered ratio CI,
     # NDCG/precision/recall@k

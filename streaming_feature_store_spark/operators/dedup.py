@@ -666,3 +666,89 @@ def dedup_clusters(
 
     track_checkpoint_ids(labels.sparkSession, _lbl_ids)
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def edit_distance_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_dist: int = 3,
+    length_band: int | None = None,
+    max_block_rows: int | None = 100_000,
+) -> DataFrame:
+    """Blocked edit-distance (Levenshtein) near-duplicate pairs — the
+    character-level verifier the token-level families (Jaccard/MinHash/
+    SimHash) cannot express: "colour" vs "color", transposed words,
+    OCR noise.  Returns (id_a, id_b, edit_dist) with id_a < id_b for
+    every same-block pair within ``max_dist``.
+
+    Classic blocking construction (the record-linkage literature's
+    standard): pairs are only formed INSIDE a block — the caller's
+    ``block_cols`` (a category, a sort key prefix, an LSH bucket id from
+    the sketch families) plus, when ``length_band`` is set,
+    floor(length/band) — because Levenshtein(a, b) ≥ ||a|−|b||, strings
+    more than ``max_dist`` apart in length can never match, so banding by
+    length ≥ max_dist is lossless within a band width ≥ max_dist.
+    Pair count is Σ|block|² (never corpus²), the same bucketed-not-
+    all-pairs contract as every dedup family here; the Levenshtein DP is
+    JVM codegen (no Python), O(|a|·|b|) per CANDIDATE pair only.
+
+    ``max_block_rows`` enforces the contract (the ``semantic_dedup``
+    guard pattern): a degenerate blocking key (one giant block) would
+    silently go quadratic, so the largest block is checked with one
+    cheap count aggregate first.
+    """
+    parts = [F.col(c) for c in block_cols]
+    if length_band is not None:
+        if length_band < max_dist:
+            raise ValueError(
+                f"length_band={length_band} < max_dist={max_dist} would "
+                "split true matches across bands (|len(a)-len(b)| <= "
+                "edit distance); use a band width >= max_dist"
+            )
+        parts.append(
+            F.floor(F.length(F.col(text_col)) / length_band).alias("_lb")
+        )
+    blocked = df.select(
+        F.col(id_col), F.col(text_col), *parts
+    )
+    bcols = block_cols + (["_lb"] if length_band is not None else [])
+    if max_block_rows is not None:
+        top = (
+            blocked.groupBy(*bcols)
+            .count()
+            .orderBy(F.col("count").desc())
+            .first()
+        )
+        if top is not None and top["count"] > max_block_rows:
+            raise ValueError(
+                f"edit_distance_near_dups: a block holds {top['count']} "
+                f"rows > max_block_rows={max_block_rows} — pair work is "
+                "quadratic per block. Use finer block_cols (add an LSH "
+                "bucket or length_band), or raise max_block_rows "
+                "explicitly if you mean it."
+            )
+    a = blocked.select(
+        *bcols,
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+    )
+    b = blocked.select(
+        *bcols,
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_tb"),
+    )
+    return (
+        a.join(b, bcols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("_ta") - F.length("_tb")) <= max_dist
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

@@ -627,3 +627,123 @@ def srm_check(
         F.round(pv, 6).alias("p_value"),
         (pv < F.lit(alpha)).alias("srm_detected"),
     )
+
+
+def beta_posterior_readout(
+    df: DataFrame,
+    arm_cols: list[str],
+    success_col,
+    alpha0: float = 1.0,
+    beta0: float = 1.0,
+) -> DataFrame:
+    """Bayesian bandit readout per arm: Beta(α₀, β₀) prior + binomial
+    observations → the exact posterior Beta(α₀+s, β₀+n−s), summarized as
+    posterior mean, posterior standard deviation, and a ±1.96·sd normal-
+    approximation credible interval (clamped to [0, 1]) — the numbers a
+    Thompson-sampling allocator reads every batch to re-weight traffic.
+
+    All closed form over one conditional-count aggregate (map-side
+    combined, |arms| output rows):
+
+        mean = (α₀+s)/(α₀+β₀+n)
+        var  = mean·(1−mean)/(α₀+β₀+n+1)
+
+    so a SQL oracle recomputes the whole readout exactly.  ``success_col``
+    is a boolean column or expression; NULL successes are not counted in
+    either s or n (an unlabeled trial is not a failure).
+    """
+    s = F.col(success_col) if isinstance(success_col, str) else success_col
+    g = df.groupBy(*arm_cols).agg(
+        F.count(F.when(s | ~s, 1)).alias("n_trials"),
+        F.count(F.when(s, 1)).alias("n_success"),
+    )
+    n = F.col("n_trials")
+    a = F.lit(alpha0) + F.col("n_success")
+    b = F.lit(beta0) + (n - F.col("n_success"))
+    mean = a / (a + b)
+    var = mean * (1.0 - mean) / (a + b + 1.0)
+    sd = F.sqrt(var)
+    return g.select(
+        *arm_cols,
+        "n_trials",
+        "n_success",
+        F.round(mean, 6).alias("post_mean"),
+        F.round(sd, 6).alias("post_sd"),
+        F.round(F.greatest(F.lit(0.0), mean - 1.96 * sd), 6).alias("cred_lo"),
+        F.round(F.least(F.lit(1.0), mean + 1.96 * sd), 6).alias("cred_hi"),
+    )
+
+
+def always_valid_pvalue(
+    df: DataFrame,
+    group_cols: list[str],
+    variant_col,
+    value_col: str,
+    tau: float = 1.0,
+) -> DataFrame:
+    """Always-valid (anytime) p-value for the arm-mean difference via the
+    mixture sequential probability ratio test (mSPRT, Johari-Koomen-
+    Pekelis-Walsh 2017): with θ̂ = m_b − m_a, V = v_a/n_a + v_b/n_b and a
+    N(0, τ²) mixture over alternatives,
+
+        Λ = √(V/(V+τ²)) · exp(θ̂²·τ² / (2·V·(V+τ²)))
+        p = min(1, 1/Λ)
+
+    valid at EVERY interim look — the fix for the peeking problem that
+    invalidates fixed-horizon z-tests on continuously-monitored
+    experiments.  (The anytime guarantee is over the running minimum of
+    p across looks; a single snapshot of this column is itself a
+    conservative valid p.)
+
+    Same one-pass order-independent decimal moments as
+    :func:`grouped_ztest`; everything downstream is closed form
+    (√/exp), so DuckDB oracles recompute statistic → p → decision
+    exactly.  Degenerate arms (n < 2) or zero pooled variance yield
+    NULL, never a clamp (the repo's skip-null discipline).
+    """
+    t = F.col(variant_col) if isinstance(variant_col, str) else variant_col
+    v = F.col(value_col)
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.when(~t, v)).alias("n_a"),
+        F.count(F.when(t, v)).alias("n_b"),
+        F.sum(F.when(~t, v).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("_sa"),
+        F.sum(F.when(t, v).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("_sb"),
+        F.sum(F.when(~t, v * v).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("_ssa"),
+        F.sum(F.when(t, v * v).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("_ssb"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("_sa") / na
+    mb = F.col("_sb") / nb
+    va = F.when(
+        na > 1, (F.col("_ssa") - F.col("_sa") * F.col("_sa") / na) / (na - 1)
+    )
+    vb = F.when(
+        nb > 1, (F.col("_ssb") - F.col("_sb") * F.col("_sb") / nb) / (nb - 1)
+    )
+    bigv = F.when(va / na + vb / nb > 0, va / na + vb / nb)
+    theta = mb - ma
+    t2 = F.lit(tau * tau)
+    log_lam = 0.5 * F.log(bigv / (bigv + t2)) + (
+        theta * theta * t2 / (2.0 * bigv * (bigv + t2))
+    )
+    # least() SKIPS nulls: without the guard a NULL statistic (degenerate
+    # arms) would clamp to p = 1.0 instead of propagating NULL
+    p = F.when(
+        log_lam.isNotNull(), F.least(F.lit(1.0), F.exp(-log_lam))
+    )
+    return g.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(theta, 4).alias("effect"),
+        F.round(F.sqrt(bigv), 6).alias("se"),
+        F.round(p, 6).alias("p_always_valid"),
+    )

@@ -982,3 +982,48 @@ def erasure_audit(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def referential_audit(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key integrity audit across a warehouse: for each
+    (name, child, fk_col, parent, pk_col) relation, count the child rows
+    whose FK is NULL and the ones whose non-NULL FK has no parent
+    (orphans) — the first data-quality gate any ingested snapshot must
+    pass before joins downstream silently drop or fabricate rows.
+
+    Per relation: one left-anti join child→parent (hash or broadcast —
+    AQE promotes when the parent's PK projection is small) collapsed to
+    one count, plus one conditional aggregate for totals; output is a
+    |relations|-row frame unioned driver-side (bounded by the schema
+    size, never data size).  No collect of data rows anywhere.
+    """
+    out = None
+    for name, child, fk_col, parent, pk_col in pairs:
+        fk = F.col(fk_col)
+        totals = child.agg(
+            F.count("*").alias("n_child"),
+            F.count(F.when(fk.isNull(), 1)).alias("n_null_fk"),
+        ).withColumn("relation", F.lit(name))
+        orphans = (
+            child.filter(fk.isNotNull())
+            .join(
+                parent.select(F.col(pk_col).alias("_pk")).distinct(),
+                fk == F.col("_pk"),
+                "left_anti",
+            )
+            .agg(F.count("*").alias("n_orphan"))
+            .withColumn("relation", F.lit(name))
+        )
+        row = totals.join(orphans, "relation").select(
+            "relation",
+            "n_child",
+            "n_null_fk",
+            "n_orphan",
+            F.round(
+                F.col("n_orphan") / F.col("n_child"), 6
+            ).alias("orphan_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

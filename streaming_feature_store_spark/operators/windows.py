@@ -365,3 +365,58 @@ def cumulative_distinct(
     return flagged.withColumn(out_col, F.sum("_first").over(run_w)).drop(
         "_first"
     )
+
+
+def lag_autocorr(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    group_col: str,
+    tiebreak_col: str,
+    lag: int = 1,
+) -> DataFrame:
+    """Per-group lag-k autocorrelation of consecutive per-entity values —
+    the "is this metric sticky or mean-reverting" time-series feature:
+    Pearson r between v_t and v_{t-k} over every entity timeline in the
+    group, computed from exact decimal moments so the 6-dp answer is
+    order- and partitioning-independent (the dsum policy applied to a
+    bivariate statistic).
+
+    One LAG window per entity (the same single-sort shape as A7
+    time-since-last) produces the (x, y) = (v_t, v_{t-k}) pairs; one
+    map-side-combined aggregate collapses them to per-group
+    (n, Σx, Σy, Σx², Σy², Σxy); Pearson r is the closed form
+
+        r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+
+    Zero-variance groups (constant series) yield NULL r — guarded, never
+    an ANSI divide-by-zero.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col, tiebreak_col)
+    pairs = (
+        df.select(
+            F.col(group_col),
+            F.col(value_col).alias("_x"),
+            F.lag(value_col, lag).over(w).alias("_y"),
+        )
+        .filter(F.col("_y").isNotNull() & F.col("_x").isNotNull())
+    )
+    x, y = F.col("_x"), F.col("_y")
+    g = pairs.groupBy(group_col).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(x.cast("decimal(18,4)")).cast("double").alias("_sx"),
+        F.sum(y.cast("decimal(18,4)")).cast("double").alias("_sy"),
+        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("_sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).cast("double").alias("_syy"),
+        F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("_sxy"),
+    )
+    n = F.col("n_pairs")
+    sx, sy = F.col("_sx"), F.col("_sy")
+    den2 = (n * F.col("_sxx") - sx * sx) * (n * F.col("_syy") - sy * sy)
+    r = (n * F.col("_sxy") - sx * sy) / F.sqrt(F.when(den2 > 0, den2))
+    return g.select(
+        group_col,
+        "n_pairs",
+        F.round(r, 6).alias(f"autocorr_lag{lag}"),
+    )

@@ -9310,3 +9310,241 @@ def q205_small_arm_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_ztest(
         orders, ["status", "o_year", "o_month"], "trt", "value"
     )
+
+
+@query(
+    "q206_part_name_edit_dups",
+    sql="""
+    WITH a AS (SELECT p_partkey, p_name, p_brand FROM part)
+    SELECT x.p_partkey AS id_a, y.p_partkey AS id_b,
+      levenshtein(x.p_name, y.p_name) AS edit_dist
+    FROM a x JOIN a y
+      ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+    WHERE ABS(LENGTH(x.p_name) - LENGTH(y.p_name)) <= 3
+      AND levenshtein(x.p_name, y.p_name) <= 3
+    """,
+)
+def q206_part_name_edit_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-duplicates
+    (``dedup.edit_distance_near_dups``): part-name pairs within the same
+    brand block at Levenshtein <= 3 — the character-level verifier the
+    token-level dedup families (Jaccard/MinHash/SimHash, q22/q39/q40)
+    cannot express (typos, OCR noise, singular/plural).  Pairs form only
+    inside blocks (plus the lossless |len(a)-len(b)| <= d pre-filter), so
+    work is the bucketed-not-all-pairs contract; the DP runs JVM-side on
+    candidates only, and both engines implement identical unit-cost
+    Levenshtein."""
+    from streaming_feature_store_spark.operators.dedup import (
+        edit_distance_near_dups,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return edit_distance_near_dups(
+        part, "p_partkey", "p_name", ["p_brand"], max_dist=3
+    )
+
+
+@query(
+    "q207_value_autocorr",
+    sql="""
+    WITH p AS (
+      SELECT event_type, value AS x,
+        LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events
+    ), f AS (
+      SELECT event_type, x, y FROM p
+      WHERE x IS NOT NULL AND y IS NOT NULL
+    ), g AS (
+      SELECT event_type, COUNT(*) AS n_pairs,
+        CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x*x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y*y AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(x*y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      FROM f GROUP BY 1
+    )
+    SELECT event_type, n_pairs,
+      ROUND((n_pairs*sxy - sx*sy)
+        / SQRT(CASE WHEN (n_pairs*sxx - sx*sx)*(n_pairs*syy - sy*sy) > 0
+               THEN (n_pairs*sxx - sx*sx)*(n_pairs*syy - sy*sy) END),
+        6) AS autocorr_lag1
+    FROM g
+    """,
+)
+def q207_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of consecutive per-user event values, read
+    per event type (``windows.lag_autocorr``): the sticky-vs-mean-
+    reverting time-series feature.  One LAG window per user timeline
+    (the A7 single-sort shape) then one map-side-combined decimal-moment
+    aggregate; Pearson r is closed form over the merged moments, so the
+    oracle recomputes the 6-dp answer exactly and constant series yield
+    NULL (guarded), never a divide-by-zero."""
+    from streaming_feature_store_spark.operators.windows import lag_autocorr
+
+    ev = _t(spark, sf_dir, "events")
+    return lag_autocorr(
+        ev, "user_id", "ts", "value", "event_type", "event_id", lag=1
+    )
+
+
+@query(
+    "q208_bandit_posteriors",
+    sql="""
+    WITH g AS (
+      SELECT event_type,
+        COUNT(CASE WHEN (value > 100.0) IS NOT NULL THEN 1 END) AS n_trials,
+        COUNT(CASE WHEN value > 100.0 THEN 1 END) AS n_success
+      FROM events GROUP BY 1
+    ), f AS (
+      SELECT event_type, n_trials, n_success,
+        (1.0 + n_success) / (2.0 + n_trials) AS mean,
+        SQRT((1.0 + n_success) / (2.0 + n_trials)
+             * (1.0 - (1.0 + n_success) / (2.0 + n_trials))
+             / (2.0 + n_trials + 1.0)) AS sd
+      FROM g
+    )
+    SELECT event_type, n_trials, n_success,
+      ROUND(mean, 6) AS post_mean,
+      ROUND(sd, 6) AS post_sd,
+      ROUND(GREATEST(0.0, mean - 1.96 * sd), 6) AS cred_lo,
+      ROUND(LEAST(1.0, mean + 1.96 * sd), 6) AS cred_hi
+    FROM f
+    """,
+)
+def q208_bandit_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian bandit readout (``experiment.beta_posterior_readout``):
+    each event type as an arm, success := value > 100, uniform
+    Beta(1,1) prior — exact posterior mean/sd and the ±1.96·sd credible
+    band a Thompson-sampling allocator consumes per batch.  One
+    conditional-count aggregate; the posterior algebra is closed form,
+    recomputed verbatim by the oracle.  NULL values count as neither
+    trial nor success (an unlabeled trial is not a failure)."""
+    from streaming_feature_store_spark.operators.experiment import (
+        beta_posterior_readout,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return beta_posterior_readout(
+        ev, ["event_type"], F.col("value") > 100.0
+    )
+
+
+@query(
+    "q209_always_valid_ab",
+    sql="""
+    WITH t AS (
+      SELECT event_type, (user_id % 2) = 1 AS trt, value FROM events
+    ), g AS (
+      SELECT event_type,
+        COUNT(CASE WHEN NOT trt THEN value END) AS n_a,
+        COUNT(CASE WHEN trt THEN value END) AS n_b,
+        CAST(SUM(CASE WHEN NOT trt THEN CAST(value AS DECIMAL(18,4)) END)
+          AS DOUBLE) AS sa,
+        CAST(SUM(CASE WHEN trt THEN CAST(value AS DECIMAL(18,4)) END)
+          AS DOUBLE) AS sb,
+        CAST(SUM(CASE WHEN NOT trt
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE) AS ssa,
+        CAST(SUM(CASE WHEN trt
+          THEN CAST(value * value AS DECIMAL(38,8)) END) AS DOUBLE) AS ssb
+      FROM t GROUP BY 1
+    ), m AS (
+      SELECT event_type, n_a, n_b, sa, sb,
+        CASE WHEN n_a > 1 THEN (ssa - sa*sa/n_a)/(n_a - 1) END AS va,
+        CASE WHEN n_b > 1 THEN (ssb - sb*sb/n_b)/(n_b - 1) END AS vb
+      FROM g
+    ), s AS (
+      SELECT event_type, n_a, n_b,
+        sb/n_b - sa/n_a AS theta,
+        CASE WHEN va/n_a + vb/n_b > 0 THEN va/n_a + vb/n_b END AS bigv
+      FROM m
+    )
+    SELECT event_type, n_a, n_b,
+      ROUND(theta, 4) AS effect,
+      ROUND(SQRT(bigv), 6) AS se,
+      ROUND(CASE WHEN bigv IS NOT NULL THEN
+        LEAST(1.0, EXP(-(
+          0.5 * LN(bigv / (bigv + 1.0))
+          + theta * theta * 1.0 / (2.0 * bigv * (bigv + 1.0))
+        ))) END, 6) AS p_always_valid
+    FROM s
+    """,
+)
+def q209_always_valid_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anytime-valid A/B monitoring (``experiment.always_valid_pvalue``):
+    the mSPRT mixture-likelihood p-value (Johari et al. 2017, the
+    industry fix for the peeking problem) per event type over user-parity
+    arms at mixture scale τ=1.  Same one-pass decimal moments as the
+    z-test fleet; the mixture statistic is pure √/ln/exp closed form, so
+    the oracle recomputes statistic → p end-to-end, and degenerate or
+    zero-variance arms yield NULL (guarded), never a clamp."""
+    from streaming_feature_store_spark.operators.experiment import (
+        always_valid_pvalue,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return always_valid_pvalue(
+        ev, ["event_type"], (F.col("user_id") % 2) == 1, "value", tau=1.0
+    )
+
+
+@query(
+    "q210_fk_orphan_audit",
+    sql="""
+    SELECT 'orders->customer' AS relation, COUNT(*) AS n_child,
+      COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_fk,
+      COUNT(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL
+            THEN 1 END) AS n_orphan,
+      ROUND(COUNT(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL
+            THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 6) AS orphan_rate
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders', COUNT(*),
+      COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END),
+      COUNT(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL
+            THEN 1 END),
+      ROUND(COUNT(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL
+            THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*),
+      COUNT(CASE WHEN l_partkey IS NULL THEN 1 END),
+      COUNT(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL
+            THEN 1 END),
+      ROUND(COUNT(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL
+            THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier', COUNT(*),
+      COUNT(CASE WHEN l_suppkey IS NULL THEN 1 END),
+      COUNT(CASE WHEN l_suppkey IS NOT NULL AND s_suppkey IS NULL
+            THEN 1 END),
+      ROUND(COUNT(CASE WHEN l_suppkey IS NOT NULL AND s_suppkey IS NULL
+            THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def q210_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse referential-integrity audit
+    (``profile.referential_audit``): NULL-FK and orphan counts for the
+    four core relations (orders→customer, lineitem→orders/part/supplier)
+    — the gate that catches a bad snapshot before inner joins silently
+    drop its rows.  Each relation is one anti-join collapsed to a count
+    (AQE broadcast-promotes the PK projection) plus one conditional
+    aggregate; the output frame is |relations| rows."""
+    from streaming_feature_store_spark.operators.profile import (
+        referential_audit,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    return referential_audit(
+        [
+            ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+            ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+            ("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        ]
+    )

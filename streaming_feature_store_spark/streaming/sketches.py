@@ -95,6 +95,74 @@ def hll_estimate(
     )
 
 
+def algebraic_partials_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    out_path: str,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming twin of ``operators/incremental.partial_aggregate`` —
+    the T11 replay contract for ALGEBRAIC states, not just sketches:
+    each micro-batch collapses to exact decimal (n, Σx, Σx², min, max)
+    state rows per (group, day) tagged with the micro-batch id, appended
+    to a partial log; :func:`merged_algebraic_view` answers group-level
+    questions by merging states, never rescanning events.
+
+    Effectively-once differs from the HLL log by necessity: sketch union
+    is idempotent under re-appended partials, but algebraic SUMs are not
+    — so the provenance key (group, day, batch_id) rides along and the
+    read side deduplicates on it.  A replayed micro-batch (restart from
+    checkpoint re-delivers the same batch_id over the same input)
+    re-appends byte-identical state rows, which the dedup collapses —
+    the same exact-row-parity-across-restart guarantee the q-sink soak
+    probe pins, restated for the incremental-merge family.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from streaming_feature_store_spark.operators.incremental import (
+            partial_aggregate,
+        )
+
+        (
+            partial_aggregate(
+                batch_df, [group_col], F.to_date(ts_col), value_col
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = events.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merged_algebraic_view(
+    spark: SparkSession, partials_path: str, group_cols: list[str]
+) -> DataFrame:
+    """Group totals from the algebraic partial log: drop replayed state
+    rows by provenance key, then ``merge_partials`` — bit-identical to a
+    direct aggregation over all raw rows (decimal moments are order- and
+    shard-independent)."""
+    from streaming_feature_store_spark.operators.incremental import (
+        merge_partials,
+    )
+
+    parts = spark.read.parquet(partials_path).dropDuplicates(
+        group_cols + ["shard", "batch_id"]
+    )
+    return merge_partials(parts, group_cols)
+
+
 def compact_partials(spark: SparkSession, partials_path: str, out_path: str) -> None:
     """Fold the partial log down to one sketch per day (same union
     expression the estimates use), written to a fresh generation — run

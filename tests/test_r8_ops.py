@@ -1,0 +1,189 @@
+"""Round-8 operator batch: blocked edit-distance dedup, lag
+autocorrelation, Beta-posterior bandit readout, mSPRT always-valid
+p-values, referential-integrity audit — each pinned to a naive Python
+replay or the closed form it implements."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_edit_distance_near_dups_matches_naive(spark):
+    from streaming_feature_store_spark.operators.dedup import (
+        edit_distance_near_dups,
+    )
+
+    rows = [
+        (1, "b1", "color"), (2, "b1", "colour"), (3, "b1", "colander"),
+        (4, "b1", "collar"), (5, "b2", "color"), (6, "b2", "colou"),
+        (7, "b2", "entirely different"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, txt string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_distance_near_dups(
+            df, "id", "txt", ["blk"], max_dist=2
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {}
+    for i, (ia, ba, ta) in enumerate(rows):
+        for ib, bb, tb in rows[i + 1:]:
+            if ba == bb and ia < ib and lev(ta, tb) <= 2:
+                want[(ia, ib)] = lev(ta, tb)
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 1  # color/colour
+    assert (1, 5) not in got  # cross-block pair never formed
+
+
+def test_edit_distance_near_dups_guards(spark):
+    from streaming_feature_store_spark.operators.dedup import (
+        edit_distance_near_dups,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "b", "same text") for i in range(20)],
+        "id long, blk string, txt string",
+    )
+    with pytest.raises(ValueError, match="max_block_rows"):
+        edit_distance_near_dups(
+            df, "id", "txt", ["blk"], max_dist=2, max_block_rows=10
+        )
+    with pytest.raises(ValueError, match="length_band"):
+        edit_distance_near_dups(
+            df, "id", "txt", ["blk"], max_dist=5, length_band=3
+        )
+    # length banding is lossless for same-length strings
+    out = edit_distance_near_dups(
+        df, "id", "txt", ["blk"], max_dist=2, length_band=4,
+        max_block_rows=None,
+    )
+    assert out.count() == 20 * 19 // 2
+
+
+def test_lag_autocorr_matches_numpy(spark):
+    import numpy as np
+
+    from streaming_feature_store_spark.operators.windows import lag_autocorr
+
+    rng = np.random.RandomState(7)
+    # AR(1)-ish series per user, all in one group
+    rows = []
+    series = []
+    for u in range(4):
+        v = 0.0
+        vals = []
+        for i in range(50):
+            v = 0.7 * v + rng.uniform(-1, 1)
+            vals.append(round(v, 4))
+            rows.append((u, i, "g", vals[-1]))
+        series.append(vals)
+    df = spark.createDataFrame(rows, "u long, i long, grp string, v double")
+    r = lag_autocorr(df, "u", "i", "v", "grp", "i", lag=1).collect()[0]
+    xs, ys = [], []
+    for vals in series:
+        xs += vals[1:]
+        ys += vals[:-1]
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert r["n_pairs"] == 4 * 49
+    assert abs(r["autocorr_lag1"] - want) < 1e-4
+    assert r["autocorr_lag1"] > 0.4  # the planted stickiness
+
+    # constant series: zero variance -> NULL, not a crash / clamp
+    const = spark.createDataFrame(
+        [(0, i, "g", 5.0) for i in range(10)],
+        "u long, i long, grp string, v double",
+    )
+    rc = lag_autocorr(const, "u", "i", "v", "grp", "i").collect()[0]
+    assert rc["autocorr_lag1"] is None
+
+
+def test_beta_posterior_readout_closed_form(spark):
+    from streaming_feature_store_spark.operators.experiment import (
+        beta_posterior_readout,
+    )
+
+    rows = (
+        [("a", True)] * 30 + [("a", False)] * 70
+        + [("b", True)] * 2 + [("b", None)] * 5
+    )
+    df = spark.createDataFrame(rows, "arm string, ok boolean")
+    got = {
+        r["arm"]: r
+        for r in beta_posterior_readout(df, ["arm"], "ok").collect()
+    }
+    # arm a: s=30, n=100 -> mean (1+30)/(2+100)
+    mean_a = 31 / 102
+    sd_a = math.sqrt(mean_a * (1 - mean_a) / 103)
+    assert got["a"]["n_trials"] == 100 and got["a"]["n_success"] == 30
+    assert got["a"]["post_mean"] == round(mean_a, 6)
+    assert got["a"]["post_sd"] == round(sd_a, 6)
+    assert got["a"]["cred_lo"] == round(mean_a - 1.96 * sd_a, 6)
+    # arm b: NULL outcomes are neither trial nor success
+    assert got["b"]["n_trials"] == 2 and got["b"]["n_success"] == 2
+    assert got["b"]["cred_hi"] <= 1.0
+
+
+def test_always_valid_pvalue_detects_effect_and_nulls_degenerate(spark):
+    import random
+
+    from streaming_feature_store_spark.operators.experiment import (
+        always_valid_pvalue,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(2000):
+        trt = i % 2 == 1
+        rows.append(("fx", trt, rng.gauss(5.0 if trt else 1.0, 1.0)))
+        rows.append(("null", trt, rng.gauss(1.0, 1.0)))
+    rows += [("thin", False, 1.0), ("thin", True, 2.0)]
+    df = spark.createDataFrame(rows, "grp string, trt boolean, v double")
+    got = {
+        r["grp"]: r
+        for r in always_valid_pvalue(df, ["grp"], "trt", "v").collect()
+    }
+    assert got["fx"]["p_always_valid"] < 1e-6  # planted 4-sigma effect
+    assert got["null"]["p_always_valid"] > 0.05  # no effect: no rejection
+    assert got["thin"]["p_always_valid"] is None  # n=1 arms: NULL
+
+    # closed-form replay for the null group
+    import statistics
+
+    a = [v for g, t, v in rows if g == "null" and not t]
+    b = [v for g, t, v in rows if g == "null" and t]
+    va, vb = statistics.variance(a), statistics.variance(b)
+    theta = statistics.mean(b) - statistics.mean(a)
+    V = va / len(a) + vb / len(b)
+    lam = 0.5 * math.log(V / (V + 1.0)) + theta * theta / (2 * V * (V + 1.0))
+    # decimal-cast inputs shift moments at the 4th dp; compare loosely
+    assert abs(got["null"]["p_always_valid"] - min(1.0, math.exp(-lam))) < 1e-3
+
+
+def test_referential_audit_counts_planted_orphans(spark):
+    from streaming_feature_store_spark.operators.profile import (
+        referential_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, None)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = referential_audit([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert r["relation"] == "c->p"
+    assert r["n_child"] == 5
+    assert r["n_null_fk"] == 1
+    assert r["n_orphan"] == 1  # fk=99
+    assert r["orphan_rate"] == 0.2

@@ -630,3 +630,102 @@ def test_streaming_daily_metric_feeds_cusum(spark, tmp_path):
     partials.limit(2).write.mode("append").parquet(out)
     got2 = cusum_rows(daily_metric_series(spark, out).select("day", "m"))
     assert got2 == batch_truth
+
+
+def test_streaming_algebraic_partials_match_batch(spark, tmp_path):
+    """r7 verdict item #7: the incremental state-merge family (q194)
+    carries the same stream ≡ batch replay proof as the sketches —
+    per-micro-batch ALGEBRAIC partials (exact decimal n/Σx/Σx²/min/max)
+    appended in foreachBatch, merged at read time, must equal the direct
+    one-pass aggregation over all raw rows, and stay equal when a
+    replayed micro-batch re-appends its state rows (provenance dedup =
+    the algebraic twin of sketch-union idempotency)."""
+    from streaming_feature_store_spark.streaming.sketches import (
+        algebraic_partials_stream,
+        merged_algebraic_view,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "alg_partials")
+    ckpt = str(tmp_path / "alg_ckpt")
+    os.makedirs(src)
+
+    rows = (
+        [(i, i % 5, BASE + dt.timedelta(minutes=i), float(i % 7) + 0.25, "view")
+         for i in range(24)]
+        + [(100 + i, i % 3, BASE + dt.timedelta(minutes=i), 2.5 * i, "buy")
+           for i in range(18)]
+        + [(200 + i, 2 + i % 4, BASE + dt.timedelta(days=1, minutes=i),
+            -1.5 + i, "view") for i in range(10)]
+    )
+    # three files -> maxFilesPerTrigger=1 forces three micro-batches
+    for lo, hi in ((0, 24), (24, 42), (42, 52)):
+        _write_batch(spark, src, rows[lo:hi])
+
+    stream = read_file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = algebraic_partials_stream(spark, stream, out, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 2
+
+    def view():
+        return {
+            r["user_id"]: (
+                r["n_rows"], r["value_sum"], r["value_mean"],
+                r["value_var"], r["vmin"], r["vmax"],
+            )
+            for r in merged_algebraic_view(spark, out, ["user_id"]).collect()
+        }
+
+    batch_truth = {
+        r["user_id"]: (
+            r["n_rows"], r["value_sum"], r["value_mean"],
+            r["value_var"], r["vmin"], r["vmax"],
+        )
+        for r in spark.createDataFrame(rows, SCHEMA)
+        .groupBy("user_id")
+        .agg(
+            F.count("value").alias("n_rows"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("value_sum"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("value_mean"),
+            F.round(
+                F.when(
+                    F.count("value") > 1,
+                    (
+                        F.sum(
+                            (F.col("value") * F.col("value")).cast(
+                                "decimal(38,8)"
+                            )
+                        ).cast("double")
+                        - F.sum(F.col("value").cast("decimal(18,4)"))
+                        .cast("double")
+                        * F.sum(F.col("value").cast("decimal(18,4)")).cast(
+                            "double"
+                        )
+                        / F.count("value")
+                    )
+                    / (F.count("value") - 1),
+                ),
+                4,
+            ).alias("value_var"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert view() == batch_truth
+
+    # replay: re-append one micro-batch's state rows verbatim (what a
+    # checkpoint-restart redelivery produces) — the provenance dedup must
+    # keep the merged view bit-identical
+    replay = spark.read.parquet(out).filter(F.col("batch_id") == 0)
+    assert replay.count() > 0
+    replay.write.mode("append").parquet(out)
+    assert view() == batch_truth
