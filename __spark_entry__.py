@@ -70,6 +70,11 @@ _PRIORITY = [
     "q205_small_arm_ab", "q206_part_name_edit_dups",
     "q207_value_autocorr", "q208_bandit_posteriors",
     "q209_always_valid_ab", "q210_fk_orphan_audit",
+    # r8 batch 3: in-corpus bigram-LM doc quality score, boilerplate
+    # phrase screen, jackknife ratio SE (delta-method cross-check),
+    # target-leakage screen
+    "q211_doc_lm_score", "q212_boilerplate_phrases",
+    "q213_jackknife_ratio_se", "q214_leakage_screen",
     # new this round, batch 10 (4): experimentation + ranking eval —
     # BH-FDR A/B screen, diff-in-diff, delta-method clustered ratio CI,
     # NDCG/precision/recall@k

@@ -747,3 +747,77 @@ def always_valid_pvalue(
         F.round(F.sqrt(bigv), 6).alias("se"),
         F.round(p, 6).alias("p_always_valid"),
     )
+
+
+def jackknife_ratio_se(
+    df: DataFrame,
+    unit_col: str,
+    group_cols: list[str],
+    num_col: str,
+    den_col,
+) -> DataFrame:
+    """Leave-one-unit-out jackknife standard error for a ratio metric —
+    the resampling cross-check for :func:`ratio_metric_delta`'s
+    linearization (the two agreeing is the standard validation that the
+    delta approximation holds on this data; diverging flags heavy-tailed
+    units that dominate the ratio):
+
+        R      = Σx / Σy           over per-unit sums (x_u, y_u)
+        R_(i)  = (Σx − x_i) / (Σy − y_i)
+        SE²    = (n−1)/n · Σ_i (R_(i) − mean(R_(·)))²
+
+    Unlike bootstrap, the jackknife is CLOSED FORM over per-unit sums:
+    one unit-level aggregation (the only fact shuffle), one tiny
+    group-totals frame joined back broadcast, one moment pass over the
+    R_(i) — fully deterministic, no RNG, SQL-oracle-exact.  Every R_(i)
+    is a pure function of exact decimal sums, so both engines compute
+    identical doubles; the R_(i) moments accumulate decimal(38,12).
+
+    Units whose removal zeroes the denominator (Σy == y_i) have
+    undefined R_(i) and are excluded from the moments (n counts the
+    defined ones); groups with n < 2 defined pseudo-values yield NULL
+    se.
+    """
+    d = F.col(den_col) if isinstance(den_col, str) else den_col
+    zero = F.lit(0).cast("decimal(18,4)")
+    units = df.groupBy(*group_cols, unit_col).agg(
+        F.coalesce(
+            F.sum(F.col(num_col).cast("decimal(18,4)")), zero
+        ).alias("_x"),
+        F.coalesce(F.sum(d.cast("decimal(18,4)")), zero).alias("_y"),
+    )
+    totals = units.groupBy(*group_cols).agg(
+        F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy")
+    )
+    j = units.join(F.broadcast(totals), group_cols)
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    loo_den = (F.col("_sy") - F.col("_y")).cast("double")
+    ri = (F.col("_sx") - F.col("_x")).cast("double") / F.when(
+        loo_den != 0, loo_den
+    )
+    g = j.select(*group_cols, sx.alias("_dsx"), sy.alias("_dsy"),
+                 ri.alias("_ri")).groupBy(*group_cols).agg(
+        F.max("_dsx").alias("_gx"),
+        F.max("_dsy").alias("_gy"),
+        F.count("_ri").alias("n_loo"),
+        F.sum(F.col("_ri").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("_sr"),
+        F.sum((F.col("_ri") * F.col("_ri")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("_srr"),
+    )
+    n = F.col("n_loo")
+    mean_r = F.col("_sr") / n
+    ss = F.col("_srr") - F.col("_sr") * F.col("_sr") / n
+    se = F.sqrt(
+        F.when((n > 1) & (ss >= 0), ss * (n - 1) / n)
+    )
+    ratio = F.col("_gx") / F.when(F.col("_gy") != 0, F.col("_gy"))
+    return g.select(
+        *group_cols,
+        n.alias("n_units"),
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("se_jack"),
+    )

@@ -1027,3 +1027,53 @@ def referential_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def label_leakage_screen(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Target-leakage screen: point-biserial correlation of every numeric
+    feature against a binary label, flagging |r| above ``threshold`` —
+    the pre-training hygiene gate that catches a feature computed FROM
+    the outcome (refund amount vs chargeback label) before it poisons a
+    model with impossible offline metrics.
+
+    One melted pass: features stack to (feature, value) rows (column
+    count × rows — the profiling melt shape), the label rides along as
+    0/1, and per-feature Pearson/point-biserial r comes from exact
+    decimal moments (n, Σx, Σy, Σx², Σy², Σxy) — order-independent,
+    closed form, SQL-oracle-exact.  Zero-variance features or labels
+    yield NULL r (guarded), never a divide-by-zero.
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    stack_expr = ", ".join(
+        f"'{c}', CAST(`{c}` AS DOUBLE)" for c in feature_cols
+    )
+    long = df.select(
+        F.expr(
+            f"stack({len(feature_cols)}, {stack_expr}) AS (feature, _x)"
+        ),
+        lab.cast("int").cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    x, y = F.col("_x"), F.col("_y")
+    g = long.groupBy("feature").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(28,6)")).cast("double").alias("_sx"),
+        F.sum(y.cast("decimal(18,4)")).cast("double").alias("_sy"),
+        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("_sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).cast("double").alias("_syy"),
+        F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("_sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("_sx"), F.col("_sy")
+    den2 = (n * F.col("_sxx") - sx * sx) * (n * F.col("_syy") - sy * sy)
+    r = (n * F.col("_sxy") - sx * sy) / F.sqrt(F.when(den2 > 0, den2))
+    return g.select(
+        "feature",
+        "n",
+        F.round(r, 6).alias("r_pb"),
+        F.coalesce(F.abs(r) > threshold, F.lit(False)).alias("flagged"),
+    )

@@ -1101,3 +1101,129 @@ def naive_bayes_langid(
             (F.col("actual") == F.col("_cand")).alias("is_correct"),
         )
     )
+
+
+def bigram_lm_doclogprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-likelihood under the corpus's own
+    add-k-smoothed bigram language model — the classic cheap "does this
+    document read like the corpus" quality/fluency score (the KenLM
+    filtering step of CCNet/RedPajama pipelines, restated with an
+    in-corpus model so no external artifact is needed):
+
+        score(d) = mean over bigrams (w1,w2) of
+                   ln( (c(w1,w2) + k) / (c(w1) + k·V) )
+
+    Gibberish, boilerplate-free outliers and wrong-language text score
+    low; formulaic text scores high.
+
+    Plan: one tokenize lineage (the q101/q102 expression), bigram pairs
+    per doc via transform(sequence) (codegen, no positional self-join);
+    the unigram/bigram COUNT tables are vocabulary-bounded aggregates
+    (persisted; AQE broadcast-promotes them into the scoring join when
+    small).  Each bigram's log term is a pure function of integer counts
+    — identical doubles in any engine — and the per-doc mean accumulates
+    decimal(28,12)-cast terms, so the 6-dp score is order- and
+    partitioning-independent.
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(text_col, "[^A-Za-z ]", " ")), " +"),
+        lambda t: t != "",
+    )
+    dl = df.select(id_col, toks.alias("l"))
+    uc = _persist_tracked(
+        dl.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = uc.agg(F.count("*").cast("double").alias("v"))
+    pairs = dl.filter(F.size("l") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1),"
+                " j -> struct(element_at(l, j) AS a, element_at(l, j+1) AS b))"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.a", "p.b")
+    bc = _persist_tracked(
+        pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    )
+    ca = uc.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    scored = (
+        pairs.join(bc, ["a", "b"])
+        .join(ca, "a")
+        .crossJoin(broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.col("c_ab") + F.lit(add_k))
+                / (F.col("c_a") + F.lit(add_k) * F.col("v"))
+            ).cast("decimal(28,12)").alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum("_lp").cast("double") / F.count("*"), 6
+        ).alias("avg_logprob"),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-phrase screen (the C4/RefinedWeb cleaning step): word
+    n-grams that recur across MANY DISTINCT documents — navigation
+    chrome, license blurbs, cookie banners — reported with their
+    document frequency so a cleaning pass can strip or down-weight them.
+    Within-document repetition is deliberately ignored (that is q66's
+    repetition screen); boilerplate is a CROSS-document property.
+
+    Plan: tokenize once, emit n-grams per doc via transform(sequence)
+    (codegen), collapse to DISTINCT (doc, gram) — the map-side distinct
+    bounds the shuffle at one row per gram per doc — then count docs per
+    gram and keep grams hitting ``min_docs``.  Output is
+    vocabulary^n-bounded, in practice tiny next to the corpus.
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(text_col, "[^A-Za-z ]", " ")), " +"),
+        lambda t: t != "",
+    )
+    dl = df.select(id_col, toks.alias("l"))
+    grams = dl.filter(F.size("l") >= n).select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(l) - {n} + 1),"
+                f" j -> concat_ws(' ', slice(l, j, {n})))"
+            )
+        ).alias("gram"),
+    )
+    total = df.select(
+        F.count("*").cast("double").alias("_nd")
+    )
+    return (
+        grams.distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .crossJoin(broadcast(total))
+        .select(
+            "gram",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_nd"), 6).alias("doc_frac"),
+        )
+    )

@@ -9548,3 +9548,194 @@ def q210_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
         ]
     )
+
+
+_TOKS_SQL = """
+      SELECT doc_id, list_filter(string_split_regex(
+        lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +'),
+        t -> t <> '') AS l
+      FROM documents
+"""
+
+
+@query(
+    "q211_doc_lm_score",
+    sql=f"""
+    WITH dl AS ({_TOKS_SQL}
+    ), uc AS (
+      SELECT w, COUNT(*) AS c FROM (SELECT unnest(l) AS w FROM dl) GROUP BY 1
+    ), v AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uc
+    ), pairs AS (
+      SELECT doc_id, l[j] AS a, l[j+1] AS b
+      FROM dl, unnest(generate_series(1, len(l) - 1)) AS t(j)
+      WHERE len(l) >= 2
+    ), bc AS (
+      SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2
+    ), sc AS (
+      SELECT doc_id,
+        CAST(LN((c_ab + 0.5) / (ca.c + 0.5 * v)) AS DECIMAL(28,12)) AS lp
+      FROM pairs JOIN bc USING (a, b)
+      JOIN uc ca ON pairs.a = ca.w
+      CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+      ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM sc GROUP BY 1
+    """,
+)
+def q211_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram language-model fluency score
+    (``text.bigram_lm_doclogprob``): mean add-0.5-smoothed bigram
+    log-likelihood under the corpus's own LM — the KenLM-style quality
+    filter of CCNet/RedPajama pipelines with an in-corpus model.  One
+    tokenize lineage; vocabulary-bounded count tables (AQE broadcast-
+    promotes them into the scoring join); each log term is a pure
+    function of integer counts so both engines compute identical
+    doubles, accumulated as decimal(28,12) for order independence."""
+    from streaming_feature_store_spark.operators.text import (
+        bigram_lm_doclogprob,
+    )
+
+    return bigram_lm_doclogprob(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q212_boilerplate_phrases",
+    sql=f"""
+    WITH dl AS ({_TOKS_SQL}
+    ), g AS (
+      SELECT DISTINCT doc_id, array_to_string(l[j:j+2], ' ') AS gram
+      FROM dl, unnest(generate_series(1, len(l) - 2)) AS t(j)
+      WHERE len(l) >= 3
+    ), c AS (
+      SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents
+    )
+    SELECT gram, n_docs, ROUND(n_docs / nd, 6) AS doc_frac
+    FROM c CROSS JOIN tot WHERE n_docs >= 5
+    """,
+)
+def q212_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate-phrase screen
+    (``text.boilerplate_ngrams``): word 3-grams recurring in >= 5
+    distinct documents with their document frequency — the C4/RefinedWeb
+    cleaning step that strips navigation chrome and license blurbs.
+    Distinct (doc, gram) bounds the shuffle at one row per gram per doc;
+    within-document repetition is q66's separate screen."""
+    from streaming_feature_store_spark.operators.text import (
+        boilerplate_ngrams,
+    )
+
+    return boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), n=3, min_docs=5
+    )
+
+
+@query(
+    "q213_jackknife_ratio_se",
+    sql="""
+    WITH u AS (
+      SELECT event_type, user_id,
+        COALESCE(SUM(CAST(value AS DECIMAL(18,4))),
+                 CAST(0 AS DECIMAL(18,4))) AS x,
+        COALESCE(SUM(CAST(1.0 AS DECIMAL(18,4))),
+                 CAST(0 AS DECIMAL(18,4))) AS y
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, SUM(x) AS sx, SUM(y) AS sy FROM u GROUP BY 1
+    ), j AS (
+      SELECT u.event_type,
+        CAST(t.sx AS DOUBLE) AS dsx, CAST(t.sy AS DOUBLE) AS dsy,
+        CASE WHEN CAST(t.sy - u.y AS DOUBLE) != 0
+          THEN CAST(t.sx - u.x AS DOUBLE) / CAST(t.sy - u.y AS DOUBLE)
+        END AS ri
+      FROM u JOIN t USING (event_type)
+    ), g AS (
+      SELECT event_type, MAX(dsx) AS gx, MAX(dsy) AS gy,
+        COUNT(ri) AS n_loo,
+        CAST(SUM(CAST(ri AS DECIMAL(38,12))) AS DOUBLE) AS sr,
+        CAST(SUM(CAST(ri * ri AS DECIMAL(38,12))) AS DOUBLE) AS srr
+      FROM j GROUP BY 1
+    )
+    SELECT event_type, n_loo AS n_units,
+      ROUND(gx / CASE WHEN gy != 0 THEN gy END, 6) AS ratio,
+      ROUND(SQRT(CASE WHEN n_loo > 1 AND srr - sr*sr/n_loo >= 0
+        THEN (srr - sr*sr/n_loo) * (n_loo - 1) / n_loo END), 6) AS se_jack
+    FROM g
+    """,
+)
+def q213_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-user-out jackknife SE for value-per-event
+    (``experiment.jackknife_ratio_se``): the deterministic resampling
+    cross-check for q198's delta-method linearization — agreement
+    validates the approximation, divergence flags ratio-dominating
+    heavy-tail users.  Closed form over per-unit decimal sums (no RNG):
+    one unit aggregation, a broadcast totals join, one moment pass over
+    the pseudo-values."""
+    from streaming_feature_store_spark.operators.experiment import (
+        jackknife_ratio_se,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return jackknife_ratio_se(
+        ev, "user_id", ["event_type"], "value", F.lit(1.0)
+    )
+
+
+@query(
+    "q214_leakage_screen",
+    sql="""
+    WITH long AS (
+      SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS x,
+        CAST(CAST(l_returnflag = 'R' AS INT) AS DOUBLE) AS y FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE),
+        CAST(CAST(l_returnflag = 'R' AS INT) AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', CAST(l_discount AS DOUBLE),
+        CAST(CAST(l_returnflag = 'R' AS INT) AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', CAST(l_tax AS DOUBLE),
+        CAST(CAST(l_returnflag = 'R' AS INT) AS DOUBLE) FROM lineitem
+    ), f AS (
+      SELECT * FROM long WHERE x IS NOT NULL AND y IS NOT NULL
+    ), g AS (
+      SELECT feature, COUNT(*) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x*x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y*y AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(x*y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      FROM f GROUP BY 1
+    )
+    SELECT feature, n,
+      ROUND((n*sxy - sx*sy)
+        / SQRT(CASE WHEN (n*sxx - sx*sx)*(n*syy - sy*sy) > 0
+               THEN (n*sxx - sx*sx)*(n*syy - sy*sy) END), 6) AS r_pb,
+      COALESCE(ABS((n*sxy - sx*sy)
+        / SQRT(CASE WHEN (n*sxx - sx*sx)*(n*syy - sy*sy) > 0
+               THEN (n*sxx - sx*sx)*(n*syy - sy*sy) END)) > 0.5,
+        FALSE) AS flagged
+    FROM g
+    """,
+)
+def q214_leakage_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-leakage screen (``profile.label_leakage_screen``):
+    point-biserial correlation of each lineitem numeric feature against
+    the returned-flag label, flagging |r| > 0.5 — the pre-training
+    hygiene gate that catches outcome-derived features before they fake
+    offline metrics.  One melted pass, per-feature decimal moments,
+    closed-form r; zero-variance features yield NULL (guarded)."""
+    from streaming_feature_store_spark.operators.profile import (
+        label_leakage_screen,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return label_leakage_screen(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        F.col("l_returnflag") == "R",
+        threshold=0.5,
+    )

@@ -187,3 +187,129 @@ def test_referential_audit_counts_planted_orphans(spark):
     assert r["n_null_fk"] == 1
     assert r["n_orphan"] == 1  # fk=99
     assert r["orphan_rate"] == 0.2
+
+
+def test_bigram_lm_doclogprob_matches_replay(spark):
+    from streaming_feature_store_spark.operators.text import (
+        bigram_lm_doclogprob,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat"),
+        (2, "dog runs fast dog runs"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_lm_doclogprob(df).collect()
+    }
+
+    toks = {d: t.split() for d, t in docs}
+    from collections import Counter
+
+    uni = Counter(w for t in toks.values() for w in t)
+    bi = Counter(
+        (t[i], t[i + 1]) for t in toks.values() for i in range(len(t) - 1)
+    )
+    V = len(uni)
+    for d, t in toks.items():
+        lps = [
+            math.log((bi[(t[i], t[i + 1])] + 0.5) / (uni[t[i]] + 0.5 * V))
+            for i in range(len(t) - 1)
+        ]
+        assert got[d][0] == len(lps)
+        assert abs(got[d][1] - sum(lps) / len(lps)) < 1e-6
+    # the formulaic doc (repeated high-count bigrams) scores higher than
+    # a doc of the same bigrams seen once... (doc 0 contains 'the cat'
+    # 'cat sat' shared with doc 1 -> both finite, sanity only)
+    assert all(v[1] < 0 for v in got.values())
+
+
+def test_boilerplate_ngrams_flags_planted_phrase(spark):
+    from streaming_feature_store_spark.operators.text import (
+        boilerplate_ngrams,
+    )
+
+    chrome = "click here to subscribe"
+    # per-doc unique lead words (digits would be stripped by the
+    # tokenizer, so uniqueness must be alphabetic)
+    docs = [
+        (i, f"{chr(97 + i) * 3} lead words differ {chrome}")
+        for i in range(8)
+    ]
+    docs += [(100, "totally different content entirely")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["gram"]: r["n_docs"]
+        for r in boilerplate_ngrams(df, n=4, min_docs=8).collect()
+    }
+    assert out.get("click here to subscribe") == 8
+    assert out.get("here to subscribe") is None  # 3-gram, n=4 run
+    # grams anchored at the unique lead word never cross the threshold
+    assert all(not g.startswith(("aaa", "bbb", "ccc")) for g in out)
+
+
+def test_jackknife_ratio_se_matches_replay_and_delta(spark):
+    import random
+
+    from streaming_feature_store_spark.operators.experiment import (
+        jackknife_ratio_se,
+        ratio_metric_delta,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    per_unit = {}
+    for u in range(80):
+        k = rng.randint(1, 6)
+        vals = [round(rng.uniform(0, 10), 4) for _ in range(k)]
+        per_unit[u] = (sum(vals), k)
+        rows += [("g", u, v) for v in vals]
+    df = spark.createDataFrame(rows, "grp string, uid long, v double")
+    r = jackknife_ratio_se(
+        df, "uid", ["grp"], "v", F.lit(1.0)
+    ).collect()[0]
+
+    sx = sum(x for x, _ in per_unit.values())
+    sy = sum(y for _, y in per_unit.values())
+    ris = [(sx - x) / (sy - y) for x, y in per_unit.values()]
+    n = len(ris)
+    mean_r = sum(ris) / n
+    se = math.sqrt(sum((ri - mean_r) ** 2 for ri in ris) * (n - 1) / n)
+    assert r["n_units"] == n
+    assert abs(r["ratio"] - sx / sy) < 1e-6
+    assert abs(r["se_jack"] - se) < 1e-5
+
+    # cross-check: jackknife and delta-method agree on well-behaved data
+    d = ratio_metric_delta(df, "uid", ["grp"], "v", F.lit(1.0)).collect()[0]
+    assert 0.8 < r["se_jack"] / d["se"] < 1.25
+
+
+def test_label_leakage_screen_flags_leaky_feature(spark):
+    import random
+
+    from streaming_feature_store_spark.operators.profile import (
+        label_leakage_screen,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for _ in range(500):
+        lab = rng.random() < 0.3
+        leaky = (10.0 if lab else 0.0) + rng.gauss(0, 0.5)
+        indep = rng.uniform(0, 100)
+        rows.append((leaky, indep, 7.0, lab))
+    df = spark.createDataFrame(
+        rows, "leaky double, indep double, const double, lab boolean"
+    )
+    got = {
+        r["feature"]: r
+        for r in label_leakage_screen(
+            df, ["leaky", "indep", "const"], "lab"
+        ).collect()
+    }
+    assert got["leaky"]["flagged"] is True and got["leaky"]["r_pb"] > 0.9
+    assert got["indep"]["flagged"] is False
+    assert got["const"]["r_pb"] is None  # zero variance: NULL, no div0
+    assert got["const"]["flagged"] is False
