@@ -75,6 +75,10 @@ _PRIORITY = [
     # target-leakage screen
     "q211_doc_lm_score", "q212_boilerplate_phrases",
     "q213_jackknife_ratio_se", "q214_leakage_screen",
+    # r8 batch 4: count-metric rate-ratio test, pooled proportions
+    # z-test, DAU/WAU stickiness, cohort LTV curve
+    "q215_event_rate_ratio", "q216_conversion_ztest",
+    "q217_dau_stickiness", "q218_cohort_ltv",
     # new this round, batch 10 (4): experimentation + ranking eval —
     # BH-FDR A/B screen, diff-in-diff, delta-method clustered ratio CI,
     # NDCG/precision/recall@k

@@ -489,3 +489,109 @@ def event_transitions(
             6,
         ),
     )
+
+
+def active_user_stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Daily active users, trailing-window active users (WAU-style), and
+    the DAU/WAU stickiness ratio per calendar day — the product-health
+    staple.  Exact trailing-window DISTINCT without carrying sets or
+    window DISTINCT aggregates (which neither engine supports): each
+    (user, active-day) pair — already deduplicated, one row per user-day
+    — is EXPLODED to the ``window_days`` report days it contributes to,
+    then deduplicated per (user, report day) and counted.  Fanout is
+    exactly ``window_days``× the user-day count (bounded, shuffle-
+    friendly), never user-day²; both engines compute the identical
+    integer counts.
+
+    Report days are emitted only within the observed day span (the
+    explode is clipped), so leading days reflect partial windows —
+    the honest readout for the stream's first week.
+    """
+    days = events.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    dau = days.groupBy("d").agg(F.count("*").alias("dau"))
+    span = days.agg(F.max("d").alias("_dmax"))
+    contrib = (
+        days.crossJoin(F.broadcast(span))
+        .select(
+            "u",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.least(
+                        F.date_add(F.col("d"), window_days - 1),
+                        F.col("_dmax"),
+                    ),
+                )
+            ).alias("rd"),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("rd").agg(F.count("*").alias("wau"))
+    return (
+        dau.join(wau, dau["d"] == wau["rd"])
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    year, revenue accumulated by account age (years since first order),
+    reported as cumulative revenue per cohort member — the curve a
+    growth team reads to see whether newer cohorts monetize faster.
+
+    Three bounded passes: first-order date per customer (one shuffle on
+    the customer key), revenue per (cohort, age) cell (map-side combined
+    decimal sums on a |cohorts × ages| key), then a running decimal sum
+    over each cohort's tiny age axis.  Cohort size divides at the end,
+    so the curve is per-capita and cohorts of different sizes compare
+    directly.
+    """
+    first = orders.groupBy(cust_col).agg(
+        F.min(F.col(ts_col)).alias("_first")
+    )
+    sized = first.groupBy(
+        F.year("_first").cast("long").alias("cohort_year")
+    ).agg(F.count("*").alias("cohort_users"))
+    j = orders.join(first, cust_col).select(
+        F.year("_first").cast("long").alias("cohort_year"),
+        (F.year(ts_col) - F.year("_first")).cast("long").alias("age_years"),
+        F.col(value_col).alias("_v"),
+    )
+    cells = j.groupBy("cohort_year", "age_years").agg(
+        F.sum(F.col("_v").cast("decimal(18,4)")).alias("_rev")
+    )
+    w = (
+        Window.partitionBy("cohort_year")
+        .orderBy("age_years")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("_cum", F.sum("_rev").over(w))
+        .join(broadcast(sized), "cohort_year")
+        .select(
+            "cohort_year",
+            "age_years",
+            "cohort_users",
+            F.round(F.col("_rev").cast("double"), 4).alias("rev"),
+            F.round(
+                F.col("_cum").cast("double") / F.col("cohort_users"), 6
+            ).alias("cum_ltv_per_user"),
+        )
+    )

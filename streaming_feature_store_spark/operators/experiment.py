@@ -821,3 +821,103 @@ def jackknife_ratio_se(
         F.round(ratio, 6).alias("ratio"),
         F.round(se, 6).alias("se_jack"),
     )
+
+
+def rate_ratio_test(
+    df: DataFrame,
+    group_cols: list[str],
+    variant_col,
+    unit_col: str,
+) -> DataFrame:
+    """Count-metric A/B readout: per group, compare EVENT RATES between
+    arms with the log rate-ratio Wald test (the Poisson-regression
+    two-arm special case) —
+
+        rate_i = events_i / units_i
+        z      = ln(rate_b / rate_a) / √(1/c_a + 1/c_b)
+
+    where c_i is the arm's event count.  The right test when the metric
+    is "how often" rather than "how much" (sessions per user, alerts per
+    device): a mean-based t/z on per-unit counts also works, but the log
+    rate ratio is variance-stabilized for skewed counts and reads out as
+    a multiplicative lift.  Exposure is unit counts (COUNT DISTINCT per
+    arm — assignment is per-unit, the SRM discipline).
+
+    One aggregate pass; closed form (ln/√) so the oracle recomputes
+    statistic → p exactly.  Arms with zero events yield NULL z/p
+    (log undefined) — guarded, never a clamp or divide-by-zero.
+    """
+    t = F.col(variant_col) if isinstance(variant_col, str) else variant_col
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.when(~t, 1)).alias("c_a"),
+        F.count(F.when(t, 1)).alias("c_b"),
+        F.count_distinct(F.when(~t, F.col(unit_col))).alias("u_a"),
+        F.count_distinct(F.when(t, F.col(unit_col))).alias("u_b"),
+    )
+    ca, cb = F.col("c_a"), F.col("c_b")
+    ua, ub = F.col("u_a"), F.col("u_b")
+    rate_a = ca / F.when(ua > 0, ua)
+    rate_b = cb / F.when(ub > 0, ub)
+    ratio = F.when((rate_a > 0) & (rate_b > 0), rate_b / rate_a)
+    # zero-event arms must yield NULL, not an ANSI 1/0 job failure
+    z = F.log(ratio) / F.sqrt(
+        1.0 / F.when(ca > 0, ca) + 1.0 / F.when(cb > 0, cb)
+    )
+    return g.select(
+        *group_cols,
+        "c_a",
+        "c_b",
+        "u_a",
+        "u_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(ratio, 6).alias("rate_ratio"),
+        F.round(z, 4).alias("z_stat"),
+        F.round(normal_sf2(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+def proportions_ztest(
+    df: DataFrame,
+    group_cols: list[str],
+    variant_col,
+    success_col,
+) -> DataFrame:
+    """Two-sample pooled-variance proportions z-test per group — the
+    conversion-rate readout (did the treatment move the click/convert
+    probability?):
+
+        p̂ = (s_a + s_b) / (n_a + n_b)
+        z = (p_b − p_a) / √(p̂·(1−p̂)·(1/n_a + 1/n_b))
+
+    The pooled variance is the H₀-correct denominator for proportions
+    (a mean-based Welch z on 0/1 values uses the unpooled one — valid
+    but not the textbook test auditors expect to reproduce).  One
+    conditional-count pass, closed form, NULL when either arm is empty
+    or the pooled rate is degenerate (0 or 1 ⇒ zero variance) — guarded,
+    never an ANSI divide-by-zero.  NULL successes count as neither trial
+    nor success.
+    """
+    t = F.col(variant_col) if isinstance(variant_col, str) else variant_col
+    s = F.col(success_col) if isinstance(success_col, str) else success_col
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.when(~t & s.isNotNull(), 1)).alias("n_a"),
+        F.count(F.when(t & s.isNotNull(), 1)).alias("n_b"),
+        F.count(F.when(~t & s, 1)).alias("s_a"),
+        F.count(F.when(t & s, 1)).alias("s_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    pa = F.col("s_a") / F.when(na > 0, na)
+    pb = F.col("s_b") / F.when(nb > 0, nb)
+    pool = (F.col("s_a") + F.col("s_b")) / (na + nb)
+    var = pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+    z = (pb - pa) / F.sqrt(F.when(var > 0, var))
+    return g.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"),
+        F.round(normal_sf2(F.abs(z)), 6).alias("p_value"),
+    )

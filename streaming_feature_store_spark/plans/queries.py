@@ -9739,3 +9739,189 @@ def q214_leakage_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag") == "R",
         threshold=0.5,
     )
+
+
+@query(
+    "q215_event_rate_ratio",
+    sql=f"""
+    WITH t AS (
+      SELECT event_type, user_id, (user_id % 2) = 1 AS trt FROM events
+    ), g AS (
+      SELECT event_type,
+        COUNT(CASE WHEN NOT trt THEN 1 END) AS c_a,
+        COUNT(CASE WHEN trt THEN 1 END) AS c_b,
+        COUNT(DISTINCT CASE WHEN NOT trt THEN user_id END) AS u_a,
+        COUNT(DISTINCT CASE WHEN trt THEN user_id END) AS u_b
+      FROM t GROUP BY 1
+    ), s AS (
+      SELECT event_type, c_a, c_b, u_a, u_b,
+        c_a / CAST(CASE WHEN u_a > 0 THEN u_a END AS DOUBLE) AS rate_a,
+        c_b / CAST(CASE WHEN u_b > 0 THEN u_b END AS DOUBLE) AS rate_b
+      FROM g
+    ), r AS (
+      SELECT *, CASE WHEN rate_a > 0 AND rate_b > 0
+        THEN rate_b / rate_a END AS ratio FROM s
+    ), z AS (
+      SELECT *, LN(ratio) / SQRT(1.0 / c_a + 1.0 / c_b) AS z_raw FROM r
+    )
+    SELECT event_type, c_a, c_b, u_a, u_b,
+      ROUND(rate_a, 6) AS rate_a,
+      ROUND(rate_b, 6) AS rate_b,
+      ROUND(ratio, 6) AS rate_ratio,
+      ROUND(z_raw, 4) AS z_stat,
+      ROUND(CASE WHEN z_raw IS NOT NULL
+        THEN {_P2_SQL.format(z='z_raw')} END, 6) AS p_value
+    FROM z
+    """,
+)
+def q215_event_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-metric A/B readout (``experiment.rate_ratio_test``): events
+    per distinct user compared between user-parity arms with the log
+    rate-ratio Wald test — the Poisson-regression special case, the
+    right tool when the metric is "how often" (multiplicative lift +
+    variance-stabilized for skewed counts).  One aggregate pass, erfc
+    p-value, zero-event arms yield NULL (guarded)."""
+    from streaming_feature_store_spark.operators.experiment import (
+        rate_ratio_test,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return rate_ratio_test(
+        ev, ["event_type"], (F.col("user_id") % 2) == 1, "user_id"
+    )
+
+
+@query(
+    "q216_conversion_ztest",
+    sql=f"""
+    WITH t AS (
+      SELECT event_type, (user_id % 2) = 1 AS trt,
+        CASE WHEN value IS NOT NULL THEN value > 100.0 END AS ok
+      FROM events
+    ), g AS (
+      SELECT event_type,
+        COUNT(CASE WHEN NOT trt AND ok IS NOT NULL THEN 1 END) AS n_a,
+        COUNT(CASE WHEN trt AND ok IS NOT NULL THEN 1 END) AS n_b,
+        COUNT(CASE WHEN NOT trt AND ok THEN 1 END) AS s_a,
+        COUNT(CASE WHEN trt AND ok THEN 1 END) AS s_b
+      FROM t GROUP BY 1
+    ), s AS (
+      SELECT event_type, n_a, n_b,
+        s_a / CAST(CASE WHEN n_a > 0 THEN n_a END AS DOUBLE) AS rate_a,
+        s_b / CAST(CASE WHEN n_b > 0 THEN n_b END AS DOUBLE) AS rate_b,
+        (s_a + s_b) / CAST(n_a + n_b AS DOUBLE) AS pool
+      FROM g
+    ), z AS (
+      SELECT *,
+        (rate_b - rate_a) / SQRT(CASE WHEN
+          pool * (1.0 - pool) * (1.0/n_a + 1.0/n_b) > 0
+          THEN pool * (1.0 - pool) * (1.0/n_a + 1.0/n_b) END) AS z_raw
+      FROM s
+    )
+    SELECT event_type, n_a, n_b,
+      ROUND(rate_a, 6) AS rate_a,
+      ROUND(rate_b, 6) AS rate_b,
+      ROUND(z_raw, 4) AS z_stat,
+      ROUND(CASE WHEN z_raw IS NOT NULL
+        THEN {_P2_SQL.format(z='z_raw')} END, 6) AS p_value
+    FROM z
+    """,
+)
+def q216_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-rate A/B test (``experiment.proportions_ztest``): the
+    textbook pooled-variance two-proportion z-test per event type
+    (conversion := value > 100), user-parity arms.  Pooled variance is
+    the H0-correct denominator auditors expect to reproduce; degenerate
+    pooled rates (0 or 1) yield NULL (guarded).  NULL values count as
+    neither trial nor success."""
+    from streaming_feature_store_spark.operators.experiment import (
+        proportions_ztest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return proportions_ztest(
+        ev, ["event_type"], (F.col("user_id") % 2) == 1,
+        F.col("value") > 100.0,
+    )
+
+
+@query(
+    "q217_dau_stickiness",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+    ), dau AS (
+      SELECT d, COUNT(*) AS dau FROM days GROUP BY 1
+    ), span AS (
+      SELECT MAX(d) AS dmax FROM days
+    ), contrib AS (
+      SELECT DISTINCT u, CAST(unnest(generate_series(
+        CAST(d AS TIMESTAMP),
+        CAST(LEAST(d + INTERVAL 6 DAY, CAST(dmax AS TIMESTAMP)) AS TIMESTAMP),
+        INTERVAL 1 DAY)) AS DATE) AS rd
+      FROM days CROSS JOIN span
+    ), wau AS (
+      SELECT rd, COUNT(*) AS wau FROM contrib GROUP BY 1
+    )
+    SELECT d AS day, dau, wau,
+      ROUND(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau ON d = rd
+    """,
+)
+def q217_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-active stickiness per calendar day
+    (``behavior.active_user_stickiness``): exact trailing-window
+    DISTINCT users with NO window-DISTINCT aggregate (neither engine has
+    one) and no per-row sets — each deduplicated (user, active-day)
+    explodes to the <= 7 report days it covers, then (user, report-day)
+    dedup + count.  Fanout is exactly window_days x user-days; identical
+    integer counts in both engines."""
+    from streaming_feature_store_spark.operators.behavior import (
+        active_user_stickiness,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return active_user_stickiness(ev, "user_id", "ts", window_days=7)
+
+
+@query(
+    "q218_cohort_ltv",
+    sql="""
+    WITH first AS (
+      SELECT o_custkey, MIN(o_orderdate) AS f FROM orders GROUP BY 1
+    ), sized AS (
+      SELECT CAST(EXTRACT(YEAR FROM f) AS BIGINT) AS cohort_year,
+        COUNT(*) AS cohort_users
+      FROM first GROUP BY 1
+    ), j AS (
+      SELECT CAST(EXTRACT(YEAR FROM f) AS BIGINT) AS cohort_year,
+        CAST(EXTRACT(YEAR FROM o_orderdate) - EXTRACT(YEAR FROM f)
+          AS BIGINT) AS age_years,
+        o_totalprice AS v
+      FROM orders JOIN first USING (o_custkey)
+    ), cells AS (
+      SELECT cohort_year, age_years,
+        SUM(CAST(v AS DECIMAL(18,4))) AS rev
+      FROM j GROUP BY 1, 2
+    ), c2 AS (
+      SELECT *, SUM(rev) OVER (
+        PARTITION BY cohort_year ORDER BY age_years) AS cum
+      FROM cells
+    )
+    SELECT c2.cohort_year, age_years, cohort_users,
+      ROUND(CAST(rev AS DOUBLE), 4) AS rev,
+      ROUND(CAST(cum AS DOUBLE) / cohort_users, 6) AS cum_ltv_per_user
+    FROM c2 JOIN sized USING (cohort_year)
+    """,
+)
+def q218_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve (``behavior.cohort_ltv``): customers
+    grouped by first-order year, cumulative per-capita revenue by
+    account age — the growth-team curve for "do newer cohorts monetize
+    faster".  Three bounded passes (first-order shuffle, decimal cell
+    sums on the |cohorts x ages| key, running sum over each cohort's
+    tiny age axis); cohort size divides at the end so curves compare
+    across cohort sizes."""
+    from streaming_feature_store_spark.operators.behavior import cohort_ltv
+
+    return cohort_ltv(_t(spark, sf_dir, "orders"))

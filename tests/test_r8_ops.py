@@ -313,3 +313,120 @@ def test_label_leakage_screen_flags_leaky_feature(spark):
     assert got["indep"]["flagged"] is False
     assert got["const"]["r_pb"] is None  # zero variance: NULL, no div0
     assert got["const"]["flagged"] is False
+
+
+def test_rate_ratio_test_closed_form_and_guards(spark):
+    from streaming_feature_store_spark.operators.experiment import (
+        rate_ratio_test,
+    )
+
+    # arm a: 3 users, 30 events; arm b: 2 users, 40 events
+    rows = [("g", u, False) for u in range(3) for _ in range(10)]
+    rows += [("g", 10 + u, True) for u in range(2) for _ in range(20)]
+    rows += [("empty", 1, False), ("empty", 2, False)]  # no treatment arm
+    df = spark.createDataFrame(rows, "grp string, uid long, trt boolean")
+    got = {
+        r["grp"]: r
+        for r in rate_ratio_test(df, ["grp"], "trt", "uid").collect()
+    }
+    g = got["g"]
+    assert (g["c_a"], g["c_b"], g["u_a"], g["u_b"]) == (30, 40, 3, 2)
+    ratio = (40 / 2) / (30 / 3)
+    z = math.log(ratio) / math.sqrt(1 / 30 + 1 / 40)
+    assert g["rate_ratio"] == round(ratio, 6)
+    assert g["z_stat"] == round(z, 4)
+    assert abs(g["p_value"] - math.erfc(abs(z) / math.sqrt(2))) < 1e-5
+    # zero-event arm: NULL everywhere, no log(0)/div0 crash
+    assert got["empty"]["z_stat"] is None
+    assert got["empty"]["p_value"] is None
+
+
+def test_proportions_ztest_matches_textbook(spark):
+    from streaming_feature_store_spark.operators.experiment import (
+        proportions_ztest,
+    )
+
+    rows = (
+        [("g", False, True)] * 40 + [("g", False, False)] * 60
+        + [("g", True, True)] * 55 + [("g", True, False)] * 45
+        + [("allconv", False, True)] * 5 + [("allconv", True, True)] * 5
+    )
+    df = spark.createDataFrame(rows, "grp string, trt boolean, ok boolean")
+    got = {
+        r["grp"]: r
+        for r in proportions_ztest(df, ["grp"], "trt", "ok").collect()
+    }
+    g = got["g"]
+    pool = (40 + 55) / 200
+    z = (0.55 - 0.40) / math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert g["rate_a"] == 0.4 and g["rate_b"] == 0.55
+    assert g["z_stat"] == round(z, 4)
+    # degenerate pooled rate (everyone converts): zero variance -> NULL
+    assert got["allconv"]["z_stat"] is None
+
+
+def test_active_user_stickiness_matches_replay(spark):
+    import datetime as dt
+
+    from streaming_feature_store_spark.operators.behavior import (
+        active_user_stickiness,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    # user 0 active every day; user 1 every 3rd day; user 2 once
+    rows = []
+    for day in range(12):
+        rows.append((0, base + dt.timedelta(days=day)))
+        if day % 3 == 0:
+            rows.append((1, base + dt.timedelta(days=day)))
+    rows.append((2, base + dt.timedelta(days=5)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        str(r["day"]): (r["dau"], r["wau"], r["stickiness"])
+        for r in active_user_stickiness(df, window_days=7).collect()
+    }
+    # naive replay
+    from collections import defaultdict
+
+    active = defaultdict(set)
+    for u, ts in rows:
+        active[ts.date()].add(u)
+    all_days = sorted(active)
+    for d in all_days:
+        window = [
+            dd for dd in all_days
+            if 0 <= (d - dd).days <= 6
+        ]
+        wau_set = set().union(*[active[dd] for dd in window])
+        dau, wau, stick = got[str(d)]
+        assert dau == len(active[d])
+        assert wau == len(wau_set), d
+        assert stick == round(dau / len(wau_set), 6)
+
+
+def test_cohort_ltv_cumulative_and_per_capita(spark):
+    import datetime as dt
+
+    from streaming_feature_store_spark.operators.behavior import cohort_ltv
+
+    rows = [
+        # two 2020-cohort customers, one 2021
+        (1, dt.date(2020, 5, 1), 100.0),
+        (1, dt.date(2021, 2, 1), 50.0),
+        (2, dt.date(2020, 8, 1), 30.0),
+        (3, dt.date(2021, 1, 1), 40.0),
+        (3, dt.date(2021, 6, 1), 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    got = {
+        (r["cohort_year"], r["age_years"]): r
+        for r in cohort_ltv(df).collect()
+    }
+    assert got[(2020, 0)]["rev"] == 130.0
+    assert got[(2020, 0)]["cohort_users"] == 2
+    assert got[(2020, 0)]["cum_ltv_per_user"] == 65.0
+    assert got[(2020, 1)]["rev"] == 50.0
+    assert got[(2020, 1)]["cum_ltv_per_user"] == 90.0  # (130+50)/2
+    assert got[(2021, 0)]["cum_ltv_per_user"] == 50.0  # (40+10)/1
