@@ -79,6 +79,8 @@ _PRIORITY = [
     # z-test, DAU/WAU stickiness, cohort LTV curve
     "q215_event_rate_ratio", "q216_conversion_ztest",
     "q217_dau_stickiness", "q218_cohort_ltv",
+    # r8 batch 5: t-closeness privacy audit, forecast-baseline MASE
+    "q219_t_closeness", "q220_forecast_eval",
     # new this round, batch 10 (4): experimentation + ranking eval —
     # BH-FDR A/B screen, diff-in-diff, delta-method clustered ratio CI,
     # NDCG/precision/recall@k

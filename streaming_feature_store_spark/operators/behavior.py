@@ -595,3 +595,53 @@ def cohort_ltv(
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+def forecast_baseline_eval(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    lag_model: int = 1,
+    lag_naive: int = 7,
+) -> DataFrame:
+    """Forecast-quality readout for lag-based baselines per series: MAE
+    of the ``lag_model``-step persistence forecast vs the ``lag_naive``
+    seasonal-naive forecast, and their ratio — MASE-style, the scale-free
+    number that says whether yesterday's value beats last week's value
+    as a predictor (the sanity floor every real forecasting model must
+    clear before it earns compute).
+
+    Evaluation is restricted to rows where BOTH baselines are defined
+    (same eval set, so the ratio is apples-to-apples).  Two LAG frames
+    over ONE per-series sort; absolute errors accumulate as
+    decimal(28,8) so the 6-dp MAEs are order-independent; a zero naive
+    MAE (perfectly seasonal series) yields NULL mase — guarded, never a
+    divide-by-zero.
+    """
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    p = (
+        df.select(
+            F.col(group_col),
+            F.col(value_col).alias("_y"),
+            F.lag(value_col, lag_model).over(w).alias("_m"),
+            F.lag(value_col, lag_naive).over(w).alias("_s"),
+        )
+        .filter(F.col("_m").isNotNull() & F.col("_s").isNotNull())
+    )
+    ae_m = F.abs(F.col("_y") - F.col("_m")).cast("decimal(28,8)")
+    ae_s = F.abs(F.col("_y") - F.col("_s")).cast("decimal(28,8)")
+    g = p.groupBy(group_col).agg(
+        F.count("*").alias("n_eval"),
+        F.sum(ae_m).cast("double").alias("_sm"),
+        F.sum(ae_s).cast("double").alias("_ss"),
+    )
+    mae_m = F.col("_sm") / F.col("n_eval")
+    mae_s = F.col("_ss") / F.col("n_eval")
+    return g.select(
+        group_col,
+        "n_eval",
+        F.round(mae_m, 6).alias("mae_model"),
+        F.round(mae_s, 6).alias("mae_naive"),
+        F.round(mae_m / F.when(mae_s > 0, mae_s), 6).alias("mase"),
+    )

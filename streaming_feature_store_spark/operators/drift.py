@@ -701,22 +701,50 @@ def welch_ttest(
     vb = F.when(
         nb > 1, (F.col("_ssb") - F.col("_sb") * F.col("_sb") / nb) / (nb - 1)
     )
+    # Intermediate PROJECTIONS (not inlined expressions): t_sf2 expands
+    # its t/df arguments ~20x inside the Hill polynomial, so inlining the
+    # full moment trees there multiplies the plan to tens of MB and costs
+    # SECONDS of driver-side analysis per query (measured: q187
+    # 0.33 -> 8.2 s at sf0.1 when inlined).  Catalyst's CollapseProject
+    # leaves multi-use non-cheap aliases in place, so each level below
+    # references small named columns.
     # se2 == 0.0 (both arms constant) must yield NULL t/df/p, not an
     # ANSI divide-by-zero job failure — a metric that is constant in a
     # thin segment is a fact of fleet-scale readouts, not an error
-    se2 = F.when(va / na + vb / nb > 0, va / na + vb / nb)
-    t = (ma - mb) / F.sqrt(se2)
-    dof = (se2 * se2) / (
-        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
-    )
-    return out.select(
+    m = out.select(
         group_col,
         "n_a",
         "n_b",
-        F.round(ma, 4).alias("mean_a"),
-        F.round(mb, 4).alias("mean_b"),
-        F.round(t, 4).alias("t_stat"),
-        F.round(dof, 2).alias("df_welch"),
-        F.round(t_sf2(F.abs(t), dof), 6).alias("p_value"),
-        (F.abs(t) > F.lit(alpha_t)).alias("significant"),
+        ma.alias("_ma"),
+        mb.alias("_mb"),
+        F.when(va / na + vb / nb > 0, va / na + vb / nb).alias("_se2"),
+        (va / na).alias("_van"),
+        (vb / nb).alias("_vbn"),
+    )
+    se2 = F.col("_se2")
+    t = (F.col("_ma") - F.col("_mb")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        F.col("_van") ** 2 / (na - 1) + F.col("_vbn") ** 2 / (nb - 1)
+    )
+    s = m.select(
+        group_col,
+        "n_a",
+        "n_b",
+        "_ma",
+        "_mb",
+        t.alias("_t"),
+        dof.alias("_dof"),
+    )
+    return s.select(
+        group_col,
+        "n_a",
+        "n_b",
+        F.round("_ma", 4).alias("mean_a"),
+        F.round("_mb", 4).alias("mean_b"),
+        F.round("_t", 4).alias("t_stat"),
+        F.round("_dof", 2).alias("df_welch"),
+        F.round(t_sf2(F.abs(F.col("_t")), F.col("_dof")), 6).alias(
+            "p_value"
+        ),
+        (F.abs(F.col("_t")) > F.lit(alpha_t)).alias("significant"),
     )

@@ -104,23 +104,49 @@ def grouped_ztest(
         nb > 1, (F.col("_ssb") - F.col("_sb") * F.col("_sb") / nb) / (nb - 1)
     )
     # se2 == 0.0 (both arms constant — routine in thin segments) must
-    # yield NULL z/df/p, not an ANSI divide-by-zero job failure
-    se2 = F.when(va / na + vb / nb > 0, va / na + vb / nb)
-    z = (mb - ma) / F.sqrt(se2)
-    dof = (se2 * se2) / (
-        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
-    )
-    small = F.least(na, nb) < small_arm_n
-    p = F.when(small, t_sf2(F.abs(z), dof)).otherwise(
-        normal_sf2(F.abs(z))
-    )
-    return g.select(
+    # yield NULL z/df/p, not an ANSI divide-by-zero job failure.
+    # Statistics are materialized through intermediate PROJECTIONS, not
+    # inlined: t_sf2/normal_sf2 expand their arguments ~7-20x inside the
+    # Hill/erfc polynomials, and inlining the full moment trees there
+    # multiplied the plan to driver-choking size (measured: q196
+    # 0.89 -> 13.6 s at sf0.1, all of it plan analysis).  CollapseProject
+    # keeps multi-use non-cheap aliases as separate projections.
+    m = g.select(
         *group_cols,
         "n_a",
         "n_b",
-        F.round(ma, 4).alias("mean_a"),
-        F.round(mb, 4).alias("mean_b"),
-        F.round(z, 4).alias("z_stat"),
+        ma.alias("_ma"),
+        mb.alias("_mb"),
+        F.when(va / na + vb / nb > 0, va / na + vb / nb).alias("_se2"),
+        (va / na).alias("_van"),
+        (vb / nb).alias("_vbn"),
+    )
+    se2 = F.col("_se2")
+    z = (F.col("_mb") - F.col("_ma")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        F.col("_van") ** 2 / (na - 1) + F.col("_vbn") ** 2 / (nb - 1)
+    )
+    s = m.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        "_ma",
+        "_mb",
+        z.alias("_z"),
+        dof.alias("_dof"),
+    )
+    small = F.least(na, nb) < small_arm_n
+    zc = F.col("_z")
+    p = F.when(small, t_sf2(F.abs(zc), F.col("_dof"))).otherwise(
+        normal_sf2(F.abs(zc))
+    )
+    return s.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round("_ma", 4).alias("mean_a"),
+        F.round("_mb", 4).alias("mean_b"),
+        F.round(zc, 4).alias("z_stat"),
         F.round(p, 6).alias("p_value"),
         small.alias("small_arm"),
     )

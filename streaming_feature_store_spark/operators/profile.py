@@ -1077,3 +1077,61 @@ def label_leakage_screen(
         F.round(r, 6).alias("r_pb"),
         F.coalesce(F.abs(r) > threshold, F.lit(False)).alias("flagged"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_threshold: float = 0.3,
+) -> DataFrame:
+    """t-closeness audit — the distributional privacy gate ABOVE
+    l-diversity: a QI group can hold many distinct sensitive values yet
+    still leak (e.g. 90 % one disease when the population is 1 %); the
+    t-closeness criterion bounds the distance between each group's
+    sensitive distribution and the global one.  For categorical
+    attributes the standard distance is total variation
+    TVD = ½·Σ_v |p_group(v) − p_global(v)|.
+
+    Computed without materializing absent (group, value) cells: values
+    missing from a group contribute p_global(v), so
+
+        TVD = ½·(1 + Σ_{v present} (|p_g(v) − p(v)| − p(v)))
+
+    which needs only the present (QI, value) count rows — one grouped
+    aggregate each for (QI, value), QI, and value, the global value
+    table broadcast back.  NULL sensitive values are excluded on both
+    sides (the l-diversity convention).  Emits per group: size, TVD,
+    and the pass flag TVD ≤ t.
+    """
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    gv = base.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count("*").alias("_cgv")
+    )
+    g = base.groupBy(*quasi_cols).agg(F.count("*").alias("_cg"))
+    v = base.groupBy(sensitive_col).agg(F.count("*").alias("_cv"))
+    n = base.agg(F.count("*").alias("_n"))
+    joined = (
+        gv.join(g, quasi_cols)
+        .join(broadcast(v), sensitive_col)
+        .crossJoin(broadcast(n))
+        .select(
+            *quasi_cols,
+            F.col("_cg"),
+            (F.col("_cgv") / F.col("_cg")).alias("_pg"),
+            (F.col("_cv") / F.col("_n")).alias("_p"),
+        )
+    )
+    term = (
+        F.abs(F.col("_pg") - F.col("_p")) - F.col("_p")
+    ).cast("decimal(38,12)")
+    out = joined.groupBy(*quasi_cols, "_cg").agg(
+        F.sum(term).cast("double").alias("_s")
+    )
+    tvd = 0.5 * (1.0 + F.col("_s"))
+    return out.select(
+        *quasi_cols,
+        F.col("_cg").alias("group_rows"),
+        F.round(tvd, 6).alias("tvd"),
+        (tvd <= F.lit(t_threshold)).alias("t_close"),
+    )

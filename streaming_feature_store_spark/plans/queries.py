@@ -9925,3 +9925,101 @@ def q218_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_feature_store_spark.operators.behavior import cohort_ltv
 
     return cohort_ltv(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "q219_t_closeness",
+    sql="""
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment FROM customer
+      WHERE c_mktsegment IS NOT NULL
+    ), gv AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS cgv
+      FROM base GROUP BY 1, 2
+    ), g AS (
+      SELECT c_nationkey, COUNT(*) AS cg FROM base GROUP BY 1
+    ), v AS (
+      SELECT c_mktsegment, COUNT(*) AS cv FROM base GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS nn FROM base
+    ), j AS (
+      SELECT gv.c_nationkey, cg,
+        cgv / CAST(cg AS DOUBLE) AS pg,
+        cv / CAST(nn AS DOUBLE) AS p
+      FROM gv JOIN g USING (c_nationkey)
+      JOIN v USING (c_mktsegment) CROSS JOIN n
+    ), s AS (
+      SELECT c_nationkey, cg,
+        CAST(SUM(CAST(ABS(pg - p) - p AS DECIMAL(38,12))) AS DOUBLE) AS sm
+      FROM j GROUP BY 1, 2
+    )
+    SELECT c_nationkey, cg AS group_rows,
+      ROUND(0.5 * (1.0 + sm), 6) AS tvd,
+      0.5 * (1.0 + sm) <= 0.3 AS t_close
+    FROM s
+    """,
+)
+def q219_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (``profile.t_closeness_report``): per-nation
+    total-variation distance between the group's market-segment
+    distribution and the global one — the distributional privacy gate
+    above l-diversity (many distinct values can still leak when their
+    MIX is skewed).  Absent (group, value) cells are never materialized:
+    TVD folds their p_global mass into a closed form over present cells
+    only; three bounded aggregates + broadcast value table."""
+    from streaming_feature_store_spark.operators.profile import (
+        t_closeness_report,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return t_closeness_report(
+        cust, ["c_nationkey"], "c_mktsegment", t_threshold=0.3
+    )
+
+
+@query(
+    "q220_forecast_eval",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT event_type, y,
+        LAG(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS m,
+        LAG(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS s
+      FROM daily
+    ), f AS (
+      SELECT * FROM p WHERE m IS NOT NULL AND s IS NOT NULL
+    ), g AS (
+      SELECT event_type, COUNT(*) AS n_eval,
+        CAST(SUM(CAST(ABS(y - m) AS DECIMAL(28,8))) AS DOUBLE) AS sm,
+        CAST(SUM(CAST(ABS(y - s) AS DECIMAL(28,8))) AS DOUBLE) AS ss
+      FROM f GROUP BY 1
+    )
+    SELECT event_type, n_eval,
+      ROUND(sm / n_eval, 6) AS mae_model,
+      ROUND(ss / n_eval, 6) AS mae_naive,
+      ROUND((sm / n_eval)
+        / CASE WHEN ss / n_eval > 0 THEN ss / n_eval END, 6) AS mase
+    FROM g
+    """,
+)
+def q220_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline eval (``behavior.forecast_baseline_eval``):
+    per event type, MAE of the 1-day persistence forecast vs the 7-day
+    seasonal-naive forecast over daily event counts, and their
+    MASE-style ratio — the scale-free sanity floor a forecasting model
+    must clear.  Both baselines restricted to the same eval rows; two
+    LAG frames over one per-series sort; decimal error accumulation."""
+    from streaming_feature_store_spark.operators.behavior import (
+        forecast_baseline_eval,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("y"))
+    )
+    return forecast_baseline_eval(
+        daily, "event_type", "d", "y", lag_model=1, lag_naive=7
+    )

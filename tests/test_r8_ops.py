@@ -64,12 +64,27 @@ def test_edit_distance_near_dups_guards(spark):
         edit_distance_near_dups(
             df, "id", "txt", ["blk"], max_dist=5, length_band=3
         )
-    # length banding is lossless for same-length strings
+    # length banding is lossless AND duplicate-free: identical strings
+    # all land in one band yet each pair is emitted exactly once
     out = edit_distance_near_dups(
         df, "id", "txt", ["blk"], max_dist=2, length_band=4,
         max_block_rows=None,
     )
     assert out.count() == 20 * 19 // 2
+
+    # pairs whose lengths straddle a band boundary must still be found
+    # (len 3 -> band 0, len 4/5 -> band 1 at width 4)
+    edge = spark.createDataFrame(
+        [(1, "b", "abc"), (2, "b", "abcd"), (3, "b", "abcde")],
+        "id long, blk string, txt string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_distance_near_dups(
+            edge, "id", "txt", ["blk"], max_dist=2, length_band=2
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1, (1, 3): 2, (2, 3): 1}
 
 
 def test_lag_autocorr_matches_numpy(spark):
@@ -430,3 +445,76 @@ def test_cohort_ltv_cumulative_and_per_capita(spark):
     assert got[(2020, 1)]["rev"] == 50.0
     assert got[(2020, 1)]["cum_ltv_per_user"] == 90.0  # (130+50)/2
     assert got[(2021, 0)]["cum_ltv_per_user"] == 50.0  # (40+10)/1
+
+
+def test_t_closeness_report_matches_replay(spark):
+    from streaming_feature_store_spark.operators.profile import (
+        t_closeness_report,
+    )
+
+    rows = (
+        [("g1", "flu")] * 9 + [("g1", "cold")] * 1
+        + [("g2", "flu")] * 5 + [("g2", "cold")] * 5
+        + [("g3", None)] * 3 + [("g3", "flu")] * 2 + [("g3", "rare")] * 2
+    )
+    df = spark.createDataFrame(rows, "qi string, sens string")
+    got = {
+        r["qi"]: r
+        for r in t_closeness_report(df, ["qi"], "sens", 0.3).collect()
+    }
+
+    from collections import Counter
+
+    base = [(q, s) for q, s in rows if s is not None]
+    glob = Counter(s for _, s in base)
+    n = len(base)
+    for qi in ("g1", "g2", "g3"):
+        grp = Counter(s for q, s in base if q == qi)
+        cg = sum(grp.values())
+        tvd = 0.5 * sum(
+            abs(grp.get(v, 0) / cg - c / n) for v, c in glob.items()
+        )
+        assert got[qi]["group_rows"] == cg
+        assert got[qi]["tvd"] == round(tvd, 6), qi
+        assert got[qi]["t_close"] == (tvd <= 0.3)
+    # at a tight threshold every group here leaks
+    tight = {
+        r["qi"]: r["t_close"]
+        for r in t_closeness_report(df, ["qi"], "sens", 0.05).collect()
+    }
+    assert not any(tight.values())
+
+
+def test_forecast_baseline_eval_matches_replay(spark):
+    from streaming_feature_store_spark.operators.behavior import (
+        forecast_baseline_eval,
+    )
+
+    # weekly-periodic series + noise: seasonal naive (lag 7) should beat
+    # persistence (lag 1) -> mase > 1
+    season = [10, 50, 30, 80, 20, 60, 40]
+    ys = [season[i % 7] + (i % 3) for i in range(28)]
+    df = spark.createDataFrame(
+        [("s", i, float(y)) for i, y in enumerate(ys)],
+        "grp string, d long, y double",
+    )
+    r = forecast_baseline_eval(df, "grp", "d", "y").collect()[0]
+    evals = [
+        (ys[i], ys[i - 1], ys[i - 7]) for i in range(7, 28)
+    ]
+    mae_m = sum(abs(y - m) for y, m, _ in evals) / len(evals)
+    mae_s = sum(abs(y - s) for y, _, s in evals) / len(evals)
+    assert r["n_eval"] == 21
+    assert r["mae_model"] == round(mae_m, 6)
+    assert r["mae_naive"] == round(mae_s, 6)
+    assert r["mase"] == round(mae_m / mae_s, 6)
+    assert r["mase"] > 1.0
+
+    # perfectly seasonal series: naive MAE 0 -> NULL mase, no div0
+    ys2 = [season[i % 7] for i in range(21)]
+    df2 = spark.createDataFrame(
+        [("s", i, float(y)) for i, y in enumerate(ys2)],
+        "grp string, d long, y double",
+    )
+    r2 = forecast_baseline_eval(df2, "grp", "d", "y").collect()[0]
+    assert r2["mase"] is None
