@@ -1041,32 +1041,56 @@ def label_leakage_screen(
     the outcome (refund amount vs chargeback label) before it poisons a
     model with impossible offline metrics.
 
-    One melted pass: features stack to (feature, value) rows (column
-    count × rows — the profiling melt shape), the label rides along as
-    0/1, and per-feature Pearson/point-biserial r comes from exact
+    One WIDE aggregate pass (6 conditional moments per feature, all
+    map-side combined over the raw rows — no melt: exploding |features|×
+    rows just to group them back costs a |features|× shuffle, measured
+    6.9 → ~1 s at 6M×4 on q214), then the 1-row result pivots to one row
+    per feature and Pearson/point-biserial r comes from the exact
     decimal moments (n, Σx, Σy, Σx², Σy², Σxy) — order-independent,
     closed form, SQL-oracle-exact.  Zero-variance features or labels
     yield NULL r (guarded), never a divide-by-zero.
     """
     lab = F.col(label_col) if isinstance(label_col, str) else label_col
-    stack_expr = ", ".join(
-        f"'{c}', CAST(`{c}` AS DOUBLE)" for c in feature_cols
-    )
-    long = df.select(
-        F.expr(
-            f"stack({len(feature_cols)}, {stack_expr}) AS (feature, _x)"
-        ),
-        lab.cast("int").cast("double").alias("_y"),
-    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
-    x, y = F.col("_x"), F.col("_y")
-    g = long.groupBy("feature").agg(
-        F.count("*").alias("n"),
-        F.sum(x.cast("decimal(28,6)")).cast("double").alias("_sx"),
-        F.sum(y.cast("decimal(18,4)")).cast("double").alias("_sy"),
-        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("_sxx"),
-        F.sum((y * y).cast("decimal(38,8)")).cast("double").alias("_syy"),
-        F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("_sxy"),
-    )
+    yv = lab.cast("int").cast("double")
+    aggs = []
+    for c in feature_cols:
+        xv = F.col(c).cast("double")
+        both = xv.isNotNull() & yv.isNotNull()
+        x = F.when(both, xv)
+        y = F.when(both, yv)
+        aggs += [
+            F.count(x).alias(f"n_{c}"),
+            F.sum(x.cast("decimal(28,6)")).cast("double").alias(f"sx_{c}"),
+            F.sum(y.cast("decimal(18,4)")).cast("double").alias(f"sy_{c}"),
+            F.sum((x * x).cast("decimal(38,8)"))
+            .cast("double")
+            .alias(f"sxx_{c}"),
+            F.sum((y * y).cast("decimal(38,8)"))
+            .cast("double")
+            .alias(f"syy_{c}"),
+            F.sum((x * y).cast("decimal(38,8)"))
+            .cast("double")
+            .alias(f"sxy_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    g = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(f"n_{c}").alias("n"),
+                        F.col(f"sx_{c}").alias("_sx"),
+                        F.col(f"sy_{c}").alias("_sy"),
+                        F.col(f"sxx_{c}").alias("_sxx"),
+                        F.col(f"syy_{c}").alias("_syy"),
+                        F.col(f"sxy_{c}").alias("_sxy"),
+                    )
+                    for c in feature_cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
     n = F.col("n")
     sx, sy = F.col("_sx"), F.col("_sy")
     den2 = (n * F.col("_sxx") - sx * sx) * (n * F.col("_syy") - sy * sy)
