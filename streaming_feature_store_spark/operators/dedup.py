@@ -734,7 +734,17 @@ def edit_distance_near_dups(
                 "bucket or length_band), or raise max_block_rows "
                 "explicitly if you mean it."
             )
-    a = blocked.select(
+    # The probe side is round-robin repartitioned to the session's core
+    # count BEFORE the join: blocks are usually few (25 brands) and the
+    # block dim small enough to broadcast, so without this the entire
+    # candidate DP inherits the probe side's PARQUET partitioning — a
+    # single small file means ONE task grinding the whole Σ|block|² pair
+    # set (measured: q206 at sf0.1 ran its 7.7M-pair DP on one core,
+    # 12.9 s → 0.9 s with the repartition; at sf1.0 one core ground
+    # 800M pairs for 25+ minutes).  CPU-bound per-pair work must be
+    # partitioned by CPU, not by input bytes.
+    par = blocked.sparkSession.sparkContext.defaultParallelism
+    a = blocked.repartition(par).select(
         *bcols,
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("_ta"),
