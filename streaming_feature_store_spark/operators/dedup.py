@@ -90,8 +90,14 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
                     grams.extend(s)
             yield pd.DataFrame({id_col: ids, "gram": grams})
 
+    from streaming_feature_store_spark.operators.text import (
+        cpu_partitioned,
+    )
+
+    # the set kernel is CPU-bound per doc: partition by cores, not by the
+    # input's parquet splits (a sub-128MB corpus file is one split)
     return (
-        df.select(id_col, text_col)
+        cpu_partitioned(df.select(id_col, text_col))
         .mapInPandas(gen, f"{id_col} {id_type}, gram string")
         .select(F.col(id_col), F.xxhash64("gram").alias("sh"))
     )
