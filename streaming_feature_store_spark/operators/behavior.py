@@ -510,7 +510,12 @@ def active_user_stickiness(
 
     Report days are emitted only within the observed day span (the
     explode is clipped), so leading days reflect partial windows —
-    the honest readout for the stream's first week.
+    the honest readout for the stream's first week.  A calendar day
+    with trailing-window users but zero same-day actives (a gap day in
+    the stream) is reported with ``dau = 0`` / ``stickiness = 0`` —
+    not silently dropped; the join is driven from the WAU frame, whose
+    day set is a superset of DAU's (every active day contributes to its
+    own report day).
     """
     days = events.select(
         F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
@@ -535,12 +540,14 @@ def active_user_stickiness(
     )
     wau = contrib.groupBy("rd").agg(F.count("*").alias("wau"))
     return (
-        dau.join(wau, dau["d"] == wau["rd"])
+        wau.join(dau, wau["rd"] == dau["d"], "left")
         .select(
-            F.col("d").alias("day"),
-            "dau",
+            F.col("rd").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
             "wau",
-            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+            F.round(
+                F.coalesce(F.col("dau"), F.lit(0)) / F.col("wau"), 6
+            ).alias("stickiness"),
         )
     )
 
@@ -604,6 +611,7 @@ def forecast_baseline_eval(
     value_col: str,
     lag_model: int = 1,
     lag_naive: int = 7,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Forecast-quality readout for lag-based baselines per series: MAE
     of the ``lag_model``-step persistence forecast vs the ``lag_naive``
@@ -618,8 +626,16 @@ def forecast_baseline_eval(
     decimal(28,8) so the 6-dp MAEs are order-independent; a zero naive
     MAE (perfectly seasonal series) yields NULL mase — guarded, never a
     divide-by-zero.
+
+    ``order_col`` must uniquely order rows within a series, or the LAG
+    values (hence the errors) are partition-order-dependent — pass a
+    ``tiebreak_col`` when duplicates are possible, as ``lag_autocorr``
+    mandates.
     """
-    w = Window.partitionBy(group_col).orderBy(order_col)
+    order_by = (
+        [order_col, tiebreak_col] if tiebreak_col is not None else [order_col]
+    )
+    w = Window.partitionBy(group_col).orderBy(*order_by)
     p = (
         df.select(
             F.col(group_col),

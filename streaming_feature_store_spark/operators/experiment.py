@@ -935,8 +935,12 @@ def proportions_ztest(
     na, nb = F.col("n_a"), F.col("n_b")
     pa = F.col("s_a") / F.when(na > 0, na)
     pb = F.col("s_b") / F.when(nb > 0, nb)
-    pool = (F.col("s_a") + F.col("s_b")) / (na + nb)
-    var = pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+    pool = (F.col("s_a") + F.col("s_b")) / F.when(na + nb > 0, na + nb)
+    var = (
+        pool
+        * (1.0 - pool)
+        * (1.0 / F.when(na > 0, na) + 1.0 / F.when(nb > 0, nb))
+    )
     z = (pb - pa) / F.sqrt(F.when(var > 0, var))
     return g.select(
         *group_cols,

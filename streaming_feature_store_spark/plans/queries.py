@@ -9863,9 +9863,9 @@ def q216_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), wau AS (
       SELECT rd, COUNT(*) AS wau FROM contrib GROUP BY 1
     )
-    SELECT d AS day, dau, wau,
-      ROUND(dau / CAST(wau AS DOUBLE), 6) AS stickiness
-    FROM dau JOIN wau ON d = rd
+    SELECT rd AS day, COALESCE(dau, 0) AS dau, wau,
+      ROUND(COALESCE(dau, 0) / CAST(wau AS DOUBLE), 6) AS stickiness
+    FROM wau LEFT JOIN dau ON rd = d
     """,
 )
 def q217_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -305,3 +305,134 @@ def test_ks_pvalue_null_input_yields_null(spark):
     ]
     assert got[0] is None
     assert got[1] is not None and 0.0 < got[1] <= 1.0
+
+# ---------------------------------------------------------------------------
+# round-9: the four r8 operators get the same degenerate-arm coverage
+# (r8 ADVICE: proportions_ztest's empty-arm ANSI div0 shipped precisely
+# because these were missing)
+# ---------------------------------------------------------------------------
+
+_opt_bool = st.one_of(st.none(), st.booleans())
+
+
+@st.composite
+def _bool_groups(draw):
+    n_groups = draw(st.integers(min_value=1, max_value=4))
+    specs = []
+    for gi in range(n_groups):
+        na, nb = draw(_arm_sizes)
+        vals_a = [draw(_opt_bool) for _ in range(na)]
+        vals_b = [draw(_opt_bool) for _ in range(nb)]
+        specs.append((f"g{gi}", vals_a, vals_b))
+    return specs
+
+
+@_slow
+@given(specs=_bool_groups())
+def test_proportions_ztest_degenerate_arms_null(spark, specs):
+    """Empty arms (including all-NULL success columns) and degenerate
+    pooled rates (0 or 1) must yield NULL z/p — never an ANSI
+    DIVIDE_BY_ZERO job failure (the r8 advice crash: unguarded
+    pool/(na+nb) and 1/na)."""
+    from streaming_feature_store_spark.operators.experiment import (
+        proportions_ztest,
+    )
+
+    rows = _rows(specs)
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "grp string, trt boolean, s boolean")
+    out = {
+        r["grp"]: r
+        for r in proportions_ztest(df, ["grp"], "trt", "s").collect()
+    }
+    for g, vals_a, vals_b in specs:
+        if g not in out:
+            continue
+        r = out[g]
+        na = sum(1 for v in vals_a if v is not None)
+        nb = sum(1 for v in vals_b if v is not None)
+        sa = sum(1 for v in vals_a if v)
+        sb = sum(1 for v in vals_b if v)
+        assert r["n_a"] == na and r["n_b"] == nb
+        if na == 0 or nb == 0 or sa + sb == 0 or sa + sb == na + nb:
+            # empty arm or zero-variance pooled rate
+            assert r["z_stat"] is None and r["p_value"] is None, r
+        else:
+            assert r["p_value"] is not None and 0.0 <= r["p_value"] <= 1.0
+
+
+@_slow
+@given(specs=_groups())
+def test_always_valid_pvalue_degenerate_arms_null(spark, specs):
+    from streaming_feature_store_spark.operators.experiment import (
+        always_valid_pvalue,
+    )
+
+    rows = _rows(specs)
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "grp string, trt boolean, v double")
+    out = {
+        r["grp"]: r
+        for r in always_valid_pvalue(df, ["grp"], "trt", "v").collect()
+    }
+    for g, vals_a, vals_b in specs:
+        if g not in out:
+            continue
+        r = out[g]
+        if len(vals_a) < 2 or len(vals_b) < 2:
+            assert r["se"] is None, r
+            assert r["p_always_valid"] is None, r
+        elif r["p_always_valid"] is not None:
+            assert 0.0 < r["p_always_valid"] <= 1.0
+
+
+@_slow
+@given(
+    ca=st.integers(min_value=0, max_value=4),
+    cb=st.integers(min_value=0, max_value=4),
+)
+def test_rate_ratio_zero_event_arms_null(spark, ca, cb):
+    from streaming_feature_store_spark.operators.experiment import (
+        rate_ratio_test,
+    )
+
+    rows = [("g", False, f"ua{i % 2}") for i in range(ca)] + [
+        ("g", True, f"ub{i % 2}") for i in range(cb)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "grp string, trt boolean, uid string")
+    r = rate_ratio_test(df, ["grp"], "trt", "uid").collect()[0]
+    assert r["c_a"] == ca and r["c_b"] == cb
+    if ca == 0 or cb == 0:
+        assert r["z_stat"] is None and r["p_value"] is None, r
+        assert r["rate_ratio"] is None, r
+    else:
+        assert r["p_value"] is not None and 0.0 <= r["p_value"] <= 1.0
+
+
+@_slow
+@given(
+    n_units=st.integers(min_value=1, max_value=3),
+    vals=st.lists(_value, min_size=3, max_size=3),
+)
+def test_jackknife_ratio_se_single_unit_null(spark, n_units, vals):
+    """One unit => every leave-one-out denominator hits zero => zero
+    defined pseudo-values => NULL se, never a zero-width readout."""
+    from streaming_feature_store_spark.operators.experiment import (
+        jackknife_ratio_se,
+    )
+
+    rows = [
+        ("g", f"u{i % n_units}", v, 1.0) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, uid string, x double, y double"
+    )
+    r = jackknife_ratio_se(df, "uid", ["grp"], "x", "y").collect()[0]
+    if n_units == 1:
+        assert r["se_jack"] is None, r
+    elif r["se_jack"] is not None:
+        assert r["se_jack"] >= 0.0
