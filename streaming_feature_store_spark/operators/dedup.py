@@ -781,3 +781,167 @@ def edit_distance_near_dups(
         )
         .filter(F.col("edit_dist") >= 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup-against-index (round 9). A 100 TB pipeline does not
+# re-shingle the corpus per daily delta: it keeps a persisted MinHash index
+# (one row per doc: band hashes + shingle-hash set) and band-joins only the
+# delta against it. The batch restatement of the reference's keyed
+# incremental state (streaming/flink/feature_job.py:115-172) applied to
+# dedup, with the S7 latest-upsert replace semantics for re-ingested ids.
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Persistable MinHash-LSH index: ONE row per document with
+    ``bands`` (array<long> of LSH band hashes, the candidate-generation
+    key) and ``shingles`` (array<long> of distinct n-gram hashes, the
+    exact-verification payload) + ``nsh``.
+
+    Storing shingle HASHES (8 B each, ~|tokens| per doc) makes every
+    future delta merge skip re-tokenizing the base corpus entirely —
+    the index is strictly smaller than the text it stands in for, and
+    parquet arrays of int64 scan fast.  One shuffle (the per-doc
+    groupBy); the k salted min-hashes and band hashes are identical
+    expressions to :func:`minhash_near_dups`, so an index built once ≡
+    the signatures a full recompute would derive (the delta-parity
+    guarantee below rests on this: MinHash signatures are per-doc facts
+    with no corpus-level dependence).
+
+    Docs shorter than ``n`` tokens produce no shingles and are absent —
+    exactly as in :func:`minhash_near_dups`.
+    """
+    r = k // bands
+    idx = _shingle_index(df, text_col, id_col, n)
+    agg = idx.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh_{i}") for i in range(k)],
+        F.collect_set("sh").alias("shingles"),
+    )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",", *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    return agg.select(
+        F.col(id_col),
+        band_hashes.alias("bands"),
+        F.col("shingles"),
+        F.size("shingles").alias("nsh"),
+    )
+
+
+def _banded(index: DataFrame, id_col: str) -> DataFrame:
+    return index.select(
+        F.col(id_col), F.posexplode("bands").alias("band_idx", "bk")
+    )
+
+
+def _verify_from_index(
+    cands: DataFrame, index: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify candidate pairs against a one-row-per-doc
+    index: semi-join the index down to candidate docs FIRST, then explode
+    shingle arrays — the explode (the expensive fanout) prices on
+    |candidate docs|, never the corpus."""
+    cand_docs = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    idx = index.join(cand_docs, id_col, "left_semi").select(
+        F.col(id_col), F.explode("shingles").alias("sh")
+    )
+    return _verify_candidates(cands, idx, id_col, threshold)
+
+
+def minhash_index_pairs(
+    index: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """All verified near-dup pairs within an index — the full-corpus run
+    restated over the persisted index (band self-join on
+    (band_idx, band_hash), exact-Jaccard verify on candidates only).
+    ``minhash_index_pairs(build_minhash_index(df)) ≡
+    minhash_near_dups(df)`` by construction."""
+    banded = _banded(index, id_col)
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "bk")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "bk")
+    cands = (
+        a.join(b, ["band_idx", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_from_index(cands, index, id_col, threshold)
+
+
+def minhash_index_merge(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Merge a document delta into a persisted MinHash index: returns
+    ``(new_pairs, updated_index)`` where ``new_pairs`` is every verified
+    near-dup pair that INVOLVES a delta doc (delta×index ∪ delta×delta)
+    and ``updated_index`` is the index with the delta upserted.
+
+    **Delta ≡ full-recompute parity** (the oracled catalog guarantee,
+    q221): signatures are per-doc, so the delta's band hashes equal what
+    a full recompute would assign; hence
+    ``pairs(index) ∪ new_pairs ≡ minhash_near_dups(base ∪ delta)``
+    exactly — candidate sets, verification, thresholds all identical.
+
+    Re-ingested ids REPLACE their index row (the S7 latest-upsert
+    semantics, streaming/sinks.py:81) and re-pair against the new
+    content; pairs previously emitted for the retired content are the
+    caller's to retract (append-log consumers compact on
+    (doc_a, doc_b) latest-wins).
+
+    100 TB plan shape: the delta side of the band join is small, so AQE
+    broadcasts it and the base index is SCANNED, never shuffled — cost
+    per merge is O(|index| scan + |delta|·bands + |new candidates|),
+    vs O(|corpus| shuffle) for a recompute.  Exact verification explodes
+    shingle arrays only for docs appearing in a candidate pair.
+    """
+    new_index = build_minhash_index(new_docs, text_col, id_col, n, k, bands)
+    surviving = index.join(new_index.select(id_col), id_col, "left_anti")
+    updated = surviving.unionByName(new_index.select(*index.columns))
+    bn = _banded(new_index, id_col)
+    bo = _banded(surviving, id_col)
+    nn = (
+        bn.select(F.col(id_col).alias("doc_a"), "band_idx", "bk")
+        .join(bn.select(F.col(id_col).alias("doc_b"), "band_idx", "bk"),
+              ["band_idx", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    no = (
+        bn.select(F.col(id_col).alias("_dn"), "band_idx", "bk")
+        .join(bo.select(F.col(id_col).alias("_do"), "band_idx", "bk"),
+              ["band_idx", "bk"])
+        .select(
+            F.least("_dn", "_do").alias("doc_a"),
+            F.greatest("_dn", "_do").alias("doc_b"),
+        )
+    )
+    cands = nn.union(no).distinct()
+    new_pairs = _verify_from_index(cands, updated, id_col, threshold)
+    return new_pairs, updated

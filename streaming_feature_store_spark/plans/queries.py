@@ -10023,3 +10023,61 @@ def q220_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast_baseline_eval(
         daily, "event_type", "d", "y", lag_model=1, lag_naive=7
     )
+
+
+@query(
+    "q221_incremental_minhash",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), shx AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tok
+    ), sh AS (
+      SELECT doc_id, unnest(sh) AS s FROM shx
+    ), sizes AS (
+      SELECT doc_id, CAST(len(sh) AS INTEGER) AS nsh FROM shx
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+      ROUND(n_common / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE), 6)
+        AS jaccard,
+      CASE WHEN doc_a % 3 = 0 OR doc_b % 3 = 0
+        THEN 'delta' ELSE 'base' END AS src
+    FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def q221_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-against-index (``dedup.minhash_index_merge``,
+    round 9): the corpus is split into a base (doc_id % 3 != 0) and a
+    daily-delta (doc_id % 3 == 0); the base is indexed ONCE
+    (``build_minhash_index`` — band hashes + shingle-hash arrays, one
+    row/doc), then the delta band-joins against the persisted index and
+    only delta-involving candidates are exact-Jaccard verified.  The
+    ``src`` column marks which phase emitted each pair, and the oracle
+    recomputes it from the split rule — so the gate checks BOTH that
+    base-pairs ∪ delta-pairs ≡ the full recompute (signatures are
+    per-doc facts, so incremental candidates ≡ full-run candidates by
+    construction) AND that every pair landed in the right phase.  At
+    100 TB the delta side broadcasts; the index is scanned, never
+    re-shingled."""
+    from streaming_feature_store_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_merge,
+        minhash_index_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = build_minhash_index(base)
+    base_pairs = minhash_index_pairs(idx, threshold=0.5).withColumn(
+        "src", F.lit("base")
+    )
+    new_pairs, _ = minhash_index_merge(delta, idx, threshold=0.5)
+    return base_pairs.unionByName(new_pairs.withColumn("src", F.lit("delta")))

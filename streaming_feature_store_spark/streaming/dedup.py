@@ -33,3 +33,73 @@ def dedup_events(
     return stream.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
         id_cols
     )
+
+
+def minhash_index_sink(
+    index_root: str,
+    pairs_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+):
+    """``foreachBatch`` handler for streaming incremental dedup: each
+    micro-batch of documents is merged against the persisted MinHash
+    index (``operators.dedup.minhash_index_merge``) — new near-dup pairs
+    land under ``pairs_root/batch=<id>``, the upserted index becomes a
+    NEW snapshot ``index_root/v=<id+1>``.
+
+    Exactly-once under foreachBatch retries without transactions, by
+    versioning on the deterministic batch_id:
+
+    - the merge reads the newest snapshot with version ≤ batch_id — a
+      retried batch re-reads the PRE-batch snapshot even if the crashed
+      attempt already wrote ``v=<id+1>``;
+    - both writes are ``mode=overwrite`` into batch-derived paths, so a
+      retry overwrites its own partial output instead of duplicating.
+
+    Snapshot-versioned indexes also give readers isolation for free (a
+    concurrent retrieval job keeps reading v=N while v=N+1 lands) at the
+    cost of retaining old versions — compact with a retention sweep, as
+    any table format does.  The streaming ≡ batch parity contract:
+    after the stream drains, ``union(all pairs batches) ∪
+    pairs-within-first-batch ≡ minhash_near_dups(all docs)``
+    (tests/test_streaming.py).
+    """
+    import os
+    import re
+
+    from streaming_feature_store_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_merge,
+        minhash_index_pairs,
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = []
+        if os.path.isdir(index_root):
+            for d in os.listdir(index_root):
+                m = re.fullmatch(r"v=(\d+)", d)
+                if m and int(m.group(1)) <= batch_id:
+                    versions.append(int(m.group(1)))
+        if versions:
+            index = spark.read.parquet(f"{index_root}/v={max(versions)}")
+            pairs, updated = minhash_index_merge(
+                batch_df, index, text_col, id_col, n, k, bands, threshold
+            )
+        else:
+            updated = build_minhash_index(
+                batch_df, text_col, id_col, n, k, bands
+            )
+            pairs = minhash_index_pairs(updated, id_col, threshold)
+        updated.write.mode("overwrite").parquet(
+            f"{index_root}/v={batch_id + 1}"
+        )
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_root}/batch={batch_id}"
+        )
+
+    return _handle

@@ -249,3 +249,101 @@ def test_dedup_clusters_random_graph_vs_union_find(spark):
         for r in dedup_clusters(pairs, driver_threshold=0).collect()
     }
     assert got_dist == expected
+
+
+# ---------------------------------------------------------------------------
+# round-9: incremental dedup-against-index
+# ---------------------------------------------------------------------------
+
+
+def _pairset(df):
+    return {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in df.collect()
+    }
+
+
+def test_minhash_index_pairs_equals_full_recompute(spark):
+    """pairs(build_index(docs)) must reproduce minhash_near_dups(docs)
+    exactly — same candidates, same verified jaccards (real sf0.001
+    corpus, not toy rows)."""
+    from streaming_feature_store_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_pairs,
+        minhash_near_dups,
+    )
+    from streaming_feature_store_spark.sources.file import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = _pairset(minhash_near_dups(docs, threshold=0.5))
+    viaidx = _pairset(
+        minhash_index_pairs(build_minhash_index(docs), threshold=0.5)
+    )
+    assert full == viaidx and len(full) > 0
+
+
+def test_minhash_index_merge_delta_equals_full(spark):
+    """THE incremental contract: index(base) + merge(delta) ≡ full
+    recompute over base ∪ delta — pair-for-pair, jaccard-for-jaccard;
+    and new_pairs is exactly the pairs involving a delta doc."""
+    from streaming_feature_store_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_merge,
+        minhash_index_pairs,
+        minhash_near_dups,
+    )
+    from streaming_feature_store_spark.sources.file import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = build_minhash_index(base)
+    base_pairs = _pairset(minhash_index_pairs(idx, threshold=0.5))
+    new_pairs_df, updated = minhash_index_merge(delta, idx, threshold=0.5)
+    new_pairs = _pairset(new_pairs_df)
+
+    full = _pairset(minhash_near_dups(docs, threshold=0.5))
+    assert base_pairs.keys().isdisjoint(new_pairs.keys())
+    combined = {**base_pairs, **new_pairs}
+    assert combined == full
+    # every new pair touches a delta doc; no base-only pair re-emitted
+    assert all(a % 3 == 0 or b % 3 == 0 for a, b in new_pairs)
+    # the updated index answers future merges like a fresh build would
+    fresh = _pairset(minhash_index_pairs(updated, threshold=0.5))
+    assert fresh == full
+
+
+def test_minhash_index_merge_replaces_reingested_ids(spark):
+    """S7 upsert semantics: a re-ingested doc_id replaces its index row
+    (latest wins) and re-pairs against the NEW content only."""
+    from streaming_feature_store_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_merge,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "totally unrelated content about spark shuffles and joins ok"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_minhash_index(base)
+    # doc 3 is re-ingested as a near-dup of 1/2
+    delta = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy cat again and again")],
+        "doc_id long, text string",
+    )
+    pairs, updated = minhash_index_merge(delta, idx, threshold=0.3)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(1, 3), (2, 3)}
+    assert updated.filter(F.col("doc_id") == 3).count() == 1
+    # the stored shingles are the NEW content's (contains 'cat' shingle
+    # hash set != old): merging an exact copy of the new text now pairs at 1.0
+    delta2 = spark.createDataFrame(
+        [(4, "the quick brown fox jumps over the lazy cat again and again")],
+        "doc_id long, text string",
+    )
+    pairs2, _ = minhash_index_merge(delta2, updated, threshold=0.3)
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs2.collect()}
+    assert j[(3, 4)] == 1.0

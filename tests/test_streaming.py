@@ -729,3 +729,73 @@ def test_streaming_algebraic_partials_match_batch(spark, tmp_path):
     assert replay.count() > 0
     replay.write.mode("append").parquet(out)
     assert view() == batch_truth
+
+
+def test_minhash_index_stream_matches_batch(spark, tmp_path):
+    """Streaming incremental dedup twin (round 9): documents arrive in
+    micro-batches, each foreachBatch merges against the persisted MinHash
+    index snapshot; after the stream drains, the union of per-batch pair
+    outputs ≡ one batch minhash_near_dups over all docs, and the latest
+    index snapshot answers like a fresh build."""
+    from streaming_feature_store_spark.operators.dedup import (
+        minhash_index_pairs,
+        minhash_near_dups,
+    )
+    from streaming_feature_store_spark.streaming.dedup import (
+        minhash_index_sink,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "spark shuffles partition data across executors by key ranges"),
+        (4, "the quick brown fox jumps over the lazy cat again and again"),
+        (5, "spark shuffles partition data across executors by hash ranges"),
+        (6, "completely novel sentence about feature stores and latency"),
+        (7, "the quick brown fox jumps over the lazy dog again and again"),
+        (8, "completely novel sentence about feature stores and freshness"),
+    ]
+    batches = [docs[0:3], docs[3:6], docs[6:8]]  # near-dups straddle batches
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    index_root = str(tmp_path / "mhidx")
+    pairs_root = str(tmp_path / "mhpairs")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            minhash_index_sink(index_root, pairs_root, threshold=0.3)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(os.listdir(index_root)) >= 3  # one snapshot per batch
+
+    all_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_dups(all_docs, threshold=0.3).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in spark.read.parquet(pairs_root).collect()
+    }
+    assert got == want and len(want) >= 3
+    latest = max(
+        int(d.split("=")[1]) for d in os.listdir(index_root)
+    )
+    snap = spark.read.parquet(f"{index_root}/v={latest}")
+    fresh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_index_pairs(snap, threshold=0.3).collect()
+    }
+    assert fresh == want
