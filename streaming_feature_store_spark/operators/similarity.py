@@ -399,36 +399,58 @@ def ivf_topk(
     the candidate join); the only wide op is the per-query top-k rank over
     ~nprobe/nlist of the corpus.
     """
-    import numpy as np
-
     if centroids is None:
-        n = corpus.count()
-        frac = min(1.0, (8.0 * nlist) / max(n, 1))
-        # xxhash64 is uniform over the full signed-long range; keep rows in
-        # the lowest `frac` slice of it (expected ~8·nlist survivors).
-        # Clamp: at frac==1.0 the raw expression is exactly 2^63, one past
-        # the signed-long max — and float rounding can push near-1 fracs
-        # over too; the clamp keeps the filter a no-op in those cases.
-        thresh = min(int(-(2**63) + frac * 2.0**64), 2**63 - 1)
-        h = F.xxhash64(F.col(id_col))
+        centroids = _default_ivf_centroids(corpus, nlist, id_col, vec_col)
+    Cn = _centroid_matrix(centroids, vec_col)
+    c = _ivf_assign(corpus, Cn, id_col, vec_col)
+    return _ivf_probe_score(c, queries, Cn, k, nprobe, id_col, vec_col)
+
+
+def _default_ivf_centroids(
+    corpus: DataFrame, nlist: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic hash-threshold centroid sample (see :func:`ivf_topk`
+    docstring for the threshold sizing argument)."""
+    n = corpus.count()
+    frac = min(1.0, (8.0 * nlist) / max(n, 1))
+    # xxhash64 is uniform over the full signed-long range; keep rows in
+    # the lowest `frac` slice of it (expected ~8·nlist survivors).
+    # Clamp: at frac==1.0 the raw expression is exactly 2^63, one past
+    # the signed-long max — and float rounding can push near-1 fracs
+    # over too; the clamp keeps the filter a no-op in those cases.
+    thresh = min(int(-(2**63) + frac * 2.0**64), 2**63 - 1)
+    h = F.xxhash64(F.col(id_col))
+    centroids = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .filter(h <= F.lit(thresh))
+        .orderBy(h.asc())
+        .limit(nlist)
+    )
+    if frac < 1.0 and centroids.count() < nlist:
+        # pathological hash luck (P ~ e^{-4·nlist}); fall back to the
+        # unfiltered corpus-wide take
         centroids = (
             corpus.select(F.col(id_col), F.col(vec_col))
-            .filter(h <= F.lit(thresh))
-            .orderBy(h.asc())
+            .orderBy(F.xxhash64(F.col(id_col)))
             .limit(nlist)
         )
-        if frac < 1.0 and centroids.count() < nlist:
-            # pathological hash luck (P ~ e^{-4·nlist}); fall back to the
-            # unfiltered corpus-wide take
-            centroids = (
-                corpus.select(F.col(id_col), F.col(vec_col))
-                .orderBy(F.xxhash64(F.col(id_col)))
-                .limit(nlist)
-            )
-    cent_rows = as_double_vec(centroids, vec_col).select(F.col(vec_col)).collect()
-    C = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)  # (nlist, dim)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return centroids
 
+
+def _centroid_matrix(centroids: DataFrame, vec_col: str):
+    """Collect the (bounded, nlist-row) centroid table into a row-normalized
+    numpy matrix whose ROW INDEX is the cell id."""
+    import numpy as np
+
+    cent_rows = as_double_vec(centroids, vec_col).select(F.col(vec_col)).collect()
+    C = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def _ivf_assign(corpus: DataFrame, Cn, id_col: str, vec_col: str) -> DataFrame:
+    """Assign every corpus vector to its nearest-centroid cell: BLAS argmax
+    over the broadcast (nlist × dim) matrix inside an Arrow-batched UDF —
+    one matmul per batch, no per-row Python."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -438,6 +460,27 @@ def ivf_topk(
         M = np.array(vs.tolist(), dtype=np.float64)
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
         return pd.Series((Mn @ Cn.T).argmax(axis=1).astype(np.int64))
+
+    return as_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
+        _cell(F.col(vec_col)).alias("cell"),
+    )
+
+
+def _ivf_probe_score(
+    c: DataFrame,
+    queries: DataFrame,
+    Cn,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe each query's nprobe nearest cells; exact cosine inside probed
+    cells only; per-query top-k rank."""
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
     def _probe_cells(vs: pd.Series) -> pd.Series:
@@ -449,12 +492,6 @@ def ivf_topk(
         top = np.argsort(-S, axis=1, kind="stable")[:, :nprobe].astype(np.int64)
         return pd.Series(list(top))
 
-    c = as_double_vec(corpus, vec_col).select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("cn"),
-        _cell(F.col(vec_col)).alias("cell"),
-    )
     q = as_double_vec(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -477,6 +514,72 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Persist an IVF-Flat index so repeated retrieval amortizes the build
+    — the retrieval-eval hot loop at 100 TB re-queries the same corpus
+    thousands of times, and without persistence every call re-picks
+    centroids and re-assigns every corpus vector (the expensive matmul
+    pass).
+
+    Layout (the M9 ``save_model`` discipline applied to ANN state):
+
+    - ``<path>/centroids``: one row per cell — ``(cell, vec)`` with the
+      cell id EXPLICIT, so reload reconstructs the centroid matrix in
+      the exact row order that defined the assignments (parquet read
+      order is not a contract);
+    - ``<path>/cells``: the assigned corpus ``(nbr_id, cvec, cn)``
+      written ``partitionBy("cell")`` — a probe query's broadcast join
+      on ``cell`` lets dynamic partition pruning skip the
+      (nlist − nprobe)/nlist of the corpus it never touches at the FILE
+      level, which a recomputed in-memory assignment cannot do.
+
+    Idempotent overwrite; reload with :func:`ivf_topk_persisted`.
+    """
+    if centroids is None:
+        centroids = _default_ivf_centroids(corpus, nlist, id_col, vec_col)
+    Cn = _centroid_matrix(centroids, vec_col)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(Cn)],
+        "cell long, vec array<double>",
+    )
+    cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    _ivf_assign(corpus, Cn, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/cells")
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index (:func:`save_ivf_index`):
+    identical results to :func:`ivf_topk` on the same corpus/centroids —
+    the pytest round-trip pins rank-for-rank equality — but the corpus
+    scan is the pre-assigned cell table, so per-query cost is the probed
+    cells' FILES only (broadcast-join dynamic partition pruning on the
+    ``cell`` partition column), with no assignment matmul at query time.
+    """
+    import numpy as np
+
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    Cn = np.array([r["vec"] for r in cent], dtype=np.float64)
+    c = spark.read.parquet(f"{path}/cells")
+    return _ivf_probe_score(c, queries, Cn, k, nprobe, id_col, vec_col)
 
 
 def lsh_cosine_topk(

@@ -247,3 +247,47 @@ def test_random_projection_deterministic_across_seeds(spark):
     assert a != c
     flat = [x for row in a for x in row]
     assert set(flat) == {1.0, -1.0}
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """r9: persisted IVF index answers IDENTICALLY to the in-memory build
+    (rank-for-rank, cosine-for-cosine) before and after reload — the
+    retrieval-eval hot loop amortizes centroid pick + corpus assignment."""
+    from streaming_feature_store_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_persisted,
+        save_ivf_index,
+    )
+    from streaming_feature_store_spark.sources.file import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivfidx")
+    save_ivf_index(emb, path, nlist=8)
+    live = (
+        ivf_topk(emb, q, dim=64, k=3, nlist=8, nprobe=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    loaded = (
+        ivf_topk_persisted(spark, path, q, k=3, nprobe=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in loaded] == [tuple(r) for r in live]
+    # the cells table is physically partitioned by cell -> probe joins
+    # can file-prune; sanity-check the layout exists as documented
+    import os
+
+    parts = [d for d in os.listdir(f"{path}/cells") if d.startswith("cell=")]
+    assert len(parts) == 8
+    # a second save is an idempotent overwrite
+    save_ivf_index(emb, path, nlist=8)
+    again = (
+        ivf_topk_persisted(spark, path, q, k=3, nprobe=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in live]
