@@ -921,7 +921,17 @@ def minhash_index_merge(
     vs O(|corpus| shuffle) for a recompute.  Exact verification explodes
     shingle arrays only for docs appearing in a candidate pair.
     """
-    new_index = build_minhash_index(new_docs, text_col, id_col, n, k, bands)
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    # the delta index feeds three consumers (anti-join key set, the
+    # union into updated, the banded join side); Spark gives zero
+    # ReusedExchange for shared subplans, so persist the small delta
+    # lineage once.  The BASE index is the caller's: pass a parquet-
+    # backed (the production shape) or persisted frame, or its lineage
+    # recomputes per consumer.
+    new_index = persist_tracked(
+        build_minhash_index(new_docs, text_col, id_col, n, k, bands)
+    )
     surviving = index.join(new_index.select(id_col), id_col, "left_anti")
     updated = surviving.unionByName(new_index.select(*index.columns))
     bn = _banded(new_index, id_col)

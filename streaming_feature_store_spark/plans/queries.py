@@ -10072,10 +10072,15 @@ def q221_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_index_pairs,
     )
 
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
     docs = _t(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 3 != 0)
     delta = docs.filter(F.col("doc_id") % 3 == 0)
-    idx = build_minhash_index(base)
+    # in production the index is parquet-backed (tools/scale_r9_probe);
+    # in this self-contained query it is built inline and consumed by
+    # both the base-pairs branch and the merge — persist it once
+    idx = persist_tracked(build_minhash_index(base))
     base_pairs = minhash_index_pairs(idx, threshold=0.5).withColumn(
         "src", F.lit("base")
     )
