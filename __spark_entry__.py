@@ -28,120 +28,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
-# registration (dict-insertion) order.  After r2-r6 every catalog query
-# carries a driver-recorded green row; the full catalog is additionally
-# pinned per-round by the committed PARITY_sf0.01_r0N.txt runs (r7's:
-# 158/158 at the first-batch point, refreshed after the second batch).
-# Round 7's window front-loads the queries over this round's CHANGED
-# code paths — the FIFTY-SIX new oracled queries (q149-q204: quarantine
-# routing, BPE parity, BM25, DSIR weights, k-anonymity, snapshot diff,
-# Lloyd step, Z-order key, JL projection, cohort retention, RFM
-# distributed-ntile, OOF target encoding, embargo split, oriented
-# triangle counting, EWMA fold, SemDeDup, feature hashing, MAD outliers,
-# Naive Bayes lang-id, distributed percent_rank, temperature mixture,
-# token-budget apportionment, calibration bins, CDC apply, TWAP,
-# Kaplan-Meier retention, cross-engine table checksums, impossible-travel
-# geo flags, grouped Mann-Whitney AUC, weighted median, Markov event
-# transitions, nearest-in-time join, seasonal hour-of-day anomalies,
-# Pareto frontier, key-skew report, Bloom pre-join reduction,
-# salt-and-replicate skew join, Welch A/B t-test, power-iteration PCA
-# step, cumulative-distinct breadth, l-diversity, Neyman allocation,
-# band join, conformal thresholds, incremental state merge, WOE/IV,
-# BH-FDR A/B screen, diff-in-diff, delta-method ratio CI, NDCG@k,
-# uplift/Qini deciles, erasure audit, CUPED, MDE, SRM guardrail),
-# the persisted-intermediate family now
-# running under the new cached-plan-AQE-coalescing session default
-# (q101/q102/q119 + the dedup/similarity lineages), the ivf_topk
-# centroid-threshold overflow fix (q58), the cacheutil release-API
-# split's consumers (q136/q138), and the queries whose forced
-# dim-broadcast hints were dropped in favor of AQE runtime promotion
-# (the window tail; the remainder stay pinned by the parity artifact).
+# registration (dict-insertion) order.  Every catalog query has carried a
+# driver-recorded green row at least once (union of CORRECTNESS_r01..r08 =
+# 220/220), and the full catalog is re-pinned per round by the committed
+# PARITY_sf0.01_r0N.txt runs on final HEAD.
+# Round 9's window (r8 verdict item #3): the front slots carry this
+# round's NEW and CHANGED code paths — q221 incremental dedup-against-
+# index (new), q216 (proportions_ztest empty-arm guard), q217 (stickiness
+# zero-DAU gap days + oracle change), q220 (forecast tiebreak param),
+# q58 (ivf_topk internals refactored for index persistence) — and the
+# remaining 45 slots ROTATE THE LEGACY SPINE q01-q45 through the driver:
+# those rows were last driver-checked on r2/r3-era HEADs, and with 221
+# queries and 50 slots the spine only re-pins via the parity artifact
+# unless deliberately rotated back in.
 _PRIORITY = [
-    # r8 item #1: the six catalog queries that overflowed round 7's
-    # 50-slot window and so have never carried a driver-recorded
-    # CORRECTNESS row (judge-verified green out-of-band in r7; rotated
-    # to positions 1-6 so r8's artifact closes the bookkeeping gap)
-    "q149_quarantine_rows", "q150_bpe_merges", "q151_bpe_token_counts",
-    "q156_kmeans_lloyd_step", "q157_zorder_key", "q158_random_projection",
-    # new in r8: Student-t small-arm dispatch (both branches + the
-    # NULL-variance path), blocked edit-distance dedup, lag-1
-    # autocorrelation, Beta-posterior bandit readout, mSPRT always-valid
-    # p-values, FK referential-integrity audit
-    "q205_small_arm_ab", "q206_part_name_edit_dups",
-    "q207_value_autocorr", "q208_bandit_posteriors",
-    "q209_always_valid_ab", "q210_fk_orphan_audit",
-    # r8 batch 3: in-corpus bigram-LM doc quality score, boilerplate
-    # phrase screen, jackknife ratio SE (delta-method cross-check),
-    # target-leakage screen
-    "q211_doc_lm_score", "q212_boilerplate_phrases",
-    "q213_jackknife_ratio_se", "q214_leakage_screen",
-    # r8 batch 4: count-metric rate-ratio test, pooled proportions
-    # z-test, DAU/WAU stickiness, cohort LTV curve
-    "q215_event_rate_ratio", "q216_conversion_ztest",
-    "q217_dau_stickiness", "q218_cohort_ltv",
-    # r8 batch 5: t-closeness privacy audit, forecast-baseline MASE
-    "q219_t_closeness", "q220_forecast_eval",
-    # new this round, batch 10 (4): experimentation + ranking eval —
-    # BH-FDR A/B screen, diff-in-diff, delta-method clustered ratio CI,
-    # NDCG/precision/recall@k
-    "q196_ab_fdr_screen", "q197_event_value_did",
-    "q198_value_per_event_ci", "q199_recs_ranking_quality",
-    "q200_uplift_deciles", "q201_erasure_audit",
-    "q202_cuped_adjusted_effect", "q203_experiment_mde",
-    "q204_srm_guardrail",
-    # new this round, batch 9 (4): band join, conformal cutoffs,
-    # incremental partial-state merge, WOE/IV encoding
-    "q192_price_band_orders", "q193_conformal_value_cutoffs",
-    "q194_event_value_incremental", "q195_segment_woe",
-    # new this round, batch 7 (8): eval/robust-stats/sequence/join breadth
-    # new this round, batch 8 (6): skew join, A/B stats, PCA step,
-    # distinct-breadth window, l-diversity, Neyman sampling plan
-    "q186_skew_safe_revenue", "q187_event_value_ab_test",
-    "q188_power_iteration", "q189_user_event_breadth",
-    "q190_l_diverse_release", "q191_neyman_sample_plan",
-    "q178_grouped_auc", "q179_weighted_median_price",
-    "q180_event_transitions", "q181_nearest_event_value",
-    "q182_hourly_anomaly_rates", "q183_price_size_frontier",
-    "q184_custkey_skew_report", "q185_bloom_prejoin_stats",
-    # new this round, batches 2-6 (19): behavior/ML-encoding/graph
-    "q159_cohort_retention", "q160_rfm_segments", "q161_target_encoding",
-    "q162_embargo_split", "q163_part_triangles", "q164_user_value_ewma",
-    "q165_semantic_dedup", "q166_hashed_feature_buckets",
-    "q167_mad_outliers", "q168_naive_bayes_langid",
-    "q169_value_percent_rank", "q170_temperature_mixture",
-    "q171_token_budget_alloc", "q172_calibration_bins",
-    "q173_cdc_apply", "q174_user_value_twap",
-    "q175_retention_survival", "q176_table_checksums",
-    "q177_impossible_travel",
-    # new this round, first batch (10)
-    "q152_bm25_topk", "q153_dsir_weights", "q154_k_anonymize",
-    "q155_snapshot_diff",
-    # cached-plan AQE coalescing default + dedup/similarity family (12)
-    "q101_unigram_logprob", "q102_bigram_collocations",
-    "q119_brand_basket_lift", "q60_dedup_survivors",
-    "q67_dedup_clusters", "q22_jaccard_near_dups",
-    "q39_minhash_near_dups", "q40_simhash_near_dups",
-    "q57_embedding_near_dups", "q116_source_overlap",
-    "q58_ivf_topk", "q41_lsh_cosine_topk",
-    # cacheutil release-API split consumers (2)
-    "q136_nation_pagerank", "q138_negative_samples",
-    # forced dim-broadcast hints dropped -> AQE runtime promotion (18)
-    "q06_top_customers", "q15_revenue_by_nation",
-    "q34_profile_default_fill", "q38_top_parts_by_revenue",
-    "q50_shipping_priority", "q51_promo_revenue_share",
-    "q76_nation_trade_flows", "q78_solely_late_suppliers",
-    "q85_brand_revenue_share", "q86_top_supplier_revenue",
-    "q87_large_orders", "q89_min_unit_price_supplier",
-    "q91_knn_label_agreement", "q97_regional_supplier_revenue",
-    "q98_returned_items_customers", "q99_supplier_nation_year_revenue",
-    "q100_disjunctive_predicates", "q105_market_share",
-    # oldest-verified ballast (8): last driver-checked in r3 (the other
-    # seven r3-era rows rotated out to make room for q152-q158; all are
-    # pinned by the committed full-parity artifact either way)
+    # r9 new + changed code paths (5)
+    "q221_incremental_minhash", "q216_conversion_ztest",
+    "q217_dau_stickiness", "q220_forecast_eval", "q58_ivf_topk",
+    # legacy spine rotation (45): TPC-H-ish aggregates/joins/windows
+    # q01-q30 + the q31-q45 continuation
+    "q01_pricing_summary", "q02_user_window_stats_5m",
+    "q03_user_sliding_5m_1m", "q04_time_since_last", "q05_multi_horizon",
+    "q06_top_customers", "q07_event_type_mode", "q08_user_sessions",
+    "q09_user_type_ratios", "q10_value_zscore", "q11_rolling_last_100",
+    "q12_engagement_score", "q13_event_flags",
+    "q14_asof_purchase_features", "q15_revenue_by_nation",
+    "q16_union_activity", "q17_market_segment_stats",
+    "q18_order_priority", "q19_doc_token_stats", "q20_doc_quality",
+    "q21_exact_dup_groups", "q22_jaccard_near_dups",
+    "q23_lang_source_stats", "q24_lang_id", "q25_cosine_topk",
+    "q26_psi_drift", "q27_ks_drift", "q28_chi2_drift",
+    "q29_daily_rollup", "q30_hourly_histogram",
+    "q31_asof_order_enrichment", "q32_user_value_stddev",
+    "q33_risk_ladder", "q34_profile_default_fill",
+    "q35_user_hour_profile", "q36_velocity", "q37_same_type_affinity",
+    "q38_top_parts_by_revenue", "q39_minhash_near_dups",
+    "q40_simhash_near_dups", "q41_lsh_cosine_topk",
     "q42_out_of_order_stats", "q43_supplier_region_stats",
     "q44_timestamp_normalization", "q45_approx_distinct",
-    "q46_wide_feature_frame", "q47_discount_revenue",
-    "q48_salted_user_stats", "q49_rollup_revenue",
 ]
 
 
