@@ -1,0 +1,110 @@
+"""Composed incremental-ingest pipeline — the DAILY path of a 100 TB
+training-data platform, built from round-9 operators: all corpus-scale
+state (dedup index, ANN index, tokenizer) is built ONCE and persisted;
+each day's delta prices on the DELTA.
+
+Day 0 (one-time, amortized):
+  1. build + persist the MinHash dedup index     (dedup.build_minhash_index)
+  2. build + persist the IVF ANN index           (similarity.save_ivf_index)
+  3. train + persist the BPE merge table         (tokenize.train_bpe/save_bpe)
+
+Day 1..N (the recurring path — never re-shingles / re-assigns / re-trains):
+  4. incremental near-dup screen: delta vs index (dedup.minhash_index_merge)
+  5. drop delta docs that duplicate the corpus; upsert survivors' index
+  6. tokenize survivors with the SAVED merges    (tokenize.bpe_encode)
+  7. ANN retrieval of each survivor's nearest corpus neighbors against the
+     PERSISTED index (similarity.ivf_topk_persisted) — the semantic-dedup /
+     retrieval-eval hot loop
+
+Run:  python examples/demo_incremental_ingest.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, ".")
+
+from streaming_feature_store_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("incremental-ingest-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from streaming_feature_store_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_merge,
+    )
+    from streaming_feature_store_spark.operators.similarity import (
+        ivf_topk_persisted,
+        save_ivf_index,
+    )
+    from streaming_feature_store_spark.operators.tokenize import (
+        bpe_encode,
+        load_bpe,
+        save_bpe,
+        train_bpe,
+    )
+    from streaming_feature_store_spark.sources.file import load_table
+
+    tmp = tempfile.mkdtemp(prefix="ingest_demo_")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = docs.filter(F.col("doc_id") % 10 != 0)      # the existing corpus
+    delta = docs.filter(F.col("doc_id") % 10 == 0)     # today's crawl
+
+    print("== day 0: build persistent corpus state (one-time) ==")
+    build_minhash_index(base).write.mode("overwrite").parquet(f"{tmp}/mhidx")
+    n_idx = spark.read.parquet(f"{tmp}/mhidx").count()
+    print(f"  dedup index: {n_idx} docs indexed -> {tmp}/mhidx")
+    save_ivf_index(emb, f"{tmp}/ivf", nlist=16)
+    print(f"  ANN index:   16 cells persisted  -> {tmp}/ivf")
+    merges = train_bpe(base, n_merges=60, sample_docs=None)
+    save_bpe(merges, f"{tmp}/bpe.json")
+    print(f"  tokenizer:   {len(merges)} BPE merges -> {tmp}/bpe.json")
+
+    print("== day 1: incremental ingest of the delta ==")
+    idx = spark.read.parquet(f"{tmp}/mhidx")
+    n_delta = delta.count()
+    pairs, updated = minhash_index_merge(delta, idx, threshold=0.5)
+    dup_ids = {
+        r["d"]
+        for r in pairs.select(
+            F.when(F.col("doc_a") % 10 == 0, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("d")
+        ).collect()
+    }
+    print(f"  delta: {n_delta} docs; near-dup pairs vs corpus+delta: "
+          f"{pairs.count()}; delta docs flagged duplicate: {len(dup_ids)}")
+    survivors = delta.filter(~F.col("doc_id").isin(list(dup_ids) or [-1]))
+    n_surv = survivors.count()
+    updated.write.mode("overwrite").parquet(f"{tmp}/mhidx_v2")
+    print(f"  survivors: {n_surv}; index upserted -> {tmp}/mhidx_v2 "
+          f"({spark.read.parquet(f'{tmp}/mhidx_v2').count()} docs)")
+
+    toks = bpe_encode(survivors, load_bpe(f"{tmp}/bpe.json"))
+    stats = toks.agg(
+        F.sum("n_bpe_tokens").alias("total"),
+        F.round(F.avg("n_bpe_tokens"), 1).alias("avg"),
+    ).collect()[0]
+    print(f"  tokenized survivors with SAVED merges: {stats['total']} "
+          f"BPE tokens total, {stats['avg']} avg/doc")
+
+    q = emb.filter(F.col("vec_id") < 5)
+    nn = ivf_topk_persisted(spark, f"{tmp}/ivf", q, k=3, nprobe=4)
+    print("  ANN neighbors from PERSISTED index (query batch of 5):")
+    for r in nn.orderBy("query_id", "rank").collect():
+        print(f"    q{r['query_id']} -> {r['nbr_id']} "
+              f"(cosine {r['cosine']:.4f}, rank {r['rank']})")
+    print("== done: recurring cost priced on the delta; corpus state reused ==")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -192,3 +192,22 @@ def bpe_encode(
         id_col,
         _encode(F.col(text_col)).alias("bpe_tokens"),
     ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))
+
+
+def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge table (train once, tokenize every future
+    delta with :func:`bpe_encode` — the same amortization contract as
+    ``similarity.save_ivf_index`` / ``dedup.build_minhash_index``).
+    Plain ordered JSON: rank IS list position, exactly what
+    :func:`bpe_encode` reconstructs."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump([[a, b] for a, b in merges], f)
+
+
+def load_bpe(path: str) -> list[tuple[str, str]]:
+    import json
+
+    with open(path) as f:
+        return [(a, b) for a, b in json.load(f)]

@@ -112,3 +112,31 @@ def test_bpe_property_lossless_and_engine_agrees(spark, docs, n_merges):
         for w in ws:
             toks = encode_word(w, ranks)
             assert "".join(toks) == w + "</w>"
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    """r9: a reloaded merge table tokenizes a delta identically to the
+    in-memory table (rank order survives the JSON round-trip)."""
+    from streaming_feature_store_spark.operators.tokenize import (
+        bpe_encode,
+        load_bpe,
+        save_bpe,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "lower lowest newer newest wider widest"),
+         (2, "low new wide lower newer wider")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, n_merges=20, sample_docs=None)
+    p = str(tmp_path / "merges.json")
+    save_bpe(merges, p)
+    assert load_bpe(p) == merges
+    delta = spark.createDataFrame(
+        [(3, "slower slowest wide new low")], "doc_id long, text string"
+    )
+    live = bpe_encode(delta, merges).collect()[0]
+    reloaded = bpe_encode(delta, load_bpe(p)).collect()[0]
+    assert live["bpe_tokens"] == reloaded["bpe_tokens"]
+    assert live["n_bpe_tokens"] == reloaded["n_bpe_tokens"]
