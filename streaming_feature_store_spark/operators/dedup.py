@@ -955,3 +955,54 @@ def minhash_index_merge(
     cands = nn.union(no).distinct()
     new_pairs = _verify_from_index(cands, updated, id_col, threshold)
     return new_pairs, updated
+
+
+def fingerprint_index_merge(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental EXACT dedup against a persisted fingerprint index —
+    the cheap first tier of the daily ingest screen (byte-identical
+    re-crawls are the bulk of web-corpus duplication; they never need
+    shingles): returns ``(screen, updated_index)``.
+
+    ``screen`` has one row per delta doc: its md5 ``fingerprint``, the
+    corpus representative ``match_id`` (NULL if unseen) and the
+    ``is_corpus_dup`` flag.  ``updated_index`` merges the delta into the
+    index — per-fingerprint ``dup_count`` sums, representative stays the
+    global MIN id — and equals ``exact_dup_groups(base ∪ delta)``
+    exactly (pytest pins it).
+
+    Scale shape: the index is keyed by a 32-hex fingerprint, never text;
+    the delta side is small so AQE broadcasts it against the index scan;
+    the update shuffles only |delta-fingerprint| + matching index rows
+    at a bucketed layout (or is a MERGE INTO on a table format).
+    """
+    new_groups = exact_dup_groups(new_docs, text_col, id_col)
+    screen = (
+        fingerprint(new_docs, text_col)
+        .join(
+            index.select(
+                "fingerprint", F.col("first_doc_id").alias("match_id")
+            ),
+            "fingerprint",
+            "left",
+        )
+        .select(
+            id_col,
+            "fingerprint",
+            "match_id",
+            F.col("match_id").isNotNull().alias("is_corpus_dup"),
+        )
+    )
+    updated = (
+        index.unionByName(new_groups)
+        .groupBy("fingerprint")
+        .agg(
+            F.sum("dup_count").alias("dup_count"),
+            F.min("first_doc_id").alias("first_doc_id"),
+        )
+    )
+    return screen, updated

@@ -10086,3 +10086,50 @@ def q221_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_pairs, _ = minhash_index_merge(delta, idx, threshold=0.5)
     return base_pairs.unionByName(new_pairs.withColumn("src", F.lit("delta")))
+
+
+@query(
+    "q222_incremental_exact_screen",
+    sql="""
+    WITH delta AS (
+      SELECT doc_id + 100000 AS doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN text
+          ELSE text || ' novelsuffix' END AS text
+      FROM documents
+    ), b AS (
+      SELECT md5(text) AS fingerprint, MIN(doc_id) AS first_doc_id
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, md5(d.text) AS fingerprint,
+      b.first_doc_id AS match_id,
+      b.first_doc_id IS NOT NULL AS is_corpus_dup
+    FROM delta d LEFT JOIN b ON md5(d.text) = b.fingerprint
+    """,
+)
+def q222_incremental_exact_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT-dup ingest screen
+    (``dedup.fingerprint_index_merge``): a simulated re-crawl delta —
+    every corpus doc returns under a new id, byte-identical for
+    doc_id % 3 == 0 and with a trailing novel token otherwise — is
+    screened against the persisted fingerprint index of the existing
+    corpus.  Re-crawled docs must flag ``is_corpus_dup`` with the
+    original representative id; modified docs must pass as novel.  The
+    cheap first tier of the daily ingest path (byte-identical re-crawls
+    dominate web-corpus duplication and never need shingles); md5 keys,
+    delta side broadcasts.  The companion index upsert is pinned by
+    tests/test_dedup.py::test_fingerprint_index_merge."""
+    from streaming_feature_store_spark.operators.dedup import (
+        exact_dup_groups,
+        fingerprint_index_merge,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    delta = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" novelsuffix")))
+        .alias("text"),
+    )
+    idx = exact_dup_groups(docs)
+    screen, _ = fingerprint_index_merge(delta, idx)
+    return screen

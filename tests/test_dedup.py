@@ -347,3 +347,100 @@ def test_minhash_index_merge_replaces_reingested_ids(spark):
     pairs2, _ = minhash_index_merge(delta2, updated, threshold=0.3)
     j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs2.collect()}
     assert j[(3, 4)] == 1.0
+
+
+def test_minhash_index_merge_property_random_corpora(spark):
+    """Property: for ARBITRARY corpora and ANY base/delta split,
+    pairs(index(base)) ∪ merge(delta).pairs == minhash_near_dups(all) —
+    including docs shorter than the shingle width (absent from both
+    paths), empty strings, and near-dup clusters straddling the split."""
+    import random
+
+    from streaming_feature_store_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_merge,
+        minhash_index_pairs,
+        minhash_near_dups,
+    )
+
+    words = [f"w{i}" for i in range(12)]
+    rng = random.Random(42)
+    for trial in range(4):
+        docs = []
+        for i in range(30):
+            if rng.random() < 0.15 and docs:
+                # near-copy of an earlier doc (perturb one token)
+                src = list(docs[rng.randrange(len(docs))][1].split(" "))
+                if src and src[0]:
+                    src[rng.randrange(len(src))] = rng.choice(words)
+                docs.append((i, " ".join(src)))
+            else:
+                n_tok = rng.choice([0, 1, 2, 3, 8, 20])
+                docs.append(
+                    (i, " ".join(rng.choice(words) for _ in range(n_tok)))
+                )
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        cut = rng.randrange(1, 30)
+        base = df.filter(F.col("doc_id") < cut)
+        delta = df.filter(F.col("doc_id") >= cut)
+        idx = build_minhash_index(base)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in minhash_index_pairs(idx, threshold=0.4).collect()
+        }
+        if delta.count():
+            pairs, _ = minhash_index_merge(delta, idx, threshold=0.4)
+            got.update(
+                {
+                    (r["doc_a"], r["doc_b"]): r["jaccard"]
+                    for r in pairs.collect()
+                }
+            )
+        want = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in minhash_near_dups(df, threshold=0.4).collect()
+        }
+        assert got == want, (trial, cut, len(got), len(want))
+
+
+def test_fingerprint_index_merge(spark):
+    """Exact-dup ingest screen: delta docs byte-identical to corpus docs
+    flag with the corpus representative; updated index == a fresh
+    exact_dup_groups over base ∪ delta.  (The synthetic testdata corpus
+    has NO exact dups — verified via DuckDB — so dups are planted.)"""
+    from streaming_feature_store_spark.operators.dedup import (
+        exact_dup_groups,
+        fingerprint_index_merge,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),   # in-corpus dup of 1
+            (3, "epsilon zeta eta theta"),
+            (4, "iota kappa lambda mu"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),  # re-crawl of 1/2
+            (11, "iota kappa lambda mu"),    # re-crawl of 4
+            (12, "nu xi omicron pi"),        # novel
+        ],
+        "doc_id long, text string",
+    )
+    idx = exact_dup_groups(base)
+    screen, updated = fingerprint_index_merge(delta, idx)
+    got = {r["doc_id"]: (r["is_corpus_dup"], r["match_id"]) for r in screen.collect()}
+    assert got == {10: (True, 1), 11: (True, 4), 12: (False, None)}
+    want = {
+        r["fingerprint"]: (r["dup_count"], r["first_doc_id"])
+        for r in exact_dup_groups(base.unionByName(delta)).collect()
+    }
+    have = {
+        r["fingerprint"]: (r["dup_count"], r["first_doc_id"])
+        for r in updated.collect()
+    }
+    assert have == want
+    assert have[[k for k, v in have.items() if v[1] == 1][0]] == (3, 1)
