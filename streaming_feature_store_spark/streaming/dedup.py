@@ -35,6 +35,24 @@ def dedup_events(
     )
 
 
+def _latest_snapshot(index_root: str, batch_id: int) -> int | None:
+    """Newest committed snapshot version ≤ batch_id.  NOT the global max:
+    a crashed attempt of THIS batch may already have written v=<id+1>,
+    and its retry must re-merge against the pre-batch snapshot (the
+    retry-idempotence contract both index sinks rely on).  Local-FS
+    listing here; on a cluster this is one catalog/manifest lookup."""
+    import os
+    import re
+
+    versions = []
+    if os.path.isdir(index_root):
+        for d in os.listdir(index_root):
+            m = re.fullmatch(r"v=(\d+)", d)
+            if m and int(m.group(1)) <= batch_id:
+                versions.append(int(m.group(1)))
+    return max(versions) if versions else None
+
+
 def minhash_index_sink(
     index_root: str,
     pairs_root: str,
@@ -68,9 +86,6 @@ def minhash_index_sink(
     pairs-within-first-batch ≡ minhash_near_dups(all docs)``
     (tests/test_streaming.py).
     """
-    import os
-    import re
-
     from streaming_feature_store_spark.operators.dedup import (
         build_minhash_index,
         minhash_index_merge,
@@ -79,14 +94,9 @@ def minhash_index_sink(
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        versions = []
-        if os.path.isdir(index_root):
-            for d in os.listdir(index_root):
-                m = re.fullmatch(r"v=(\d+)", d)
-                if m and int(m.group(1)) <= batch_id:
-                    versions.append(int(m.group(1)))
-        if versions:
-            index = spark.read.parquet(f"{index_root}/v={max(versions)}")
+        v = _latest_snapshot(index_root, batch_id)
+        if v is not None:
+            index = spark.read.parquet(f"{index_root}/v={v}")
             pairs, updated = minhash_index_merge(
                 batch_df, index, text_col, id_col, n, k, bands, threshold
             )
@@ -100,6 +110,58 @@ def minhash_index_sink(
         )
         pairs.write.mode("overwrite").parquet(
             f"{pairs_root}/batch={batch_id}"
+        )
+
+    return _handle
+
+
+def fingerprint_index_sink(
+    index_root: str,
+    screen_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """``foreachBatch`` twin of the exact-dup ingest screen
+    (``operators.dedup.fingerprint_index_merge``): each micro-batch is
+    screened against the persisted fingerprint index snapshot — per-doc
+    dup flags land under ``screen_root/batch=<id>``, the upserted index
+    becomes ``index_root/v=<id+1>``.  Same retry-idempotence discipline
+    as :func:`minhash_index_sink` (shared ``_latest_snapshot``): a
+    retried batch re-reads the pre-batch snapshot and overwrites its own
+    batch-derived outputs.  Docs arriving in the FIRST batch screen
+    against an empty index (all novel) and seed snapshot v=1."""
+    from streaming_feature_store_spark.operators.dedup import (
+        exact_dup_groups,
+        fingerprint_index_merge,
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        v = _latest_snapshot(index_root, batch_id)
+        if v is not None:
+            index = spark.read.parquet(f"{index_root}/v={v}")
+            screen, updated = fingerprint_index_merge(
+                batch_df, index, text_col, id_col
+            )
+        else:
+            updated = exact_dup_groups(batch_df, text_col, id_col)
+            import pyspark.sql.functions as F
+
+            from streaming_feature_store_spark.operators.text import (
+                fingerprint,
+            )
+
+            screen = fingerprint(batch_df, text_col).select(
+                id_col,
+                "fingerprint",
+                F.lit(None).cast("long").alias("match_id"),
+                F.lit(False).alias("is_corpus_dup"),
+            )
+        updated.write.mode("overwrite").parquet(
+            f"{index_root}/v={batch_id + 1}"
+        )
+        screen.write.mode("overwrite").parquet(
+            f"{screen_root}/batch={batch_id}"
         )
 
     return _handle

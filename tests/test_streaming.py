@@ -799,3 +799,72 @@ def test_minhash_index_stream_matches_batch(spark, tmp_path):
         for r in minhash_index_pairs(snap, threshold=0.3).collect()
     }
     assert fresh == want
+
+
+def test_fingerprint_index_stream_screens_recrawls(spark, tmp_path):
+    """Streaming exact-dup ingest screen: a doc re-delivered in a LATER
+    micro-batch flags as a corpus dup of the earlier representative; the
+    final index snapshot equals a batch exact_dup_groups over all docs."""
+    from streaming_feature_store_spark.operators.dedup import (
+        exact_dup_groups,
+    )
+    from streaming_feature_store_spark.streaming.dedup import (
+        fingerprint_index_sink,
+    )
+
+    batches = [
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        [(3, "alpha beta gamma"), (4, "eta theta iota")],   # 3 re-crawls 1
+        [(5, "delta epsilon zeta"), (6, "alpha beta gamma")],  # both dups
+    ]
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    index_root = str(tmp_path / "fpidx")
+    screen_root = str(tmp_path / "fpscreen")
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            fingerprint_index_sink(index_root, screen_root)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["is_corpus_dup"], r["match_id"])
+        for r in spark.read.parquet(screen_root).collect()
+    }
+    # file-stream batch order is not a contract, but each text's FIRST
+    # arrival must be novel and every later arrival must flag with a
+    # lower-id representative
+    by_text = {1: "a", 3: "a", 6: "a", 2: "d", 5: "d", 4: "e"}
+    firsts = {}
+    for doc in sorted(got):
+        t = by_text[doc]
+        if t not in firsts:
+            firsts[t] = doc
+    for doc, (dup, match) in got.items():
+        if doc == firsts[by_text[doc]]:
+            assert not dup and match is None, (doc, got)
+        else:
+            assert dup and match is not None and match < doc, (doc, got)
+    latest = max(int(d.split("=")[1]) for d in os.listdir(index_root))
+    snap = {
+        r["fingerprint"]: (r["dup_count"], r["first_doc_id"])
+        for r in spark.read.parquet(f"{index_root}/v={latest}").collect()
+    }
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    want = {
+        r["fingerprint"]: (r["dup_count"], r["first_doc_id"])
+        for r in exact_dup_groups(all_docs).collect()
+    }
+    assert snap == want
