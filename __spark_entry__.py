@@ -42,9 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries and 50 slots the spine only re-pins via the parity artifact
 # unless deliberately rotated back in.
 _PRIORITY = [
-    # r9 new + changed code paths (6)
+    # r9 new + changed code paths (7)
     "q221_incremental_minhash", "q222_incremental_exact_screen",
-    "q216_conversion_ztest",
+    "q223_incremental_neardup_screen", "q216_conversion_ztest",
     "q217_dau_stickiness", "q220_forecast_eval", "q58_ivf_topk",
     # legacy spine rotation (45): TPC-H-ish aggregates/joins/windows
     # q01-q30 + the q31-q45 continuation

@@ -38,7 +38,7 @@ def main() -> None:
 
     from streaming_feature_store_spark.operators.dedup import (
         build_minhash_index,
-        minhash_index_merge,
+        minhash_index_screen,
     )
     from streaming_feature_store_spark.operators.similarity import (
         ivf_topk_persisted,
@@ -71,18 +71,16 @@ def main() -> None:
     print("== day 1: incremental ingest of the delta ==")
     idx = spark.read.parquet(f"{tmp}/mhidx")
     n_delta = delta.count()
-    pairs, updated = minhash_index_merge(delta, idx, threshold=0.5)
-    dup_ids = {
-        r["d"]
-        for r in pairs.select(
-            F.when(F.col("doc_a") % 10 == 0, F.col("doc_a"))
-            .otherwise(F.col("doc_b"))
-            .alias("d")
-        ).collect()
-    }
-    print(f"  delta: {n_delta} docs; near-dup pairs vs corpus+delta: "
-          f"{pairs.count()}; delta docs flagged duplicate: {len(dup_ids)}")
-    survivors = delta.filter(~F.col("doc_id").isin(list(dup_ids) or [-1]))
+    screen, updated = minhash_index_screen(delta, idx, threshold=0.5)
+    # the documented gate policy: drop if the match is already indexed,
+    # else keep the lowest-id member of an in-batch-only cluster
+    keep = screen.filter(
+        ~F.col("is_near_dup")
+        | (~F.col("match_in_index") & (F.col("best_match_id") > F.col("doc_id")))
+    ).select("doc_id")
+    n_dup = n_delta - keep.count()
+    print(f"  delta: {n_delta} docs; flagged duplicate by the gate: {n_dup}")
+    survivors = delta.join(keep, "doc_id", "left_semi")
     n_surv = survivors.count()
     updated.write.mode("overwrite").parquet(f"{tmp}/mhidx_v2")
     print(f"  survivors: {n_surv}; index upserted -> {tmp}/mhidx_v2 "

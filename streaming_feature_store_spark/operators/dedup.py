@@ -1006,3 +1006,85 @@ def fingerprint_index_merge(
         )
     )
     return screen, updated
+
+
+def minhash_index_screen(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Decision-ready form of :func:`minhash_index_merge`: one row PER
+    DELTA DOC — ``(doc_id, is_near_dup, best_match_id, best_jaccard,
+    match_in_index)`` — instead of a pair list; ties on jaccard break to
+    the LOWEST match id (deterministic).  ``best_match_id`` may be
+    another delta doc (an in-batch duplicate cluster) or an indexed
+    corpus doc — ``match_in_index`` says which; docs with no qualifying
+    pair pass as novel.  Returns ``(screen, updated_index)``.
+
+    This is the form the ingest gate consumes.  The standard keep/drop
+    policy: drop if ``match_in_index`` (the corpus already has it), else
+    drop if ``best_match_id < doc_id`` (keep the lowest-id member of an
+    in-batch-only cluster) — so every duplicate cluster retains exactly
+    one representative.  The pair list remains available from
+    :func:`minhash_index_merge` for cluster construction
+    (``dedup_clusters``) and audit.
+    """
+    pairs, updated = minhash_index_merge(
+        new_docs, index, text_col, id_col, n, k, bands, threshold
+    )
+    delta_ids = new_docs.select(F.col(id_col)).distinct()
+    sided = pairs.select(
+        F.col("doc_a").alias(id_col),
+        F.col("doc_b").alias("match_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias(id_col),
+            F.col("doc_a").alias("match_id"),
+            "jaccard",
+        )
+    ).join(delta_ids, id_col, "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("jaccard"), F.asc("match_id")
+    )
+    best = (
+        sided.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("match_id").alias("best_match_id"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+    # is the winning match an already-indexed corpus doc (vs an in-batch
+    # delta doc)?  NOTE: `index` here is pre-upsert, so a delta doc that
+    # REPLACED a corpus row still counts as in-index for its old id —
+    # exactly the gate's intent.
+    idx_ids = index.select(F.col(id_col).alias("best_match_id")).distinct()
+    screen = (
+        new_docs.select(F.col(id_col)).distinct()
+        .join(best, id_col, "left")
+        .join(
+            idx_ids.withColumn("_in_idx", F.lit(True)),
+            "best_match_id",
+            "left",
+        )
+        .select(
+            id_col,
+            F.col("best_match_id").isNotNull().alias("is_near_dup"),
+            "best_match_id",
+            "best_jaccard",
+            F.when(
+                F.col("best_match_id").isNotNull(),
+                F.coalesce(F.col("_in_idx"), F.lit(False)),
+            ).alias("match_in_index"),
+        )
+    )
+    return screen, updated

@@ -10133,3 +10133,71 @@ def q222_incremental_exact_screen(spark: SparkSession, sf_dir: str) -> DataFrame
     idx = exact_dup_groups(docs)
     screen, _ = fingerprint_index_merge(delta, idx)
     return screen
+
+
+@query(
+    "q223_incremental_neardup_screen",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), shx AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tok
+    ), sh AS (
+      SELECT doc_id, unnest(sh) AS s FROM shx
+    ), sizes AS (
+      SELECT doc_id, CAST(len(sh) AS INTEGER) AS nsh FROM shx
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+        ROUND(n_common / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE), 6)
+          AS jaccard
+      FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_common / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.5
+        AND (doc_a % 3 = 0 OR doc_b % 3 = 0)
+    ), sided AS (
+      SELECT doc_a AS doc_id, doc_b AS match_id, jaccard FROM pairs
+        WHERE doc_a % 3 = 0
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS match_id, jaccard FROM pairs
+        WHERE doc_b % 3 = 0
+    ), best AS (
+      SELECT doc_id, match_id AS best_match_id, jaccard AS best_jaccard,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY jaccard DESC, match_id ASC) AS rn
+      FROM sided
+    )
+    SELECT d.doc_id,
+      b.best_match_id IS NOT NULL AS is_near_dup,
+      b.best_match_id, b.best_jaccard,
+      CASE WHEN b.best_match_id IS NOT NULL
+        THEN b.best_match_id % 3 != 0 END AS match_in_index
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+    """,
+)
+def q223_incremental_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc ingest gate over the incremental merge
+    (``dedup.minhash_index_screen``): same base/delta split as q221, but
+    the output is the DECISION form — one row per delta doc with its
+    near-dup flag, best-matching doc (lowest id on jaccard ties) and
+    best jaccard; novel docs carry NULLs.  The oracle recomputes the
+    argmax from the exact all-pairs join restricted to delta-involving
+    pairs, so the gate checks candidate completeness AND the
+    deterministic tie-break."""
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+    from streaming_feature_store_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_screen,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = persist_tracked(build_minhash_index(base))
+    screen, _ = minhash_index_screen(delta, idx, threshold=0.5)
+    return screen

@@ -444,3 +444,54 @@ def test_fingerprint_index_merge(spark):
     }
     assert have == want
     assert have[[k for k, v in have.items() if v[1] == 1][0]] == (3, 1)
+
+
+def test_minhash_index_screen_decision_form(spark):
+    """Per-doc gate: jaccard ties break to the LOWEST match id; novel
+    docs pass with NULLs; in-batch dups match each other."""
+    from streaming_feature_store_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_screen,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (5, "unrelated base content about shuffle partitions and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            (11, "totally novel sentence with nothing shared at all here"),
+            (12, "totally novel sentence with nothing shared at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_minhash_index(base)
+    screen, _ = minhash_index_screen(delta, idx, threshold=0.5)
+    got = {
+        r["doc_id"]: (
+            r["is_near_dup"],
+            r["best_match_id"],
+            r["best_jaccard"],
+            r["match_in_index"],
+        )
+        for r in screen.collect()
+    }
+    # doc 10 ties at jaccard 1.0 against base 1 AND 2 -> lowest id wins
+    assert got[10] == (True, 1, 1.0, True)
+    # 11 and 12 duplicate each other in-batch: each matches the other,
+    # and match_in_index=False says the gate policy keeps the lower id
+    assert got[11] == (True, 12, 1.0, False)
+    assert got[12] == (True, 11, 1.0, False)
+    assert len(got) == 3
+    # the documented gate policy retains exactly one member per cluster
+    keep = {
+        d
+        for d, (dup, m, _j, in_idx) in got.items()
+        if not dup or (not in_idx and m > d)
+    }
+    assert keep == {11}
