@@ -1100,3 +1100,38 @@ def power_iteration_step(
             F.round(F.col("_u") / F.col("_norm"), 6).alias("component"),
         )
     )
+
+
+def ivf_index_merge(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally ingest new vectors into a persisted IVF index
+    (:func:`save_ivf_index`): assign the delta to the EXISTING centroids
+    (standard IVF practice — cells stay fixed between periodic offline
+    re-trains, FAISS ``add`` semantics) and APPEND to the cell table.
+
+    Because the cell table is ``partitionBy("cell")``, the append
+    touches only the ≤ nlist partitions the delta lands in — existing
+    files are never rewritten, and concurrent probe queries keep their
+    snapshot of old files.  Post-merge, :func:`ivf_topk_persisted`
+    answers over corpus ∪ delta exactly as a fresh build WITH THE SAME
+    CENTROIDS would (pytest pins it); recall drifts only as far as the
+    data distribution drifts from the centroids — re-train on schedule
+    with ``train_centroids`` + :func:`save_ivf_index`.
+
+    Idempotence note: append is NOT retry-idempotent (unlike the
+    batch-id-versioned dedup snapshots) — wrap in the versioned-snapshot
+    discipline of ``streaming/dedup._latest_snapshot`` if driving from
+    foreachBatch.
+    """
+    import numpy as np
+
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    Cn = np.array([r["vec"] for r in cent], dtype=np.float64)
+    _ivf_assign(new_vecs, Cn, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/cells")

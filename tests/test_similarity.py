@@ -291,3 +291,50 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in again] == [tuple(r) for r in live]
+
+
+def test_ivf_index_merge_appends_delta(spark, tmp_path):
+    """r9: vectors added to a persisted IVF index are retrievable, and
+    the post-merge index answers exactly like a fresh build over
+    corpus ∪ delta with the SAME centroids."""
+    from streaming_feature_store_spark.operators.similarity import (
+        ivf_index_merge,
+        ivf_topk,
+        ivf_topk_persisted,
+        save_ivf_index,
+    )
+    from streaming_feature_store_spark.sources.file import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    delta = emb.filter(F.col("vec_id") % 7 == 0)
+    path = str(tmp_path / "ivfidx")
+    save_ivf_index(base, path, nlist=8)
+    ivf_index_merge(spark, path, delta)
+
+    q = emb.filter(F.col("vec_id") < 8)
+    merged = (
+        ivf_topk_persisted(spark, path, q, k=3, nprobe=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    # fresh build over the union with the SAME centroid table
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cell").select(
+        F.col("cell").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    fresh = (
+        ivf_topk(emb, q, dim=64, k=3, nlist=8, nprobe=4, centroids=cents)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in merged] == [tuple(r) for r in fresh]
+    # delta vectors are actually retrievable: an exact twin of a delta
+    # vector must hit it at rank 1
+    twin = delta.limit(1).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    hit = ivf_topk_persisted(spark, path, twin, k=1, nprobe=2).collect()
+    want_id = delta.limit(1).collect()[0]["vec_id"]
+    assert hit[0]["nbr_id"] == want_id and hit[0]["cosine"] == 1.0
