@@ -134,6 +134,48 @@ def main():
         f"{t_pers:.1f}s vs {t_live:.1f}s live ({t_live / t_pers:.1f}x), "
         f"one-time save {t_save:.1f}s"
     )
+
+    from streaming_feature_store_spark.operators.similarity import (
+        ivf_index_merge,
+    )
+
+    vdelta = synth_vecs(spark, n_vecs // 100, dim=64, n_twins=0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    _, t_vmerge = timed(
+        f"ivf_index_merge of {n_vecs // 100}-vector delta (append to cells)",
+        lambda: ivf_index_merge(spark, f"{tmp}/ivf", vdelta),
+    )
+    print(
+        f"vector ingest: {t_vmerge:.1f}s per 1% delta vs {t_save:.1f}s "
+        f"full re-save ({t_save / t_vmerge:.1f}x)"
+    )
+
+    from streaming_feature_store_spark.operators.dedup import (
+        exact_dup_groups,
+        fingerprint_index_merge,
+    )
+
+    _, t_fpfull = timed(
+        f"full exact_dup_groups recompute ({n_docs} docs)",
+        lambda: exact_dup_groups(docs).write.mode("overwrite").format(
+            "noop"
+        ).save(),
+    )
+    exact_dup_groups(base).write.mode("overwrite").parquet(f"{tmp}/fpidx")
+    fpidx = spark.read.parquet(f"{tmp}/fpidx")
+    def _fp_merge():
+        screen, updated = fingerprint_index_merge(delta, fpidx)
+        screen.write.mode("overwrite").format("noop").save()
+        updated.write.mode("overwrite").format("noop").save()
+    _, t_fpmerge = timed(
+        f"fingerprint screen+upsert of {n_docs - cut}-doc delta",
+        lambda: _fp_merge(),
+    )
+    print(
+        f"exact screen: {t_fpmerge:.1f}s per delta vs {t_fpfull:.1f}s full "
+        f"recompute ({t_fpfull / t_fpmerge:.1f}x)"
+    )
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
