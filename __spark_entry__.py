@@ -42,9 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries and 50 slots the spine only re-pins via the parity artifact
 # unless deliberately rotated back in.
 _PRIORITY = [
-    # r9 new + changed code paths (7)
+    # r9 new + changed code paths (8)
     "q221_incremental_minhash", "q222_incremental_exact_screen",
-    "q223_incremental_neardup_screen", "q216_conversion_ztest",
+    "q223_incremental_neardup_screen", "q224_ivf_persisted_lifecycle",
+    "q216_conversion_ztest",
     "q217_dau_stickiness", "q220_forecast_eval", "q58_ivf_topk",
     # legacy spine rotation (45): TPC-H-ish aggregates/joins/windows
     # q01-q30 + the q31-q45 continuation

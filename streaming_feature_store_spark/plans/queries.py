@@ -10201,3 +10201,61 @@ def q223_incremental_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFra
     idx = persist_tracked(build_minhash_index(base))
     screen, _ = minhash_index_screen(delta, idx, threshold=0.5)
     return screen
+
+
+@query(
+    "q224_ivf_persisted_lifecycle",
+    sql=f"""
+    WITH {_TWIN_SQL}, q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+    ), scored AS (
+      SELECT query_id, c.vec_id AS nbr_id,
+        ROUND(list_dot_product(c.v, qv)
+              / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qv, qv))),
+              6) AS cosine
+      FROM corpus c CROSS JOIN q
+      WHERE c.vec_id <> query_id
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 1
+    """,
+)
+def q224_ivf_persisted_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full persisted-ANN-index lifecycle under the q58 oracle: the BASE
+    embeddings are indexed and SAVED (``save_ivf_index``), the planted
+    twins arrive later as a delta and are APPENDED to the persisted cells
+    (``ivf_index_merge`` — assign to existing centroids, touched
+    partitions only), and the queries run against the merged index via
+    ``ivf_topk_persisted``.  The exact top-1 (each query's twin) is
+    reachable iff the delta really landed in the probed cells — the
+    twin's argmax cell equals its original's under the same centroid
+    matrix, so nprobe=4 retrieves it deterministically, exactly as q58
+    does for the build-per-call path.  The index lives under a
+    deterministic per-sf temp path, rebuilt (overwrite) each call so the
+    append is idempotent per invocation."""
+    import os
+    import tempfile
+
+    from streaming_feature_store_spark.operators.similarity import (
+        as_double_vec,
+        ivf_index_merge,
+        ivf_topk_persisted,
+        save_ivf_index,
+    )
+
+    base = as_double_vec(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    twins = _twin_corpus(spark, sf_dir).filter(F.col("vec_id") >= 1000000)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sfs_q224_ivf_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    save_ivf_index(base, path, nlist=16)
+    ivf_index_merge(spark, path, twins)
+    return ivf_topk_persisted(
+        spark, path, base.filter(F.col("vec_id") < 10), k=1, nprobe=4
+    )

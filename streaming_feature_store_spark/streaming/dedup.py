@@ -165,3 +165,29 @@ def fingerprint_index_sink(
         )
 
     return _handle
+
+
+def prune_snapshots(index_root: str, keep_last: int = 2) -> list[int]:
+    """Retention sweep for batch-id-versioned index snapshots: delete all
+    but the newest ``keep_last`` versions and return the pruned version
+    numbers.  Run it OUTSIDE the stream (a maintenance job), and keep at
+    least 2 so an in-flight retry of the current batch can still read its
+    pre-batch snapshot — pruning to 1 while batch N retries would drop
+    the version the retry needs.  Driver-side file ops (snapshots are
+    directories this process owns); a cluster deployment maps this to
+    the table format's expire-snapshots call."""
+    import os
+    import re
+    import shutil
+
+    if not os.path.isdir(index_root):
+        return []
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(index_root)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    )
+    pruned = versions[:-keep_last] if keep_last > 0 else versions
+    for v in pruned:
+        shutil.rmtree(os.path.join(index_root, f"v={v}"))
+    return pruned

@@ -868,3 +868,19 @@ def test_fingerprint_index_stream_screens_recrawls(spark, tmp_path):
         for r in exact_dup_groups(all_docs).collect()
     }
     assert snap == want
+
+
+def test_prune_snapshots_keeps_newest(spark, tmp_path):
+    from streaming_feature_store_spark.streaming.dedup import (
+        prune_snapshots,
+    )
+
+    root = str(tmp_path / "idx")
+    for v in (1, 3, 5, 9):
+        spark.createDataFrame([(v,)], "x long").write.parquet(
+            f"{root}/v={v}"
+        )
+    assert prune_snapshots(root, keep_last=2) == [1, 3]
+    assert sorted(os.listdir(root)) == ["v=5", "v=9"]
+    assert spark.read.parquet(f"{root}/v=9").collect()[0]["x"] == 9
+    assert prune_snapshots(str(tmp_path / "absent")) == []
