@@ -1088,3 +1088,27 @@ def minhash_index_screen(
         )
     )
     return screen, updated
+
+
+def erase_from_minhash_index(
+    index: DataFrame, erased_ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Right-to-be-forgotten maintenance for the persisted MinHash index
+    (the governance erasure audit q201 checks the FACT tables; an erased
+    document's shingle hashes living on in a dedup index is the same
+    compliance hole): one anti-join removes the doc's row — signature,
+    band hashes and shingle set all live in that one row, so the purge
+    is exact and index-local.  Post-erasure the index answers exactly
+    like a rebuild over the surviving corpus (pytest pins it; signatures
+    are per-doc facts, so no other row changes).
+
+    The FINGERPRINT index (``exact_dup_groups`` shape) deliberately has
+    no index-local erasure: it stores per-fingerprint counts and a MIN
+    representative, not member ids, so erasing a doc requires
+    recomputing its fingerprint group from the surviving source rows —
+    a fingerprint-keyed pruned scan, not a full rebuild; see
+    ``fingerprint_index_merge``'s docstring.
+    """
+    return index.join(
+        erased_ids.select(F.col(id_col)).distinct(), id_col, "left_anti"
+    )

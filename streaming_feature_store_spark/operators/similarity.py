@@ -1135,3 +1135,43 @@ def ivf_index_merge(
     _ivf_assign(new_vecs, Cn, id_col, vec_col).write.mode(
         "append"
     ).partitionBy("cell").parquet(f"{path}/cells")
+
+
+def erase_from_ivf_index(
+    spark,
+    path: str,
+    erased_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Right-to-be-forgotten maintenance for the persisted IVF index:
+    delete the erased vectors' rows from the cell table, rewriting ONLY
+    the cell partitions that contain them (dynamic partition overwrite —
+    untouched cells keep their files byte-identical, the same surgical
+    write shape as ``streaming/sinks.upsert_latest``).  Returns the
+    number of cells rewritten.  Centroids are unaffected (they are
+    aggregate statistics, not member data — standard DSAR treatment;
+    re-train on schedule if erasure volume shifts the distribution)."""
+    ids = erased_ids.select(F.col(id_col).alias("nbr_id")).distinct()
+    cells = spark.read.parquet(f"{path}/cells")
+    touched = [
+        r["cell"]
+        for r in cells.join(broadcast(ids), "nbr_id", "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return 0
+    survivors = (
+        cells.filter(F.col("cell").isin(touched))
+        .join(broadcast(ids), "nbr_id", "left_anti")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/cells"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(touched)

@@ -495,3 +495,31 @@ def test_minhash_index_screen_decision_form(spark):
         if not dup or (not in_idx and m > d)
     }
     assert keep == {11}
+
+
+def test_erase_from_minhash_index_equals_rebuild(spark):
+    """DSAR purge: post-erasure index answers exactly like a rebuild over
+    the surviving corpus, and the erased doc appears in no pair."""
+    from streaming_feature_store_spark.operators.dedup import (
+        build_minhash_index,
+        erase_from_minhash_index,
+        minhash_index_pairs,
+    )
+    from streaming_feature_store_spark.sources.file import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_minhash_index(docs)
+    # erase every 4th doc, including some that carry near-dup pairs
+    erased = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    purged = erase_from_minhash_index(idx, erased)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_index_pairs(purged, threshold=0.5).collect()
+    }
+    rebuilt = build_minhash_index(docs.filter(F.col("doc_id") % 4 != 0))
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_index_pairs(rebuilt, threshold=0.5).collect()
+    }
+    assert got == want
+    assert all(a % 4 != 0 and b % 4 != 0 for a, b in got)

@@ -338,3 +338,58 @@ def test_ivf_index_merge_appends_delta(spark, tmp_path):
     hit = ivf_topk_persisted(spark, path, twin, k=1, nprobe=2).collect()
     want_id = delta.limit(1).collect()[0]["vec_id"]
     assert hit[0]["nbr_id"] == want_id and hit[0]["cosine"] == 1.0
+
+
+def test_erase_from_ivf_index_surgical_rewrite(spark, tmp_path):
+    """DSAR purge for the persisted ANN index: erased vectors are no
+    longer retrievable, survivors answer exactly like a fresh build with
+    the same centroids, and only the touched cell partitions rewrite."""
+    import os
+
+    from streaming_feature_store_spark.operators.similarity import (
+        erase_from_ivf_index,
+        ivf_topk,
+        ivf_topk_persisted,
+        save_ivf_index,
+    )
+    from streaming_feature_store_spark.sources.file import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivfidx")
+    save_ivf_index(emb, path, nlist=8)
+    before = {
+        d: sorted(os.listdir(f"{path}/cells/{d}"))
+        for d in os.listdir(f"{path}/cells")
+        if d.startswith("cell=")
+    }
+    erased = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    n_rewritten = erase_from_ivf_index(spark, path, erased)
+    assert 0 < n_rewritten <= 8
+    after = {
+        d: sorted(os.listdir(f"{path}/cells/{d}"))
+        for d in os.listdir(f"{path}/cells")
+        if d.startswith("cell=")
+    }
+    untouched = [d for d in before if before[d] == after.get(d)]
+    assert len(untouched) == 8 - n_rewritten  # surgical, not full rewrite
+    q = emb.filter(F.col("vec_id") < 8)
+    got = (
+        ivf_topk_persisted(spark, path, q, k=3, nprobe=8)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cell").select(
+        F.col("cell").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    want = (
+        ivf_topk(
+            emb.filter(F.col("vec_id") % 9 != 0), q, dim=64, k=3,
+            nlist=8, nprobe=8, centroids=cents,
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert all(r["nbr_id"] % 9 != 0 for r in got)
