@@ -100,6 +100,23 @@ def main() -> None:
     for r in nn.orderBy("query_id", "rank").collect():
         print(f"    q{r['query_id']} -> {r['nbr_id']} "
               f"(cosine {r['cosine']:.4f}, rank {r['rank']})")
+    print("== day 2: a DSAR erasure request propagates into the indexes ==")
+    from streaming_feature_store_spark.operators.dedup import (
+        erase_from_minhash_index,
+    )
+    from streaming_feature_store_spark.operators.similarity import (
+        erase_from_ivf_index,
+    )
+
+    erase_docs = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    idx2 = spark.read.parquet(f"{tmp}/mhidx_v2")
+    purged = erase_from_minhash_index(idx2, erase_docs)
+    print(f"  dedup index: {idx2.count()} -> {purged.count()} docs after "
+          f"purging {erase_docs.count()} erased ids")
+    erase_vecs = emb.filter(F.col("vec_id") % 97 == 0).select("vec_id")
+    n_cells = erase_from_ivf_index(spark, f"{tmp}/ivf", erase_vecs)
+    print(f"  ANN index:   {erase_vecs.count()} vectors purged; only "
+          f"{n_cells}/16 cell partitions rewritten")
     print("== done: recurring cost priced on the delta; corpus state reused ==")
     spark.stop()
 
