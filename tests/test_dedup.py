@@ -523,3 +523,50 @@ def test_erase_from_minhash_index_equals_rebuild(spark):
     }
     assert got == want
     assert all(a % 4 != 0 and b % 4 != 0 for a, b in got)
+
+
+def test_fingerprint_index_merge_property_random_corpora(spark):
+    """Property: for arbitrary corpora/splits, every screen flag matches
+    a brute-force text comparison and the upserted index equals a fresh
+    exact_dup_groups over base ∪ delta — including empty-text docs and
+    dup groups entirely inside the delta."""
+    import random
+
+    from streaming_feature_store_spark.operators.dedup import (
+        exact_dup_groups,
+        fingerprint_index_merge,
+    )
+
+    rng = random.Random(7)
+    texts = [f"t{i} body" for i in range(6)] + [""]
+    for trial in range(4):
+        docs = [(i, rng.choice(texts)) for i in range(20)]
+        cut = rng.randrange(1, 20)
+        base = [d for d in docs if d[0] < cut]
+        delta = [d for d in docs if d[0] >= cut]
+        bdf = spark.createDataFrame(base, "doc_id long, text string")
+        ddf = spark.createDataFrame(delta, "doc_id long, text string")
+        screen, updated = fingerprint_index_merge(
+            ddf, exact_dup_groups(bdf)
+        )
+        base_rep = {}
+        for i, t in base:
+            base_rep.setdefault(t, i)
+        got = {
+            r["doc_id"]: (r["is_corpus_dup"], r["match_id"])
+            for r in screen.collect()
+        }
+        for i, t in delta:
+            want = (True, base_rep[t]) if t in base_rep else (False, None)
+            assert got[i] == want, (trial, i, t, got[i], want)
+        have = {
+            r["fingerprint"]: (r["dup_count"], r["first_doc_id"])
+            for r in updated.collect()
+        }
+        full = {
+            r["fingerprint"]: (r["dup_count"], r["first_doc_id"])
+            for r in exact_dup_groups(
+                spark.createDataFrame(docs, "doc_id long, text string")
+            ).collect()
+        }
+        assert have == full, trial
