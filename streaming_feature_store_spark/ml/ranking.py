@@ -91,3 +91,78 @@ def ranking_metrics(
         F.round(dsum("_p", 8) / n, 6).alias("precision_at_k"),
         F.round(dsum("_r", 8) / n, 6).alias("recall_at_k"),
     )
+
+
+def ann_recall_report(
+    truth: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "nbr_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Index-quality eval for an approximate retrieval path against the
+    exact ground truth — the report run before trusting an ANN index (or
+    any cheapened retrieval: truncated dims, quantized vectors, fewer
+    probes) for the 100 TB retrieval loop.
+
+    Inputs are two (query, item, rank) top-k lists; output is ONE row:
+
+    - ``recall_at_k``: micro-averaged |truth ∩ candidates| / |truth| over
+      rows with rank <= k — integer counts, one division at the edge, so
+      the number is exact and order-independent by construction;
+    - ``mrr_at_k``: mean reciprocal rank AT WHICH the candidate list
+      surfaces the TRUE nearest neighbor (truth rank 1); a miss counts 0.
+      Reciprocal terms accumulate as decimals (order-independent sum).
+
+    Scale shape: one equi-join on (query, item) for hits, one on
+    (query, true-nn item) for MRR, both on already-tiny top-k frames
+    (|queries| x k rows); the report is a single global aggregate.
+    """
+    t = truth.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
+    )
+    c = candidates.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rank_col).alias("_crk"),
+    )
+    hits = t.join(c.select("_q", "_i"), ["_q", "_i"], "left_semi")
+    nn1 = truth.filter(F.col(rank_col) == 1).select(
+        F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
+    )
+    rr = (
+        nn1.join(c, ["_q", "_i"], "left")
+        .select(
+            F.coalesce(
+                (F.lit(1.0) / F.col("_crk")).cast("decimal(18,12)"),
+                F.lit(0).cast("decimal(18,12)"),
+            ).alias("_rr")
+        )
+    )
+    agg_t = t.agg(
+        F.count("*").alias("n_truth_pairs"),
+        F.countDistinct("_q").alias("n_queries"),
+    )
+    agg_h = hits.agg(F.count("*").alias("n_hits"))
+    agg_r = rr.agg(
+        F.sum("_rr").alias("_rr_sum"), F.count("*").alias("_n1")
+    )
+    return (
+        agg_t.crossJoin(agg_h)
+        .crossJoin(agg_r)
+        .select(
+            F.lit(k).alias("k"),
+            "n_queries",
+            "n_truth_pairs",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.col("n_truth_pairs").cast("double"), 6
+            ).alias("recall_at_k"),
+            F.round(
+                (F.col("_rr_sum").cast("double"))
+                / F.col("_n1").cast("double"),
+                6,
+            ).alias("mrr_at_k"),
+        )
+    )

@@ -748,3 +748,177 @@ def welch_ttest(
         ),
         (F.abs(F.col("_t")) > F.lit(alpha_t)).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted drift-baseline histograms (round 9).
+#
+# Reference parity: training/drift_check.py recomputes the expected
+# distribution from the full training frame on every check (:138-169).
+# At 100 TB that rescan dominates the check; the production shape is a
+# PERSISTED per-feature histogram over FIXED edges — counts are additive,
+# so a daily delta merges with one tiny aggregate, and PSI against the
+# baseline never touches history.  Same incremental-index pattern as
+# dedup.build_minhash_index / similarity.save_ivf_index.
+
+
+def histogram_index(df: DataFrame, specs: dict[str, list[float]]) -> DataFrame:
+    """Build the persisted drift baseline: one ``(feature, bucket, n)`` row
+    per feature x bucket over fixed edges.  Bucket b covers
+    ``edges[b-1] <= v < edges[b]`` with open ends (b=0 below the first
+    edge, b=len(edges) at/above the last) — the same ladder ``psi`` uses.
+    NULLs are EXCLUDED (not bucket-0-coerced) so a feature going sparse
+    shows up as a falling total, not a phantom low-bucket shift.
+
+    Plan shape: ONE wide aggregate (sum-of-cases per feature x bucket,
+    map-side combined — the q214 leakage-screen shape), then the one-row
+    result unpivots driver-free into the tall index.  Zero-count buckets
+    are kept: merged indexes stay union-compatible and a PSI term over an
+    empty bucket is exactly 0.
+    """
+    aggs = []
+    for feat, edges in specs.items():
+        v = F.col(feat)
+        for b in range(len(edges) + 1):
+            if b == 0:
+                cond = v < F.lit(edges[0])
+            elif b == len(edges):
+                cond = v >= F.lit(edges[-1])
+            else:
+                cond = (v >= F.lit(edges[b - 1])) & (v < F.lit(edges[b]))
+            aggs.append(
+                F.sum(
+                    F.when(v.isNotNull() & cond, 1).otherwise(0)
+                ).alias(f"__h_{feat}__{b}")
+            )
+    wide = df.agg(*aggs)
+    cells = [
+        F.struct(
+            F.lit(feat).alias("feature"),
+            F.lit(b).alias("bucket"),
+            F.coalesce(F.col(f"__h_{feat}__{b}"), F.lit(0))
+            .cast("long")
+            .alias("n"),
+        )
+        for feat, edges in specs.items()
+        for b in range(len(edges) + 1)
+    ]
+    return wide.select(F.explode(F.array(*cells)).alias("c")).select("c.*")
+
+
+def histogram_index_merge(index: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge a delta histogram into the persisted baseline — counts are
+    additive, so the merge is a union + sum keyed by (feature, bucket).
+    ``merge(index(base), index(delta)) == index(base UNION delta)``
+    exactly (the oracled q225 guarantee); at 100 TB only the tiny index
+    rows move, never the underlying data."""
+    return (
+        index.unionByName(delta)
+        .groupBy("feature", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def psi_from_histograms(
+    expected: DataFrame, actual: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """Per-feature PSI computed FROM two histogram indexes (baseline vs
+    current window) — the scale path of ``psi``: history is never
+    rescanned, the inputs are |features| x |buckets| rows.  Same closed
+    form as ``psi`` (fraction + eps, sum (a-e)*ln(a/e)); a feature with
+    an empty side reports NULL rather than an eps-artifact score.
+    Full-outer join keyed on (feature, bucket) so a bucket seen by only
+    one side still contributes its term."""
+    e = expected.select(
+        "feature", "bucket", F.col("n").alias("_ne")
+    )
+    a = actual.select("feature", "bucket", F.col("n").alias("_na"))
+    j = e.join(a, ["feature", "bucket"], "full_outer").select(
+        "feature",
+        "bucket",
+        F.coalesce("_ne", F.lit(0)).alias("_ne"),
+        F.coalesce("_na", F.lit(0)).alias("_na"),
+    )
+    tot = Window.partitionBy("feature")
+    te = F.sum("_ne").over(tot)
+    ta = F.sum("_na").over(tot)
+    frac_e = F.col("_ne") / F.when(te > 0, te).cast("double") + eps
+    frac_a = F.col("_na") / F.when(ta > 0, ta).cast("double") + eps
+    terms = j.select(
+        "feature",
+        "_ne",
+        "_na",
+        ((frac_a - frac_e) * F.log(frac_a / frac_e)).alias("_term"),
+    )
+    return terms.groupBy("feature").agg(
+        F.round(F.sum("_term"), 6).alias("psi"),
+        F.sum("_ne").alias("n_expected"),
+        F.sum("_na").alias("n_actual"),
+    )
+
+
+def histogram_quantiles(
+    index: DataFrame, specs: dict[str, list[float]], qs: list[float]
+) -> DataFrame:
+    """Deterministic quantile ESTIMATES from a persisted histogram index —
+    linear interpolation within the straddling bucket, clamped to the
+    edge value in the open end buckets.  The mergeable-summary answer to
+    percentile monitoring at 100 TB: the sketch is the additive histogram
+    (``histogram_index_merge``), and the estimate is a closed form over
+    |features| x |buckets| rows, so a SQL oracle reproduces it bit-exactly
+    (unlike KLL/GK sketches, whose estimates depend on merge order).
+
+    For quantile q: target = q * total; the straddling bucket b is the
+    first with cumulative count >= target (empty buckets cannot straddle);
+    estimate = lo_b + (target - cum_before) / n_b * (hi_b - lo_b), where
+    [lo_b, hi_b] are the bucket's edges (open ends clamp lo_0 = hi_0 =
+    edges[0], lo_last = hi_last = edges[-1] — the histogram carries no
+    range information beyond the ladder, and a pinned answer beats an
+    extrapolated one for monitoring).
+    """
+    spark = index.sparkSession
+    bounds = spark.createDataFrame(
+        [
+            (
+                feat,
+                b,
+                float(edges[min(b, len(edges) - 1)] if b == 0 or b == len(edges)
+                      else edges[b - 1]),
+                float(edges[b] if b < len(edges) else edges[-1]),
+            )
+            for feat, edges in specs.items()
+            for b in range(len(edges) + 1)
+        ],
+        "feature string, bucket int, lo double, hi double",
+    )
+    qf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("feature")
+    cum = (
+        index.join(F.broadcast(bounds), ["feature", "bucket"])
+        .select(
+            "feature",
+            "bucket",
+            "lo",
+            "hi",
+            F.col("n").cast("double").alias("n"),
+            F.sum("n").over(w).cast("double").alias("cum"),
+            F.sum("n").over(tot).cast("double").alias("total"),
+        )
+    )
+    tgt = F.col("q") * F.col("total")
+    straddle = (
+        cum.crossJoin(F.broadcast(qf))
+        .filter((F.col("cum") >= tgt) & (F.col("cum") - F.col("n") < tgt))
+        .filter(F.col("total") > 0)
+    )
+    est = F.col("lo") + (tgt - (F.col("cum") - F.col("n"))) / F.col("n") * (
+        F.col("hi") - F.col("lo")
+    )
+    return straddle.select(
+        "feature", "q", F.round(est, 6).alias("estimate")
+    )

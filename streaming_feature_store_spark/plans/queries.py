@@ -10259,3 +10259,218 @@ def q224_ivf_persisted_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_persisted(
         spark, path, base.filter(F.col("vec_id") < 10), k=1, nprobe=4
     )
+
+
+@query(
+    "q225_drift_baseline_index",
+    sql="""
+    WITH e AS (
+      SELECT event_id % 5 = 4 AS grp, value AS v,
+        CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS h
+      FROM events
+    ), b AS (
+      SELECT 'value' AS feature, grp,
+        CASE WHEN v >= 200 THEN 5 WHEN v >= 100 THEN 4 WHEN v >= 50 THEN 3
+             WHEN v >= 25 THEN 2 WHEN v >= 10 THEN 1 ELSE 0 END AS bucket
+      FROM e WHERE v IS NOT NULL
+      UNION ALL
+      SELECT 'hour' AS feature, grp,
+        CASE WHEN h >= 20 THEN 5 WHEN h >= 16 THEN 4 WHEN h >= 12 THEN 3
+             WHEN h >= 8 THEN 2 WHEN h >= 4 THEN 1 ELSE 0 END AS bucket
+      FROM e WHERE h IS NOT NULL
+    ), c AS (
+      SELECT feature, bucket,
+        SUM(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS ne,
+        SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS na
+      FROM b GROUP BY 1, 2
+    ), t AS (
+      SELECT feature, SUM(ne) AS te, SUM(na) AS ta FROM c GROUP BY 1
+    )
+    SELECT c.feature,
+      ROUND(SUM(
+          ((na / CAST(ta AS DOUBLE) + 1e-6) - (ne / CAST(te AS DOUBLE) + 1e-6))
+          * ln((na / CAST(ta AS DOUBLE) + 1e-6)
+               / (ne / CAST(te AS DOUBLE) + 1e-6))
+        ), 6) AS psi,
+      CAST(SUM(ne) AS BIGINT) AS n_expected,
+      CAST(SUM(na) AS BIGINT) AS n_actual
+    FROM c JOIN t ON c.feature = t.feature
+    GROUP BY 1
+    """,
+)
+def q225_drift_baseline_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted drift-baseline histograms (``drift.histogram_index`` +
+    ``histogram_index_merge`` + ``psi_from_histograms``, round 9): the
+    reference recomputes the expected distribution from the full training
+    frame on every drift check (training/drift_check.py:138-169); at
+    100 TB the production shape is a persisted per-feature histogram over
+    fixed edges — counts are additive, so the daily delta merges with one
+    tiny aggregate and PSI against the baseline never rescans history.
+    Here the stream splits into base (event_id % 5 <= 2), a merged delta
+    (== 3) and the current window (== 4); the oracle recomputes PSI from
+    the raw rows, pinning merge(index(base), index(delta)) ==
+    index(base UNION delta) exactly.  Two features (value, hour) ride one
+    wide map-side-combined aggregate per phase."""
+    from streaming_feature_store_spark.operators.drift import (
+        histogram_index,
+        histogram_index_merge,
+        psi_from_histograms,
+    )
+
+    specs = {
+        "value": [10.0, 25.0, 50.0, 100.0, 200.0],
+        "hour": [4.0, 8.0, 12.0, 16.0, 20.0],
+    }
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "value", F.hour("ts").cast("double").alias("hour")
+    )
+    base = ev.filter(F.col("event_id") % 5 <= 2)
+    delta = ev.filter(F.col("event_id") % 5 == 3)
+    current = ev.filter(F.col("event_id") % 5 == 4)
+    merged = histogram_index_merge(
+        histogram_index(base, specs), histogram_index(delta, specs)
+    )
+    return psi_from_histograms(merged, histogram_index(current, specs))
+
+
+@query(
+    "q226_histogram_quantiles",
+    sql="""
+    WITH e AS (
+      SELECT value AS v, CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS h
+      FROM events
+    ), b AS (
+      SELECT 'value' AS feature,
+        CASE WHEN v >= 200 THEN 5 WHEN v >= 100 THEN 4 WHEN v >= 50 THEN 3
+             WHEN v >= 25 THEN 2 WHEN v >= 10 THEN 1 ELSE 0 END AS bucket
+      FROM e WHERE v IS NOT NULL
+      UNION ALL
+      SELECT 'hour' AS feature,
+        CASE WHEN h >= 20 THEN 5 WHEN h >= 16 THEN 4 WHEN h >= 12 THEN 3
+             WHEN h >= 8 THEN 2 WHEN h >= 4 THEN 1 ELSE 0 END AS bucket
+      FROM e WHERE h IS NOT NULL
+    ), c AS (
+      SELECT feature, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2
+    ), bounds(feature, bucket, lo, hi) AS (
+      VALUES
+        ('value', 0, 10.0, 10.0), ('value', 1, 10.0, 25.0),
+        ('value', 2, 25.0, 50.0), ('value', 3, 50.0, 100.0),
+        ('value', 4, 100.0, 200.0), ('value', 5, 200.0, 200.0),
+        ('hour', 0, 4.0, 4.0), ('hour', 1, 4.0, 8.0),
+        ('hour', 2, 8.0, 12.0), ('hour', 3, 12.0, 16.0),
+        ('hour', 4, 16.0, 20.0), ('hour', 5, 20.0, 20.0)
+    ), cum AS (
+      SELECT c.feature, c.bucket, lo, hi, CAST(n AS DOUBLE) AS n,
+        CAST(SUM(n) OVER (
+          PARTITION BY c.feature ORDER BY c.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS cum,
+        CAST(SUM(n) OVER (PARTITION BY c.feature) AS DOUBLE) AS total
+      FROM c JOIN bounds ON c.feature = bounds.feature
+        AND c.bucket = bounds.bucket
+    ), qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q)
+    SELECT feature, q,
+      ROUND(lo + (q * total - (cum - n)) / n * (hi - lo), 6) AS estimate
+    FROM cum CROSS JOIN qs
+    WHERE cum >= q * total AND cum - n < q * total AND total > 0
+    """,
+)
+def q226_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from the persisted histogram index
+    (``drift.histogram_quantiles``, round 9): the mergeable-summary answer
+    to percentile monitoring at 100 TB — the "sketch" is the additive
+    fixed-edge histogram (built once, merged daily via
+    ``histogram_index_merge``), and p25/p50/p75/p95 come from a closed
+    linear interpolation over |features| x |buckets| rows, so the estimate
+    is bit-deterministic and merge-order-independent (unlike KLL/GK).  The
+    oracle reproduces the interpolation exactly from raw rows, pinning
+    index counts ≡ raw counts AND the interpolation arithmetic."""
+    from streaming_feature_store_spark.operators.drift import (
+        histogram_index,
+        histogram_quantiles,
+    )
+
+    specs = {
+        "value": [10.0, 25.0, 50.0, 100.0, 200.0],
+        "hour": [4.0, 8.0, 12.0, 16.0, 20.0],
+    }
+    ev = _t(spark, sf_dir, "events").select(
+        "value", F.hour("ts").cast("double").alias("hour")
+    )
+    return histogram_quantiles(
+        histogram_index(ev, specs), specs, [0.25, 0.5, 0.75, 0.95]
+    )
+
+
+@query(
+    "q227_retrieval_recall",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), et AS (
+      SELECT vec_id, v[1:16] AS v FROM e
+    ), st AS (
+      SELECT a.vec_id AS q, b.vec_id AS i,
+        ROUND(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ), rt AS (
+      SELECT q, i,
+        ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, i) AS rk
+      FROM st
+    ), sc AS (
+      SELECT a.vec_id AS q, b.vec_id AS i,
+        ROUND(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      FROM et a JOIN et b ON a.vec_id <> b.vec_id
+    ), rc AS (
+      SELECT q, i,
+        ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, i) AS rk
+      FROM sc
+    ), tt AS (SELECT q, i FROM rt WHERE rk <= 5),
+    cc AS (SELECT q, i, rk FROM rc WHERE rk <= 5),
+    hits AS (
+      SELECT tt.q, tt.i FROM tt
+      SEMI JOIN cc ON tt.q = cc.q AND tt.i = cc.i
+    ), nn1 AS (SELECT q, i FROM rt WHERE rk = 1),
+    rr AS (
+      SELECT COALESCE(CAST(1.0 / cc.rk AS DECIMAL(18,12)),
+                      CAST(0 AS DECIMAL(18,12))) AS rr
+      FROM nn1 LEFT JOIN cc ON nn1.q = cc.q AND nn1.i = cc.i
+    )
+    SELECT 5 AS k,
+      (SELECT CAST(COUNT(DISTINCT q) AS BIGINT) FROM tt) AS n_queries,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM tt) AS n_truth_pairs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+      ROUND((SELECT COUNT(*) FROM hits)
+            / CAST((SELECT COUNT(*) FROM tt) AS DOUBLE), 6) AS recall_at_k,
+      ROUND(CAST((SELECT SUM(rr) FROM rr) AS DOUBLE)
+            / CAST((SELECT COUNT(*) FROM rr) AS DOUBLE), 6) AS mrr_at_k
+    """,
+)
+def q227_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality report (``ml.ranking.ann_recall_report``, round
+    9): recall@5 and MRR@5 of a CHEAPENED retrieval path — cosine over the
+    first 16 of 64 dims, the dimension-truncation shortcut — against the
+    exact full-vector top-5 ground truth (both via the GEMM kernel,
+    ``similarity.cosine_topk_blas``).  The offline eval every ANN/quantize/
+    truncate decision runs before shipping an index at 100 TB; the
+    sign-LSH/IVF recall floors live in tests/test_ann_recall.py (their
+    centroids aren't SQL-reproducible), while THIS query pins the report
+    arithmetic end-to-end against a full SQL recompute of both rankings.
+    Micro-averaged recall stays in integer counts until one final
+    division; reciprocal ranks accumulate as decimals (order-independent)."""
+    from streaming_feature_store_spark.ml.ranking import ann_recall_report
+    from streaming_feature_store_spark.operators.similarity import (
+        cosine_topk_blas,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    truth = cosine_topk_blas(emb, k=5)
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    cand = cosine_topk_blas(trunc, k=5)
+    return ann_recall_report(truth, cand, k=5)
