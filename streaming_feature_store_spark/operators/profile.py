@@ -1159,3 +1159,63 @@ def t_closeness_report(
         F.round(tvd, 6).alias("tvd"),
         (tvd <= F.lit(t_threshold)).alias("t_close"),
     )
+
+
+def distinct_index_merge(
+    delta: DataFrame,
+    index: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact-distinct cardinality against a persisted index —
+    the third leg of the round-9 incremental family (dedup fingerprints:
+    ``dedup.fingerprint_index_merge``; vectors: ``similarity.
+    ivf_index_merge``; here: per-key entity sets).  The index is the
+    DISTINCT (keys..., values...) rows seen so far; a daily delta merges
+    without rescanning history, and the screen answers the two questions
+    a 100 TB ingest actually asks: how many distinct entities does each
+    key have NOW, and how many did TODAY add that were never seen before.
+
+    Returns ``(report, updated_index)``:
+
+    - ``report``: one row per key — ``n_distinct`` (after the merge) and
+      ``n_new`` (value tuples first seen in this delta);
+    - ``updated_index``: the index with the genuinely-new tuples
+      appended.  New rows are found by null-safe anti-join, so the
+      append stays duplicate-free BY CONSTRUCTION (no re-distinct over
+      history) and re-merging the same delta is idempotent (n_new = 0).
+
+    NULL-tuple discipline: SQL equi-joins never match NULLs, so a plain
+    anti-join would re-add a (key, NULL) tuple on every ingest and
+    inflate both the index and ``n_new`` forever; the null-safe (<=>)
+    join keeps NULL-valued tuples idempotent like any other value.
+
+    Scale shape: the delta's distinct pass is the only shuffle on new
+    data; the anti-join broadcasts the (small) delta-distinct side and
+    SCANS the index; the report aggregates |index| rows by key.  When
+    only approximate totals are needed (no novelty screen), the
+    mergeable-sketch twin is ``streaming.sketches.hll_partials_stream``
+    — this exact form is for when "new entity" itself is the signal
+    (fraud onboarding, first-seen devices, vocabulary growth).
+    """
+    import functools
+    import operator
+
+    cols = [*key_cols, *value_cols]
+    delta_idx = delta.select(*cols).distinct()
+    cond = functools.reduce(
+        operator.and_,
+        [delta_idx[c].eqNullSafe(index[c]) for c in cols],
+    )
+    new_vals = delta_idx.join(index, cond, "left_anti")
+    updated = index.unionByName(new_vals)
+    totals = updated.groupBy(*key_cols).agg(
+        F.count("*").alias("n_distinct")
+    )
+    news = new_vals.groupBy(*key_cols).agg(F.count("*").alias("n_new"))
+    report = totals.join(news, key_cols, "left").select(
+        *key_cols,
+        "n_distinct",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    return report, updated

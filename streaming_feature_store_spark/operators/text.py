@@ -1242,3 +1242,81 @@ def boilerplate_ngrams(
             F.round(F.col("n_docs") / F.col("_nd"), 6).alias("doc_frac"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    lines_col: str | None = None,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level line deduplication — the CCNet/RefinedWeb pass that
+    strips boilerplate LINES (nav bars, cookie banners, footers) which
+    document-level dedup can't touch: a line occurring in >= ``min_docs``
+    DISTINCT documents is corpus boilerplate and is removed from every
+    document, which then reassembles from its surviving lines in
+    original order.
+
+    Returns one row per document: ``clean_text``, ``n_lines``,
+    ``n_kept``, ``kept_frac``.  Documents whose lines are all
+    boilerplate survive with ``clean_text = ''`` (the curation funnel
+    decides their fate, not this pass).  Rows with NULL text carry no
+    lines and are not emitted.
+
+    Pass ``lines_col`` (an ``array<string>`` column) to override the
+    ``line_sep`` split with any segmentation — sentences, fixed token
+    windows (the q229 form), markdown blocks.
+
+    Scale shape: one explode feeds (a) the corpus line-frequency
+    aggregate and (b) the keep/drop anti-join; the boilerplate set —
+    lines in >= min_docs docs — is vastly smaller than the corpus, so
+    the anti-join broadcasts it.  Reassembly is one grouped
+    ``array_sort(collect_list(struct(pos, line)))`` keyed by doc — the
+    list is per-document-bounded.  Lines join on their exact text here
+    (oracle-exact); at 100 TB key the frequency table and anti-join on
+    ``xxhash64(line)`` instead to keep the shuffle narrow — semantics
+    identical up to 2^-64 collisions.
+    """
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    arr = (
+        F.col(lines_col)
+        if lines_col is not None
+        else F.split(F.col(text_col), line_sep)
+    )
+    lines = persist_tracked(
+        df.select(
+            F.col(id_col), F.posexplode(arr).alias("pos", "line")
+        )
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    re = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return totals.join(re, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(
+            F.coalesce("n_kept", F.lit(0))
+            / F.col("n_lines").cast("double"),
+            6,
+        ).alias("kept_frac"),
+    )

@@ -10474,3 +10474,136 @@ def q227_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = cosine_topk_blas(trunc, k=5)
     return ann_recall_report(truth, cand, k=5)
+
+
+@query(
+    "q228_incremental_distinct",
+    sql="""
+    WITH e AS (
+      SELECT event_type, user_id,
+        CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h,
+        CAST(ts AS DATE) AS d
+      FROM events
+    ), b AS (
+      SELECT DISTINCT event_type, user_id, h FROM e
+      WHERE d < DATE '2024-01-22'
+    ), dd AS (
+      SELECT DISTINCT event_type, user_id, h FROM e
+      WHERE d >= DATE '2024-01-22'
+    ), nw AS (
+      SELECT dd.event_type, dd.user_id, dd.h FROM dd
+      ANTI JOIN b ON dd.event_type = b.event_type
+        AND dd.user_id = b.user_id AND dd.h = b.h
+    ), fl AS (
+      SELECT DISTINCT event_type, user_id, h FROM e
+    )
+    SELECT f.event_type, f.n_distinct, COALESCE(n.n_new, 0) AS n_new
+    FROM (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM fl GROUP BY 1
+    ) f LEFT JOIN (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM nw GROUP BY 1
+    ) n ON f.event_type = n.event_type
+    """,
+)
+def q228_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-cardinality index
+    (``profile.distinct_index_merge``, round 9): activity cells are
+    (user, hour-of-day) tuples per event type; the persisted index holds
+    the distinct cells seen through Jan 21, and the last-9-days delta
+    merges against it without rescanning history.  The report is the
+    ingest readout: per event type, total distinct cells after the merge
+    and how many cells this delta saw FIRST — the "new entity" signal
+    (first-seen devices, vocabulary growth) that a mergeable HLL sketch
+    (streaming/sketches.py) cannot answer.  The oracle recomputes both
+    numbers from raw rows, pinning merge(index(base), delta) ≡
+    index(base UNION delta) and the novelty anti-join.  At 100 TB the
+    delta-distinct side broadcasts; the index is scanned, never
+    re-shuffled."""
+    from streaming_feature_store_spark.operators.profile import (
+        distinct_index_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.hour("ts").cast("int").alias("h"),
+        F.to_date("ts").alias("d"),
+    )
+    cut = F.lit("2024-01-22").cast("date")
+    base_idx = (
+        ev.filter(F.col("d") < cut)
+        .select("event_type", "user_id", "h")
+        .distinct()
+    )
+    delta = ev.filter(F.col("d") >= cut)
+    report, _ = distinct_index_merge(
+        delta, base_idx, ["event_type"], ["user_id", "h"]
+    )
+    return report
+
+
+@query(
+    "q229_line_dedup",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), ch AS (
+      SELECT doc_id,
+        list_transform(
+          generate_series(0, CAST(ceil(len(l) / 4.0) AS INT) - 1),
+          i -> array_to_string(l[(i*4+1):(i*4+4)], ' ')) AS chunks
+      FROM tok
+    ), lines AS (
+      SELECT doc_id,
+        unnest(list_transform(chunks, (x, i) -> {'pos': i, 'line': x}),
+               recursive := true)
+      FROM ch
+    ), freq AS (
+      SELECT line FROM lines
+      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+    ), kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l ANTI JOIN freq f ON l.line = f.line
+    ), tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lines GROUP BY 1
+    ), re AS (
+      SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+        CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id, COALESCE(re.clean_text, '') AS clean_text, t.n_lines,
+      COALESCE(re.n_kept, 0) AS n_kept,
+      ROUND(COALESCE(re.n_kept, 0) / CAST(t.n_lines AS DOUBLE), 6)
+        AS kept_frac
+    FROM tot t LEFT JOIN re ON t.doc_id = re.doc_id
+    """,
+)
+def q229_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (``text.line_dedup``, round 9) — the
+    CCNet/RefinedWeb boilerplate pass document-level dedup can't do:
+    a "line" here is a fixed 4-token window (the corpus has no natural
+    newlines; the operator takes any segmentation via ``lines_col``),
+    and every line occurring in >= 2 distinct documents is stripped from
+    ALL documents, which reassemble from their surviving lines in
+    original order.  Output: per-doc cleaned text + retention stats.
+    The oracle rebuilds the chunking, the corpus frequency screen, the
+    anti-join and the ordered reassembly in SQL — pinning position-exact
+    reconstruction, not just counts."""
+    from streaming_feature_store_spark.operators.text import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_ch = F.ceil(F.size(toks) / F.lit(4.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_ch - 1),
+        lambda i: F.array_join(F.slice(toks, i * 4 + 1, 4), " "),
+    )
+    return line_dedup(
+        docs.withColumn("_chunks", chunks),
+        lines_col="_chunks",
+        line_sep=" ",
+        min_docs=2,
+    )

@@ -141,3 +141,152 @@ def test_ann_recall_respects_k_cutoff(spark):
     r = ann_recall_report(t, c, k=2).collect()[0]
     assert r["n_hits"] == 1 and r["recall_at_k"] == 0.5
     assert r["mrr_at_k"] == 0.0
+
+
+# --- distinct_index_merge (q228) -------------------------------------------
+
+from streaming_feature_store_spark.operators.profile import (
+    distinct_index_merge,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "k string, u long, h int")
+
+
+def test_distinct_index_merge_counts_and_novelty(spark):
+    base = _ev(spark, [("a", 1, 0), ("a", 2, 0), ("b", 1, 5)])
+    idx = base.distinct()
+    delta = _ev(
+        spark,
+        [("a", 1, 0),  # seen
+         ("a", 1, 1),  # new cell: same user, new hour
+         ("a", 3, 0),  # new user
+         ("a", 3, 0)], # duplicate within delta
+    )
+    report, updated = distinct_index_merge(delta, idx, ["k"], ["u", "h"])
+    got = {r["k"]: (r["n_distinct"], r["n_new"]) for r in report.collect()}
+    assert got == {"a": (4, 2), "b": (1, 0)}
+    assert updated.count() == 5
+    assert updated.distinct().count() == 5  # duplicate-free by construction
+
+
+def test_distinct_index_merge_idempotent_reingest(spark):
+    base = _ev(spark, [("a", 1, 0)]).distinct()
+    delta = _ev(spark, [("a", 2, 3)])
+    _, updated = distinct_index_merge(delta, base, ["k"], ["u", "h"])
+    report2, updated2 = distinct_index_merge(delta, updated, ["k"], ["u", "h"])
+    got = {r["k"]: (r["n_distinct"], r["n_new"]) for r in report2.collect()}
+    assert got == {"a": (2, 0)}
+    assert updated2.count() == 2
+
+
+def test_distinct_index_merge_null_tuples_idempotent(spark):
+    base = spark.createDataFrame(
+        [("a", None, 0)], "k string, u long, h int"
+    ).distinct()
+    delta = spark.createDataFrame(
+        [("a", None, 0), ("a", None, None)], "k string, u long, h int"
+    )
+    report, updated = distinct_index_merge(delta, base, ["k"], ["u", "h"])
+    got = {r["k"]: (r["n_distinct"], r["n_new"]) for r in report.collect()}
+    # (a,NULL,0) already indexed -> not new; (a,NULL,NULL) is new once
+    assert got == {"a": (2, 1)}
+    # re-merge: nothing new, index stable
+    report2, updated2 = distinct_index_merge(delta, updated, ["k"], ["u", "h"])
+    assert {r["k"]: r["n_new"] for r in report2.collect()} == {"a": 0}
+    assert updated2.count() == 2
+
+
+def test_distinct_index_merge_equals_full_recompute(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.choice("abc"), rng.randrange(6), rng.randrange(4))
+            for _ in range(300)]
+    df = _ev(spark, rows)
+    base = df.limit(200)
+    delta = spark.createDataFrame(rows[200:], "k string, u long, h int")
+    idx = base.select("k", "u", "h").distinct()
+    report, updated = distinct_index_merge(delta, idx, ["k"], ["u", "h"])
+    full = (
+        base.unionByName(delta).select("k", "u", "h").distinct()
+        .groupBy("k").count()
+    )
+    want = {r["k"]: r["count"] for r in full.collect()}
+    assert {r["k"]: r["n_distinct"] for r in report.collect()} == want
+    assert updated.count() == sum(want.values())
+
+
+# --- line_dedup (q229) ------------------------------------------------------
+
+from streaming_feature_store_spark.operators.text import line_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_strips_corpus_boilerplate(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "cookie banner\nunique one\nfooter"),
+            (2, "cookie banner\nunique two\nfooter"),
+            (3, "all original\ncontent here"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in line_dedup(d).collect()}
+    assert got[1]["clean_text"] == "unique one"
+    assert got[2]["clean_text"] == "unique two"
+    assert got[3]["clean_text"] == "all original\ncontent here"
+    assert got[1]["n_lines"] == 3 and got[1]["n_kept"] == 1
+    assert got[3]["kept_frac"] == 1.0
+
+
+def test_line_dedup_preserves_order_and_empties_fully_duped_doc(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "z common\na common"),
+            (2, "a common\nz common\nmiddle\nz common"),
+            (3, "z common\nmine"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in line_dedup(d).collect()}
+    # doc 1 is ALL boilerplate -> empty but present
+    assert got[1]["clean_text"] == "" and got[1]["n_kept"] == 0
+    assert got[1]["kept_frac"] == 0.0
+    # doc 2 keeps only 'middle', original position order
+    assert got[2]["clean_text"] == "middle"
+    # repeated line within ONE doc (z common x2 in doc 2) counts docs, not rows
+    assert got[3]["clean_text"] == "mine"
+
+
+def test_line_dedup_within_doc_repeat_not_boilerplate(spark):
+    # a line repeated 3x inside a single doc appears in only ONE distinct
+    # doc -> kept (corpus screen, not intra-doc compression)
+    d = _docs(spark, [(1, "same\nsame\nsame"), (2, "other")])
+    got = {r["doc_id"]: r for r in line_dedup(d).collect()}
+    assert got[1]["clean_text"] == "same\nsame\nsame"
+    assert got[1]["kept_frac"] == 1.0
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    d = _docs(spark, [(1, "x\ny"), (2, "x\nz"), (3, "x\nw")])
+    loose = {r["doc_id"]: r for r in line_dedup(d, min_docs=4).collect()}
+    assert all(r["kept_frac"] == 1.0 for r in loose.values())
+    tight = {r["doc_id"]: r for r in line_dedup(d, min_docs=3).collect()}
+    assert tight[1]["clean_text"] == "y"  # only 'x' crosses the 3-doc bar
+
+
+def test_line_dedup_lines_col_override(spark):
+    d = _docs(spark, [(1, "a b c d"), (2, "a b x y")])
+    d2 = d.withColumn("_w", F.split("text", " "))
+    got = {
+        r["doc_id"]: r
+        for r in line_dedup(d2, lines_col="_w", line_sep=" ").collect()
+    }
+    # words 'a' and 'b' appear in both docs -> stripped
+    assert got[1]["clean_text"] == "c d"
+    assert got[2]["clean_text"] == "x y"
