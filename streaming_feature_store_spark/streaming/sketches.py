@@ -384,3 +384,63 @@ def daily_metric_series(spark: SparkSession, partials_path: str) -> DataFrame:
         F.sum("n").cast("double").alias("m"),
         F.sum("v_sum").cast("double").alias("v_sum"),
     )
+
+
+def histogram_partials_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    out_path: str,
+    specs: dict[str, list[float]],
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming twin of the persisted drift baseline
+    (``operators/drift.histogram_index``): each micro-batch collapses to
+    its fixed-edge bucket counts — |features| x |buckets| rows, tagged
+    with the micro-batch id — appended to the partial log.  The drift
+    monitor then prices PSI-vs-baseline from
+    :func:`merged_histogram_view` without ever rescanning events: the
+    reference recomputes its expected distribution from the full
+    training frame per check (training/drift_check.py:138-169); here the
+    baseline is maintained BY the stream as it flows.
+
+    Bucket counts are additive (not idempotent), so the same provenance
+    discipline as :func:`algebraic_partials_stream` applies: the
+    batch_id rides along, a replayed micro-batch re-appends
+    byte-identical rows, and the read side deduplicates on
+    (feature, bucket, batch_id) before summing.
+    """
+    from streaming_feature_store_spark.operators.drift import (
+        histogram_index,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            histogram_index(batch_df, specs)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = events.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merged_histogram_view(spark: SparkSession, partials_path: str) -> DataFrame:
+    """The live drift baseline from the histogram partial log: drop
+    replayed rows by provenance key, sum counts per (feature, bucket) —
+    bit-identical to ``histogram_index`` over all raw rows (integer
+    counts are order- and shard-independent), ready for
+    ``psi_from_histograms`` / ``histogram_quantiles``."""
+    return (
+        spark.read.parquet(partials_path)
+        .dropDuplicates(["feature", "bucket", "batch_id"])
+        .groupBy("feature", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )

@@ -884,3 +884,65 @@ def test_prune_snapshots_keeps_newest(spark, tmp_path):
     assert sorted(os.listdir(root)) == ["v=5", "v=9"]
     assert spark.read.parquet(f"{root}/v=9").collect()[0]["x"] == 9
     assert prune_snapshots(str(tmp_path / "absent")) == []
+
+
+def test_streaming_histogram_partials_match_batch(spark, tmp_path):
+    """Round-9: the persisted drift baseline (q225 family) carries the
+    same stream ≡ batch replay proof as the sketch/algebraic logs —
+    per-micro-batch fixed-edge bucket counts appended in foreachBatch,
+    merged at read time, must equal histogram_index over all raw rows,
+    stay equal when a replayed micro-batch re-appends its rows
+    (provenance dedup), and feed psi_from_histograms directly."""
+    from streaming_feature_store_spark.operators.drift import (
+        histogram_index,
+        psi_from_histograms,
+    )
+    from streaming_feature_store_spark.streaming.sketches import (
+        histogram_partials_stream,
+        merged_histogram_view,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "hist_partials")
+    ckpt = str(tmp_path / "hist_ckpt")
+    os.makedirs(src)
+
+    specs = {"value": [2.0, 5.0, 9.0]}
+    rows = [
+        (i, i % 5, BASE + dt.timedelta(minutes=i), float(i % 13) - 1.0, "view")
+        for i in range(60)
+    ]
+    for lo, hi in ((0, 25), (25, 45), (45, 60)):
+        _write_batch(spark, src, rows[lo:hi])
+
+    stream = read_file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = histogram_partials_stream(spark, stream, out, specs, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    def view():
+        return {
+            (r["feature"], r["bucket"]): r["n"]
+            for r in merged_histogram_view(spark, out).collect()
+        }
+
+    batch_truth = {
+        (r["feature"], r["bucket"]): r["n"]
+        for r in histogram_index(
+            spark.createDataFrame(rows, SCHEMA), specs
+        ).collect()
+    }
+    assert view() == batch_truth
+
+    # replay: re-append one batch's rows byte-identically -> unchanged
+    partials = spark.read.parquet(out)
+    one = partials.filter(
+        F.col("batch_id") == partials.agg(F.min("batch_id")).collect()[0][0]
+    )
+    one.write.mode("append").parquet(out)
+    assert view() == batch_truth
+
+    # the merged view IS a baseline: psi against itself = 0 per feature
+    psi_rows = psi_from_histograms(
+        merged_histogram_view(spark, out), merged_histogram_view(spark, out)
+    ).collect()
+    assert [r["psi"] for r in psi_rows] == [0.0]
