@@ -81,3 +81,135 @@ def funnel_features(
         "session_minutes",
         F.round((F.col("session_end_us") - F.col("session_start_us")) / 6.0e7, 4),
     )
+
+
+def _gap_to_us(gap: str) -> int:
+    """Parse a SQL-style interval string ('30 minutes') to exact micros."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", gap.lower()
+    )
+    if not m:
+        raise ValueError(f"unsupported gap interval: {gap!r}")
+    mult = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }[m.group(2)]
+    return int(m.group(1)) * mult
+
+
+def session_index_merge(
+    delta: DataFrame,
+    index: DataFrame,
+    cutoff: str,
+    entity_col: str,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    validate: bool = True,
+) -> DataFrame:
+    """Incremental sessionization against a persisted session table — the
+    daily-ingest shape of ``sessionize``: history is never re-sessionized;
+    only sessions that can still grow meet the delta.
+
+    Contract: every indexed event happened BEFORE ``cutoff`` and every
+    delta event AT/AFTER it (the daily-partition invariant).  Under that
+    contract at most ONE session per entity is still "open" (ends within
+    ``gap`` of the cutoff) — two would have to be gap-separated, pushing
+    the second past the cutoff — so:
+
+    - sessions ending before ``cutoff - gap`` are CLOSED: no delta event
+      can attach (its distance is already >= gap); they pass through
+      untouched, never shuffled;
+    - each open session becomes one atomic interval row and gap-merges
+      with the delta's event points per entity (gaps-and-islands over
+      exact integer micros — the same >=-gap break rule
+      ``F.session_window`` applies), yielding the updated tail.
+
+    Returns the updated session table (same schema as ``sessionize``:
+    entity, n_events, session_start_us, session_end_us), equal to a full
+    recompute over base ∪ delta (the oracled q230 guarantee).
+
+    ``validate=True`` enforces the contract with two single-row
+    aggregates (min delta ts, max indexed end — bounded driver reads);
+    disable only when the partition layout already guarantees it.
+
+    Scale shape: the closed set is a pass-through scan (in production a
+    partition-pruned read); the shuffle is |open sessions| + |delta|
+    rows keyed by entity — the day's data, not history.
+    """
+    import datetime as dt
+
+    gap_us = _gap_to_us(gap)
+    cut = dt.datetime.fromisoformat(cutoff)
+    if cut.tzinfo is None:
+        cut = cut.replace(tzinfo=dt.timezone.utc)
+    cutoff_us = int(cut.timestamp() * 1_000_000)
+
+    if validate:
+        mn = delta.agg(
+            F.min(F.unix_micros(F.col(ts_col))).alias("m")
+        ).collect()[0]["m"]
+        if mn is not None and mn < cutoff_us:
+            raise ValueError(
+                f"session_index_merge: delta has events before cutoff "
+                f"{cutoff!r} — the incremental contract is violated; "
+                "re-sessionize the affected range instead"
+            )
+        mx = index.agg(F.max("session_end_us").alias("m")).collect()[0]["m"]
+        if mx is not None and mx >= cutoff_us:
+            raise ValueError(
+                f"session_index_merge: index has sessions at/after cutoff "
+                f"{cutoff!r} — pass the cutoff the index was built to"
+            )
+
+    from pyspark.sql import Window
+
+    closed = index.filter(
+        F.col("session_end_us") < F.lit(cutoff_us - gap_us)
+    )
+    open_ = index.filter(
+        F.col("session_end_us") >= F.lit(cutoff_us - gap_us)
+    )
+    iv = open_.select(
+        F.col(entity_col),
+        F.col("session_start_us").alias("_s"),
+        F.col("session_end_us").alias("_e"),
+        F.col("n_events").cast("long").alias("_n"),
+    )
+    pts = delta.select(
+        F.col(entity_col),
+        F.unix_micros(F.col(ts_col)).alias("_s"),
+        F.unix_micros(F.col(ts_col)).alias("_e"),
+        F.lit(1).cast("long").alias("_n"),
+    )
+    u = iv.unionByName(pts)
+    w = Window.partitionBy(entity_col).orderBy("_s", "_e")
+    brk = F.when(
+        F.lag("_e").over(w).isNull()
+        | (F.col("_s") - F.lag("_e").over(w) >= F.lit(gap_us)),
+        1,
+    ).otherwise(0)
+    flagged = u.select(
+        F.col(entity_col), "_s", "_e", "_n", brk.alias("_brk")
+    )
+    sid = F.sum("_brk").over(
+        Window.partitionBy(entity_col)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tail = (
+        flagged.select(F.col(entity_col), "_s", "_e", "_n", sid.alias("_sid"))
+        .groupBy(entity_col, "_sid")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.min("_s").alias("session_start_us"),
+            F.max("_e").alias("session_end_us"),
+        )
+        .drop("_sid")
+    )
+    return closed.select(
+        entity_col, "n_events", "session_start_us", "session_end_us"
+    ).unionByName(tail)

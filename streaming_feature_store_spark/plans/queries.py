@@ -10607,3 +10607,50 @@ def q229_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         line_sep=" ",
         min_docs=2,
     )
+
+
+@query(
+    "q230_incremental_sessions",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w >= 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+      MIN(us) AS session_start_us, MAX(us) AS session_end_us
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q230_incremental_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization (``sessions.session_index_merge``, round
+    9): the persisted session table covers history through Jan 21; the
+    next day's events merge against it WITHOUT re-sessionizing history.
+    Sessions ending more than one gap before the cutoff are closed and
+    pass through unshuffled; the (provably at most one per entity) still-
+    open session becomes an atomic interval and gap-merges with the
+    delta's event points — exact integer-micros gaps-and-islands, the
+    same >=-gap break rule F.session_window applies.  The oracle is the
+    full-recompute sessionization over ALL events, pinning
+    merge(sessions(base), delta) ≡ sessions(base ∪ delta).  The daily-
+    ingest shape of A15 at 100 TB: shuffle = |open| + |delta| rows, not
+    history."""
+    from streaming_feature_store_spark.operators.sessions import (
+        session_index_merge,
+        sessionize,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    base = sessionize(ev.filter(F.col("ts") < cut), "user_id")
+    delta = ev.filter(F.col("ts") >= cut)
+    return session_index_merge(
+        delta, base, "2024-01-22 00:00:00", "user_id"
+    )

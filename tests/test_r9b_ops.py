@@ -290,3 +290,123 @@ def test_line_dedup_lines_col_override(spark):
     # words 'a' and 'b' appear in both docs -> stripped
     assert got[1]["clean_text"] == "c d"
     assert got[2]["clean_text"] == "x y"
+
+
+# --- session_index_merge (q230) ----------------------------------------------
+
+import datetime as dt
+
+from streaming_feature_store_spark.operators.sessions import (
+    session_index_merge,
+    sessionize,
+)
+
+_B = dt.datetime(2024, 1, 1, 0, 0, 0)
+_CUT = "2024-01-02 00:00:00"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+
+def _sess_set(df):
+    return {
+        (r["user_id"], r["n_events"], r["session_start_us"],
+         r["session_end_us"])
+        for r in df.collect()
+    }
+
+
+def _merge_vs_full(spark, base_rows, delta_rows, gap="30 minutes"):
+    base = _events(spark, base_rows)
+    delta = _events(spark, delta_rows)
+    idx = sessionize(base, "user_id", gap=gap)
+    merged = session_index_merge(delta, idx, _CUT, "user_id", gap=gap)
+    full = sessionize(base.unionByName(delta), "user_id", gap=gap)
+    assert _sess_set(merged) == _sess_set(full)
+    return merged
+
+
+def test_session_merge_extends_open_session(spark):
+    # base session ends 23:50; delta event 00:10 is 20min later -> same session
+    base = [(1, _B + dt.timedelta(hours=23, minutes=m)) for m in (40, 50)]
+    delta = [(1, dt.datetime(2024, 1, 2, 0, 10))]
+    merged = _merge_vs_full(spark, base, delta)
+    assert merged.count() == 1 and merged.collect()[0]["n_events"] == 3
+
+
+def test_session_merge_closed_sessions_untouched_and_new_entity(spark):
+    base = [
+        (1, _B + dt.timedelta(hours=1)),        # closed long ago
+        (1, _B + dt.timedelta(hours=1, minutes=5)),
+        (2, _B + dt.timedelta(hours=23, minutes=55)),  # open at cutoff
+    ]
+    delta = [
+        (2, dt.datetime(2024, 1, 2, 0, 5)),   # extends user 2
+        (3, dt.datetime(2024, 1, 2, 9, 0)),   # brand-new entity
+    ]
+    merged = _merge_vs_full(spark, base, delta)
+    got = {(r["user_id"], r["n_events"]) for r in merged.collect()}
+    assert got == {(1, 2), (2, 2), (3, 1)}
+
+
+def test_session_merge_gap_boundary_starts_new_session(spark):
+    # delta event EXACTLY one gap after the open session's end -> new session
+    base = [(1, _B + dt.timedelta(hours=23, minutes=45))]
+    delta = [(1, dt.datetime(2024, 1, 2, 0, 15))]  # diff = exactly 30min
+    base_df, delta_df = _events(spark, base), _events(spark, delta)
+    idx = sessionize(base_df, "user_id")
+    merged = session_index_merge(delta_df, idx, _CUT, "user_id")
+    assert merged.count() == 2
+
+
+def test_session_merge_entity_with_no_delta_events_passes_through(spark):
+    base = [(7, _B + dt.timedelta(hours=23, minutes=59))]  # open, no delta
+    delta = [(8, dt.datetime(2024, 1, 2, 1, 0))]
+    merged = _merge_vs_full(spark, base, delta)
+    assert merged.count() == 2
+
+
+def test_session_merge_delta_chains_multiple_new_sessions(spark):
+    delta = [
+        (1, dt.datetime(2024, 1, 2, 0, 0)),
+        (1, dt.datetime(2024, 1, 2, 0, 10)),
+        (1, dt.datetime(2024, 1, 2, 2, 0)),
+        (1, dt.datetime(2024, 1, 2, 2, 20)),
+        (1, dt.datetime(2024, 1, 2, 2, 45)),
+    ]
+    merged = _merge_vs_full(spark, [(1, _B)], delta)
+    counts = sorted(r["n_events"] for r in merged.collect())
+    assert counts == [1, 2, 3]
+
+
+def test_session_merge_random_corpus_equals_full_recompute(spark):
+    import random
+
+    rng = random.Random(42)
+    base = [
+        (rng.randrange(6),
+         _B + dt.timedelta(minutes=rng.randrange(0, 1440)))
+        for _ in range(120)
+    ]
+    delta = [
+        (rng.randrange(8),
+         dt.datetime(2024, 1, 2) + dt.timedelta(minutes=rng.randrange(0, 600)))
+        for _ in range(80)
+    ]
+    _merge_vs_full(spark, base, delta, gap="45 minutes")
+
+
+def test_session_merge_validates_contract(spark):
+    base = [(1, _B + dt.timedelta(hours=5))]
+    idx = sessionize(_events(spark, base), "user_id")
+    late_delta = _events(spark, [(1, _B + dt.timedelta(hours=6))])  # pre-cutoff!
+    with pytest.raises(ValueError, match="before cutoff"):
+        session_index_merge(late_delta, idx, _CUT, "user_id")
+    # index built past the cutoff is rejected too
+    post_idx = sessionize(
+        _events(spark, [(1, dt.datetime(2024, 1, 2, 3, 0))]), "user_id"
+    )
+    ok_delta = _events(spark, [(1, dt.datetime(2024, 1, 2, 5, 0))])
+    with pytest.raises(ValueError, match="at/after cutoff"):
+        session_index_merge(ok_delta, post_idx, _CUT, "user_id")
