@@ -1112,3 +1112,67 @@ def erase_from_minhash_index(
     return index.join(
         erased_ids.select(F.col(id_col)).distinct(), id_col, "left_anti"
     )
+
+
+def cluster_index_merge(
+    new_pairs: DataFrame,
+    labels: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Incremental connected components against a persisted label table —
+    the cluster-maintenance leg of the incremental dedup family: q221
+    surfaces each delta's NEW near-dup pairs; this folds them into the
+    standing ``(node, cluster_id)`` assignment without re-running CC over
+    the full historical pair graph.
+
+    The insight that keeps it cheap: with min-id labels, a new edge can
+    only merge whole EXISTING components.  Map both endpoints to their
+    current labels (unlabeled nodes label themselves), keep the edges
+    whose labels differ, and run exact CC (``dedup_clusters``) on that
+    CONTRACTED label graph — its size is bounded by the delta's pair
+    count, never by history.  The resulting old-label -> new-label remap
+    rewrites the index with one join; labels are min reachable ids, so a
+    merged component's new label is the min of its parts' labels — i.e.
+    exactly what a full recompute assigns (the oracled q231 guarantee,
+    pinned against the q67 recursive-CTE closure).
+
+    Scale shape: two broadcast-able joins keyed by node/label (the delta
+    side is small), one CC over |delta| contracted edges, one remap join
+    over the index — the historical EDGE LIST is never touched, only the
+    label table (|nodes| rows, the thing a 100 TB entity-resolution
+    pipeline persists anyway).
+    """
+    la = labels.select(
+        F.col("node").alias(id_a), F.col("cluster_id").alias("_la")
+    )
+    lb = labels.select(
+        F.col("node").alias(id_b), F.col("cluster_id").alias("_lb")
+    )
+    contracted = (
+        new_pairs.select(id_a, id_b)
+        .join(la, id_a, "left")
+        .join(lb, id_b, "left")
+        .select(
+            F.coalesce("_la", F.col(id_a)).alias("a"),
+            F.coalesce("_lb", F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    remap = dedup_clusters(contracted, "a", "b").select(
+        F.col("node").alias("cluster_id"), F.col("cluster_id").alias("_new")
+    )
+    new_nodes = (
+        new_pairs.select(F.col(id_a).alias("node"))
+        .unionByName(new_pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("cluster_id"))
+    )
+    return (
+        labels.unionByName(new_nodes)
+        .join(remap, "cluster_id", "left")
+        .select(
+            "node", F.coalesce("_new", F.col("cluster_id")).alias("cluster_id")
+        )
+    )

@@ -10654,3 +10654,68 @@ def q230_incremental_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_index_merge(
         delta, base, "2024-01-22 00:00:00", "user_id"
     )
+
+
+@query(
+    "q231_incremental_clusters",
+    sql=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), shx AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tok
+    ), sh AS (
+      SELECT doc_id, unnest(sh) AS s FROM shx
+    ), sizes AS (
+      SELECT doc_id, CAST(len(sh) AS INTEGER) AS nsh FROM shx
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_common / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q231_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup clusters (``dedup.cluster_index_merge``, round 9):
+    the q221 split again — base corpus (doc_id % 3 != 0) carries a
+    standing (node, cluster_id) label table from its own pair graph; the
+    delta's new near-dup pairs (``minhash_index_merge``) fold in WITHOUT
+    re-running CC over history: endpoints contract to their current
+    labels, exact CC runs on the delta-sized label graph only, and one
+    remap join rewrites the index.  The oracle is the q67 recursive-CTE
+    transitive closure over the FULL pair graph — pinning
+    merge(clusters(base), new_pairs) ≡ clusters(base ∪ delta) down to
+    identical min-id representatives."""
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+    from streaming_feature_store_spark.operators.dedup import (
+        build_minhash_index,
+        cluster_index_merge,
+        dedup_clusters,
+        minhash_index_merge,
+        minhash_index_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = persist_tracked(build_minhash_index(base))
+    labels = dedup_clusters(minhash_index_pairs(idx, threshold=0.5))
+    new_pairs, _ = minhash_index_merge(delta, idx, threshold=0.5)
+    return cluster_index_merge(new_pairs, labels).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )

@@ -410,3 +410,81 @@ def test_session_merge_validates_contract(spark):
     ok_delta = _events(spark, [(1, dt.datetime(2024, 1, 2, 5, 0))])
     with pytest.raises(ValueError, match="at/after cutoff"):
         session_index_merge(ok_delta, post_idx, _CUT, "user_id")
+
+
+# --- cluster_index_merge (q231) ----------------------------------------------
+
+from streaming_feature_store_spark.operators.dedup import (
+    cluster_index_merge,
+    dedup_clusters,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def _labels(df):
+    return {(r["node"], r["cluster_id"]) for r in df.collect()}
+
+
+def _merge_vs_full_cc(spark, base_edges, delta_edges):
+    base = _pairs(spark, base_edges)
+    delta = _pairs(spark, delta_edges)
+    idx = dedup_clusters(base)
+    merged = cluster_index_merge(delta, idx)
+    full = dedup_clusters(base.unionByName(delta))
+    assert _labels(merged) == _labels(full)
+    return merged
+
+
+def test_cluster_merge_bridges_two_components(spark):
+    merged = _merge_vs_full_cc(
+        spark, [(1, 2), (10, 11)], [(2, 10)]
+    )
+    got = _labels(merged)
+    assert got == {(1, 1), (2, 1), (10, 1), (11, 1)}
+
+
+def test_cluster_merge_new_singleton_component(spark):
+    merged = _merge_vs_full_cc(spark, [(1, 2)], [(50, 60)])
+    assert _labels(merged) == {(1, 1), (2, 1), (50, 50), (60, 50)}
+
+
+def test_cluster_merge_edge_within_existing_component_is_noop(spark):
+    base = [(1, 2), (2, 3)]
+    merged = _merge_vs_full_cc(spark, base, [(1, 3)])
+    assert _labels(merged) == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_cluster_merge_chain_across_three_components(spark):
+    # delta edges chain components {1,2}, {10,11}, {20,21} through a NEW
+    # node 99 -> all collapse to min id 1
+    merged = _merge_vs_full_cc(
+        spark,
+        [(1, 2), (10, 11), (20, 21)],
+        [(2, 99), (99, 10), (99, 20)],
+    )
+    labels = dict(_labels(merged))
+    assert set(labels.values()) == {1} and labels[99] == 1
+
+
+def test_cluster_merge_new_node_becomes_representative(spark):
+    # delta introduces node 0 (< all existing ids) attached to {5,6}
+    merged = _merge_vs_full_cc(spark, [(5, 6)], [(0, 6)])
+    assert _labels(merged) == {(0, 0), (5, 0), (6, 0)}
+
+
+def test_cluster_merge_random_graph_equals_full_recompute(spark):
+    import random
+
+    rng = random.Random(17)
+    base = [
+        (rng.randrange(40), rng.randrange(40)) for _ in range(50)
+    ]
+    base = [(a, b) for a, b in base if a != b]
+    delta = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(30)
+    ]
+    delta = [(a, b) for a, b in delta if a != b]
+    _merge_vs_full_cc(spark, base, delta)
