@@ -32,8 +32,10 @@ def sessionize(
 ) -> DataFrame:
     """Aggregate events into gap-separated sessions per entity.
 
-    A new session starts when the gap since the previous event is >= ``gap``
-    (Spark merges events strictly inside the gap window).
+    A new session starts when the gap since the previous event EXCEEDS
+    ``gap`` — ``F.session_window`` windows are end-inclusive, so two
+    events exactly one gap apart still merge (verified empirically; the
+    q230 incremental merge and its oracle pin the same rule).
     """
     aggs = [
         F.count("*").alias("n_events"),
@@ -121,12 +123,13 @@ def session_index_merge(
     the second past the cutoff — so:
 
     - sessions ending before ``cutoff - gap`` are CLOSED: no delta event
-      can attach (its distance is already >= gap); they pass through
-      untouched, never shuffled;
+      can attach (its distance already exceeds the gap); they pass
+      through untouched, never shuffled;
     - each open session becomes one atomic interval row and gap-merges
       with the delta's event points per entity (gaps-and-islands over
-      exact integer micros — the same >=-gap break rule
-      ``F.session_window`` applies), yielding the updated tail.
+      exact integer micros — the same break rule ``F.session_window``
+      applies: a new session only when the gap is EXCEEDED; exactly-gap
+      events still merge), yielding the updated tail.
 
     Returns the updated session table (same schema as ``sessionize``:
     entity, n_events, session_start_us, session_end_us), equal to a full
@@ -189,7 +192,7 @@ def session_index_merge(
     w = Window.partitionBy(entity_col).orderBy("_s", "_e")
     brk = F.when(
         F.lag("_e").over(w).isNull()
-        | (F.col("_s") - F.lag("_e").over(w) >= F.lit(gap_us)),
+        | (F.col("_s") - F.lag("_e").over(w) > F.lit(gap_us)),
         1,
     ).otherwise(0)
     flagged = u.select(

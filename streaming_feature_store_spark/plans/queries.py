@@ -10616,7 +10616,7 @@ def q229_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, epoch_us(ts) AS us FROM events
     ), flagged AS (
       SELECT *, CASE WHEN LAG(us) OVER w IS NULL
-                       OR us - LAG(us) OVER w >= 1800000000
+                       OR us - LAG(us) OVER w > 1800000000
                      THEN 1 ELSE 0 END AS new_sess
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
     ), sess AS (
@@ -10637,7 +10637,8 @@ def q230_incremental_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass through unshuffled; the (provably at most one per entity) still-
     open session becomes an atomic interval and gap-merges with the
     delta's event points — exact integer-micros gaps-and-islands, the
-    same >=-gap break rule F.session_window applies.  The oracle is the
+    same break rule F.session_window applies (end-inclusive windows:
+    exactly-gap events merge, only a strictly larger gap breaks).  The oracle is the
     full-recompute sessionization over ALL events, pinning
     merge(sessions(base), delta) ≡ sessions(base ∪ delta).  The daily-
     ingest shape of A15 at 100 TB: shuffle = |open| + |delta| rows, not

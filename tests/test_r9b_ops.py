@@ -350,14 +350,18 @@ def test_session_merge_closed_sessions_untouched_and_new_entity(spark):
     assert got == {(1, 2), (2, 2), (3, 1)}
 
 
-def test_session_merge_gap_boundary_starts_new_session(spark):
-    # delta event EXACTLY one gap after the open session's end -> new session
+def test_session_merge_gap_boundary_semantics(spark):
+    # F.session_window windows are END-INCLUSIVE (verified empirically):
+    # an event EXACTLY one gap after the open session's end still merges;
+    # one microsecond past it starts a new session.  The merge must agree
+    # with sessionize on both sides of the boundary.
     base = [(1, _B + dt.timedelta(hours=23, minutes=45))]
-    delta = [(1, dt.datetime(2024, 1, 2, 0, 15))]  # diff = exactly 30min
-    base_df, delta_df = _events(spark, base), _events(spark, delta)
-    idx = sessionize(base_df, "user_id")
-    merged = session_index_merge(delta_df, idx, _CUT, "user_id")
-    assert merged.count() == 2
+    exact = [(1, dt.datetime(2024, 1, 2, 0, 15))]  # diff = exactly 30min
+    merged = _merge_vs_full(spark, base, exact)
+    assert merged.count() == 1
+    past = [(1, dt.datetime(2024, 1, 2, 0, 15, 0, 1))]  # gap + 1us
+    merged2 = _merge_vs_full(spark, base, past)
+    assert merged2.count() == 2
 
 
 def test_session_merge_entity_with_no_delta_events_passes_through(spark):
