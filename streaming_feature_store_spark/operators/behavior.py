@@ -661,3 +661,81 @@ def forecast_baseline_eval(
         F.round(mae_s, 6).alias("mae_naive"),
         F.round(mae_m / F.when(mae_s > 0, mae_s), 6).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trending items over a persisted daily-count index (round 9).
+
+
+def daily_count_index(
+    df: DataFrame, item_col: str, day_col: str
+) -> DataFrame:
+    """The persisted state behind trending-item reports: one
+    ``(item, day, n)`` row per item-day.  Counts are additive, so daily
+    deltas merge without history (``daily_count_index_merge``); decay is
+    applied at READ time (``decayed_topk``), never baked into the stored
+    counts — a stored pre-decayed score would make the merge order- and
+    date-dependent and break exact delta ≡ full parity."""
+    return df.groupBy(
+        F.col(item_col).alias("item"), F.col(day_col).alias("day")
+    ).agg(F.count("*").alias("n"))
+
+
+def daily_count_index_merge(
+    index: DataFrame,
+    delta: DataFrame,
+    retain_days: int | None = None,
+    ref_day: str | None = None,
+) -> DataFrame:
+    """Merge a delta's daily counts into the index (union + sum — exact),
+    optionally evicting item-days older than ``retain_days`` before
+    ``ref_day``: the decay report's weight floor makes older days
+    irrelevant, and the eviction is what bounds index size to
+    |items| x |retained days| at 100 TB."""
+    merged = (
+        index.unionByName(delta)
+        .groupBy("item", "day")
+        .agg(F.sum("n").alias("n"))
+    )
+    if retain_days is not None:
+        if ref_day is None:
+            raise ValueError("retain_days requires ref_day")
+        merged = merged.filter(
+            F.col("day")
+            >= F.date_sub(F.lit(ref_day).cast("date"), retain_days)
+        )
+    return merged
+
+
+def decayed_topk(
+    index: DataFrame,
+    ref_day: str,
+    k: int = 20,
+    half_life_days: float = 30.0,
+) -> DataFrame:
+    """Trending top-k from the daily-count index: weight(item) =
+    Σ_days n_d · 0.5^(age_d / half_life) — recency-weighted popularity,
+    the standing merch/feed readout.
+
+    Cross-engine determinism discipline: the decay is written as
+    ``exp(ln(0.5) · age / half_life)`` (one libm exp both engines agree
+    on — the pow() builtins differ by ULPs across libms), each item-day
+    term accumulates as DECIMAL (order-independent sum), and the rank
+    orders by the ROUNDED weight with the item id as tiebreak (q25
+    discipline).  The report aggregates |items| x |retained days| index
+    rows — never raw history."""
+    import math
+
+    age = F.datediff(F.lit(ref_day).cast("date"), F.col("day"))
+    term = (
+        F.col("n") * F.exp(F.lit(math.log(0.5)) * age / half_life_days)
+    ).cast("decimal(28,12)")
+    scored = index.groupBy("item").agg(
+        F.round(F.sum(term).cast("double"), 6).alias("decayed_weight"),
+        F.sum("n").alias("n_total"),
+    )
+    w = Window.orderBy(F.desc("decayed_weight"), F.asc("item"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

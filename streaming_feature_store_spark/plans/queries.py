@@ -10720,3 +10720,62 @@ def q231_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_index_merge(new_pairs, labels).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
+
+
+@query(
+    "q232_trending_parts",
+    sql="""
+    WITH ev AS (
+      SELECT l_partkey AS item, CAST(o_orderdate AS DATE) AS day
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), idx AS (
+      SELECT item, day, COUNT(*) AS n FROM ev
+      WHERE day >= DATE '2001-08-01' - 180
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT item,
+        ROUND(CAST(SUM(CAST(
+          n * exp(ln(0.5) * date_diff('day', day, DATE '2001-08-01') / 30.0)
+          AS DECIMAL(28,12))) AS DOUBLE), 6) AS decayed_weight,
+        CAST(SUM(n) AS BIGINT) AS n_total
+      FROM idx GROUP BY 1
+    )
+    SELECT item, decayed_weight, n_total,
+      CAST(ROW_NUMBER() OVER (ORDER BY decayed_weight DESC, item) AS INT)
+        AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def q232_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items over a persisted daily-count index
+    (``behavior.daily_count_index`` + ``daily_count_index_merge`` +
+    ``decayed_topk``, round 9): part order counts keyed by (part, day)
+    accumulate incrementally — the last month's orders arrive as the
+    delta and merge by pure count addition (exact); a 180-day retention
+    eviction bounds the index; the top-20 report applies half-life-30d
+    exponential decay at READ time over index rows only.  Decay is
+    exp(ln(0.5)·age/h) — one libm exp both engines agree on — with
+    decimal term accumulation and rounded-weight ranking, so the oracle
+    reproduces the report bit-exactly from raw rows."""
+    from streaming_feature_store_spark.operators.behavior import (
+        daily_count_index,
+        daily_count_index_merge,
+        decayed_topk,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ev = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_partkey").alias("item"),
+        F.to_date("o_orderdate").alias("day"),
+    )
+    cut = F.lit("2001-07-01").cast("date")
+    base_idx = daily_count_index(ev.filter(F.col("day") < cut), "item", "day")
+    delta_idx = daily_count_index(
+        ev.filter(F.col("day") >= cut), "item", "day"
+    )
+    merged = daily_count_index_merge(
+        base_idx, delta_idx, retain_days=180, ref_day="2001-08-01"
+    )
+    return decayed_topk(merged, "2001-08-01", k=20, half_life_days=30.0)

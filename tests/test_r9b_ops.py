@@ -492,3 +492,85 @@ def test_cluster_merge_random_graph_equals_full_recompute(spark):
     ]
     delta = [(a, b) for a, b in delta if a != b]
     _merge_vs_full_cc(spark, base, delta)
+
+
+# --- trending daily-count index (q232) ---------------------------------------
+
+from streaming_feature_store_spark.operators.behavior import (
+    daily_count_index,
+    daily_count_index_merge,
+    decayed_topk,
+)
+
+
+def _items(spark, rows):
+    return spark.createDataFrame(rows, "item long, day date")
+
+
+def test_daily_count_index_merge_equals_full(spark):
+    import datetime as dtm
+
+    d = dtm.date(2024, 1, 1)
+    base = _items(spark, [(1, d), (1, d), (2, d)])
+    delta = _items(
+        spark, [(1, d), (2, dtm.date(2024, 1, 2)), (3, dtm.date(2024, 1, 2))]
+    )
+    merged = daily_count_index_merge(
+        daily_count_index(base, "item", "day"),
+        daily_count_index(delta, "item", "day"),
+    )
+    full = daily_count_index(base.unionByName(delta), "item", "day")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+
+
+def test_daily_count_retention_evicts_old_days(spark):
+    import datetime as dtm
+
+    idx = daily_count_index(
+        _items(
+            spark,
+            [(1, dtm.date(2024, 1, 1)), (1, dtm.date(2024, 3, 1)),
+             (2, dtm.date(2023, 12, 1))],
+        ),
+        "item",
+        "day",
+    )
+    kept = daily_count_index_merge(
+        idx, idx.limit(0), retain_days=45, ref_day="2024-03-01"
+    )
+    days = {r["day"].isoformat() for r in kept.collect()}
+    assert days == {"2024-03-01"}  # jan 1 and dec 1 are past the horizon
+    with pytest.raises(ValueError, match="ref_day"):
+        daily_count_index_merge(idx, idx.limit(0), retain_days=45)
+
+
+def test_decayed_topk_weights_and_rank(spark):
+    import datetime as dtm
+    import math
+
+    # item 1: 4 hits 30 days ago (weight 4*0.5=2); item 2: 3 hits today
+    # (weight 3) -> item 2 ranks first despite fewer total hits
+    idx = spark.createDataFrame(
+        [(1, dtm.date(2024, 1, 1), 4), (2, dtm.date(2024, 1, 31), 3)],
+        "item long, day date, n long",
+    )
+    got = {r["item"]: r for r in
+           decayed_topk(idx, "2024-01-31", k=5, half_life_days=30.0).collect()}
+    assert got[2]["rank"] == 1 and got[1]["rank"] == 2
+    assert math.isclose(got[1]["decayed_weight"], 2.0, abs_tol=1e-6)
+    assert got[2]["decayed_weight"] == 3.0
+    assert got[1]["n_total"] == 4
+
+
+def test_decayed_topk_k_cutoff_and_tiebreak(spark):
+    import datetime as dtm
+
+    d = dtm.date(2024, 1, 31)
+    idx = spark.createDataFrame(
+        [(i, d, 1) for i in range(10)], "item long, day date, n long"
+    )
+    got = decayed_topk(idx, "2024-01-31", k=3).collect()
+    # all weights tie at 1.0 -> item id breaks ties ascending
+    assert [r["item"] for r in sorted(got, key=lambda r: r["rank"])] == [0, 1, 2]
