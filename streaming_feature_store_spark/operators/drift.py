@@ -922,3 +922,78 @@ def histogram_quantiles(
     return straddle.select(
         "feature", "q", F.round(est, 6).alias("estimate")
     )
+
+
+def quantile_edges(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    max_exact_values: int = DEFAULT_MAX_EXACT_VALUES,
+) -> DataFrame:
+    """Exact n-quantile bin edges: edge_i = the smallest value whose
+    cumulative count reaches ceil(i·N / n_bins) (quantile_disc
+    semantics), for i = 1..n_bins-1.  NULLs excluded.
+
+    The integer target ceil(i·N/n_bins) = (i·N + n_bins−1) div n_bins is
+    computed in INTEGER arithmetic — a float q·N flips its ceil() on
+    1-ulp product noise (0.3·10000 = 3000.0000000000005), and frozen
+    edges exist precisely to be reproducible.
+
+    Plan: grouped distinct-value counts (the ``ks_statistic`` shape,
+    bounded by ``max_exact_values`` — the single-partition cumulative
+    sort covers DISTINCT values only), one cumulative window, one
+    broadcast cross with the n_bins−1 targets, one min per target.
+    Returns the tiny (i, edge) frame — persist it next to the model:
+    these edges ARE the train/serve contract.
+    """
+    counts = _bounded_counts(
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("_c")),
+        max_exact_values,
+        "quantile_edges",
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "_v",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy()).alias("_tot"),
+    )
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(i,) for i in range(1, n_bins)], "i int"
+    )
+    return (
+        cum.crossJoin(F.broadcast(targets))
+        .filter(
+            F.col("_cum")
+            >= F.expr(f"(i * _tot + {n_bins - 1}) div {n_bins}")
+        )
+        .groupBy("i")
+        .agg(F.min("_v").alias("edge"))
+    )
+
+
+def psi_quantile_binned(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI over TRAIN-quantile-frozen buckets — the reference's actual
+    PSI semantics (training/drift_check.py:138-169 buckets by the
+    expected population's quantiles), restated with the edges as an
+    explicit, persistable artifact: ``quantile_edges`` on the expected
+    side (group_col false) freezes the ladder; both populations then
+    bucket by it and the fixed-edge ``psi`` form prices the shift.
+    The edge collect is BOUNDED at n_bins−1 rows (the frozen contract
+    is meant to live driver-side / in a table next to the model)."""
+    expected = df.filter(~F.col(group_col))
+    edges = [
+        float(r["edge"])
+        for r in quantile_edges(expected, value_col, n_bins)
+        .orderBy("i")
+        .collect()
+    ]
+    return psi(df, value_col, group_col, edges, eps)

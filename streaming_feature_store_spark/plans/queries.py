@@ -10779,3 +10779,60 @@ def q232_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_idx, delta_idx, retain_days=180, ref_day="2001-08-01"
     )
     return decayed_topk(merged, "2001-08-01", k=20, half_life_days=30.0)
+
+
+@query(
+    "q233_psi_quantile_binned",
+    sql=f"""
+    WITH d AS (
+      SELECT value AS v, ts >= {_DRIFT_CUT} AS grp FROM events
+    ), tr AS (
+      SELECT v FROM d WHERE NOT grp AND v IS NOT NULL
+    ), cts AS (
+      SELECT v, COUNT(*) AS cnt FROM tr GROUP BY v
+    ), cum AS (
+      SELECT v,
+        SUM(cnt) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(cnt) OVER () AS tot
+      FROM cts
+    ), edges AS (
+      SELECT i, MIN(v) AS edge
+      FROM cum CROSS JOIN (
+        SELECT unnest(generate_series(1, 9)) AS i) t
+      WHERE cum >= (i * tot + 9) // 10
+      GROUP BY i
+    ), b AS (
+      SELECT grp,
+        (SELECT COUNT(*) FROM edges e WHERE e.edge <= d.v) AS bucket
+      FROM d
+    ), c AS (
+      SELECT bucket,
+        SUM(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS ne,
+        SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS na
+      FROM b GROUP BY bucket
+    ), t AS (SELECT SUM(ne) AS te, SUM(na) AS ta FROM c)
+    SELECT ROUND(SUM(
+        ((na / CAST(ta AS DOUBLE) + 1e-6) - (ne / CAST(te AS DOUBLE) + 1e-6))
+        * ln((na / CAST(ta AS DOUBLE) + 1e-6) / (ne / CAST(te AS DOUBLE) + 1e-6))
+      ), 6) AS psi
+    FROM c CROSS JOIN t
+    """,
+)
+def q233_psi_quantile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI over train-quantile-frozen buckets (``drift.quantile_edges`` +
+    ``psi_quantile_binned``, round 9) — the reference's ACTUAL bucketing
+    (training/drift_check.py:138-169 cuts by the expected population's
+    deciles; q26 uses fixed edges): decile edges freeze on the pre-cut
+    window with INTEGER-exact targets ceil(i·N/10) = (i·N+9) div 10 (a
+    float q·N flips its ceil on 1-ulp noise), persist as the train/serve
+    contract, and both windows bucket by the frozen ladder.  The oracle
+    re-derives the edges, the bucketing and the PSI closed form in SQL."""
+    from streaming_feature_store_spark.operators.drift import (
+        psi_quantile_binned,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "grp", F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")
+    )
+    return psi_quantile_binned(ev, "value", "grp", n_bins=10)

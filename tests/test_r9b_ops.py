@@ -574,3 +574,55 @@ def test_decayed_topk_k_cutoff_and_tiebreak(spark):
     got = decayed_topk(idx, "2024-01-31", k=3).collect()
     # all weights tie at 1.0 -> item id breaks ties ascending
     assert [r["item"] for r in sorted(got, key=lambda r: r["rank"])] == [0, 1, 2]
+
+
+# --- quantile_edges / psi_quantile_binned (q233) -----------------------------
+
+from streaming_feature_store_spark.operators.drift import (
+    psi_quantile_binned,
+    quantile_edges,
+)
+
+
+def test_quantile_edges_exact_targets(spark):
+    # 1..100 uniform: decile edge_i = smallest v with cum >= ceil(i*100/10)
+    # = exactly 10i
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    got = {r["i"]: r["edge"] for r in quantile_edges(df, "x", 10).collect()}
+    assert got == {i: 10.0 * i for i in range(1, 10)}
+
+
+def test_quantile_edges_integer_target_no_fp_ceil(spark):
+    # N=10000, i=3: float 0.3*10000 = 3000.0000000000005 would ceil to
+    # 3001; the integer form (3*10000+9) div 10 = 3001? no: 30009//10 =
+    # 3000 (ceil(30000/10)=3000) -> edge is the 3000th value
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 10001)], "x double"
+    )
+    got = {r["i"]: r["edge"] for r in quantile_edges(df, "x", 10).collect()}
+    assert got[3] == 3000.0
+
+
+def test_quantile_edges_skip_nulls_and_ties(spark):
+    # heavy ties: 50x 1.0, 50x 2.0 -> median edge = 1.0 (cum 50 >= 50)
+    rows = [(1.0,)] * 50 + [(2.0,)] * 50 + [(None,)] * 10
+    df = spark.createDataFrame(rows, "x double")
+    got = {r["i"]: r["edge"] for r in quantile_edges(df, "x", 2).collect()}
+    assert got == {1: 1.0}
+
+
+def test_psi_quantile_binned_self_is_zero_and_shift_positive(spark):
+    # (i // 50) % 2 alternates WHOLE 0..49 cycles between the groups, so
+    # both populations carry the identical value multiset (i % 2 would
+    # hand evens to one group and odds to the other)
+    same = spark.createDataFrame(
+        [(float(i % 50), (i // 50) % 2 == 0) for i in range(400)],
+        "x double, grp boolean",
+    )
+    assert psi_quantile_binned(same, "x", "grp").collect()[0]["psi"] == 0.0
+    shifted = spark.createDataFrame(
+        [(float(i % 50), False) for i in range(400)]
+        + [(float(i % 50) + 25.0, True) for i in range(400)],
+        "x double, grp boolean",
+    )
+    assert psi_quantile_binned(shifted, "x", "grp").collect()[0]["psi"] > 0.5
