@@ -106,7 +106,7 @@ def _gap_to_us(gap: str) -> int:
 def session_index_merge(
     delta: DataFrame,
     index: DataFrame,
-    cutoff: str,
+    cutoff: str | int,
     entity_col: str,
     ts_col: str = "ts",
     gap: str = "30 minutes",
@@ -146,10 +146,15 @@ def session_index_merge(
     import datetime as dt
 
     gap_us = _gap_to_us(gap)
-    cut = dt.datetime.fromisoformat(cutoff)
-    if cut.tzinfo is None:
-        cut = cut.replace(tzinfo=dt.timezone.utc)
-    cutoff_us = int(cut.timestamp() * 1_000_000)
+    if isinstance(cutoff, int):
+        # exact epoch-micros form (the streaming sink derives the cutoff
+        # FROM event micros — a string round-trip risks 1-us float skew)
+        cutoff_us = cutoff
+    else:
+        cut = dt.datetime.fromisoformat(cutoff)
+        if cut.tzinfo is None:
+            cut = cut.replace(tzinfo=dt.timezone.utc)
+        cutoff_us = int(cut.timestamp() * 1_000_000)
 
     if validate:
         mn = delta.agg(

@@ -946,3 +946,82 @@ def test_streaming_histogram_partials_match_batch(spark, tmp_path):
         merged_histogram_view(spark, out), merged_histogram_view(spark, out)
     ).collect()
     assert [r["psi"] for r in psi_rows] == [0.0]
+
+
+def test_streaming_session_index_matches_batch(spark, tmp_path):
+    """Round-9 session 2: the persisted session table maintained by
+    session_index_sink over event-time-ordered micro-batches must equal
+    one batch sessionize over all events — including sessions that
+    straddle micro-batch boundaries — and a replayed batch must leave
+    the snapshot unchanged (retry re-reads the pre-batch snapshot)."""
+    from streaming_feature_store_spark.operators.sessions import sessionize
+    from streaming_feature_store_spark.streaming.sessions import (
+        session_index_sink,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "sess_idx")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(src)
+
+    rows = (
+        # day 1: user 1 has a session ending 23:50 (open at midnight)
+        [(i, 1, BASE + dt.timedelta(hours=23, minutes=40 + 5 * i), 1.0,
+          "view") for i in range(3)]
+        + [(10 + i, 2, BASE + dt.timedelta(hours=3, minutes=40 * i), 2.0,
+            "view") for i in range(3)]
+        # day 2: user 1 continues at 00:10 (bridges the batch boundary),
+        # user 3 is new
+        + [(20, 1, BASE + dt.timedelta(days=1, minutes=10), 1.0, "view"),
+           (21, 3, BASE + dt.timedelta(days=1, hours=9), 3.0, "view")]
+        # day 3: everyone again, plus a gap-boundary event for user 2
+        + [(30, 2, BASE + dt.timedelta(days=2, hours=1), 2.0, "view"),
+           (31, 1, BASE + dt.timedelta(days=2, hours=1, minutes=20), 1.0,
+            "view")]
+    )
+    for lo, hi in ((0, 6), (6, 8), (8, 10)):
+        _write_batch(spark, src, rows[lo:hi])
+
+    stream = read_file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = stream.writeStream.outputMode("append").foreachBatch(
+        session_index_sink(idx, "user_id")
+    ).option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    import re as _re
+
+    versions = sorted(
+        int(m.group(1)) for d in os.listdir(idx)
+        if (m := _re.fullmatch(r"v=(\d+)", d))
+    )
+    assert len(versions) >= 2
+    got = {
+        (r["user_id"], r["n_events"], r["session_start_us"],
+         r["session_end_us"])
+        for r in spark.read.parquet(f"{idx}/v={versions[-1]}").collect()
+    }
+    want = {
+        (r["user_id"], r["n_events"], r["session_start_us"],
+         r["session_end_us"])
+        for r in sessionize(
+            spark.createDataFrame(rows, SCHEMA), "user_id"
+        ).collect()
+    }
+    assert got == want
+    # user 1's day-1 tail and day-2 00:10 event merged across batches
+    assert any(u == 1 and n == 4 for (u, n, _s, _e) in got)
+
+    # replay the LAST batch against its pre-batch snapshot: byte-equal
+    from streaming_feature_store_spark.streaming.sessions import (
+        session_index_sink as mk,
+    )
+
+    handler = mk(idx, "user_id")
+    last_batch = spark.createDataFrame(rows[8:10], SCHEMA)
+    handler(last_batch, versions[-1] - 1)  # same batch_id as the real run
+    got2 = {
+        (r["user_id"], r["n_events"], r["session_start_us"],
+         r["session_end_us"])
+        for r in spark.read.parquet(f"{idx}/v={versions[-1]}").collect()
+    }
+    assert got2 == want
