@@ -1176,3 +1176,63 @@ def cluster_index_merge(
             "node", F.coalesce("_new", F.col("cluster_id")).alias("cluster_id")
         )
     )
+
+
+def erase_from_cluster_index(
+    labels: DataFrame,
+    pairs: DataFrame,
+    erase: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Right-to-erasure for the persisted cluster label table (the q231
+    index) — the one index in the family where deletion is NOT a row
+    filter: removing a node can SPLIT its component (it may be the
+    bridge) and can retire the min-id representative, and the label
+    table alone cannot answer post-removal connectivity.  The honest
+    repair: recompute exact CC over the RETAINED edges of the AFFECTED
+    components only; every other component passes through untouched.
+
+    ``erase`` is a one-column (node) frame.  Returns the updated label
+    table, equal to ``dedup_clusters(pairs minus erased-touching edges)``
+    (pinned by test; nodes whose every edge involved an erased node drop
+    out, exactly as a rebuild would drop them).
+
+    Scale shape: the erase set is tiny — both the affected-component
+    lookup and the edge filters are broadcast joins; CC runs on the
+    affected subgraph only.  This is why the PAIR LOG is worth retaining
+    next to the label table (append-only, compacted like any log):
+    without it, any erasure forces a full-graph CC rebuild.
+    """
+    er = erase.select(F.col(erase.columns[0]).alias("node")).distinct()
+    affected = (
+        labels.join(F.broadcast(er), "node", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    untouched = labels.join(
+        F.broadcast(affected), "cluster_id", "left_anti"
+    )
+    aff_nodes = labels.join(
+        F.broadcast(affected), "cluster_id", "left_semi"
+    ).select("node")
+    sub = (
+        pairs.select(id_a, id_b)
+        .join(
+            F.broadcast(aff_nodes.withColumnRenamed("node", id_a)),
+            id_a,
+            "left_semi",
+        )
+        .join(
+            F.broadcast(er.withColumnRenamed("node", id_a)),
+            id_a,
+            "left_anti",
+        )
+        .join(
+            F.broadcast(er.withColumnRenamed("node", id_b)),
+            id_b,
+            "left_anti",
+        )
+    )
+    relabeled = dedup_clusters(sub, id_a, id_b)
+    return untouched.unionByName(relabeled)

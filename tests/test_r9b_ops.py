@@ -626,3 +626,55 @@ def test_psi_quantile_binned_self_is_zero_and_shift_positive(spark):
         "x double, grp boolean",
     )
     assert psi_quantile_binned(shifted, "x", "grp").collect()[0]["psi"] > 0.5
+
+
+# --- erase_from_cluster_index ------------------------------------------------
+
+from streaming_feature_store_spark.operators.dedup import (
+    erase_from_cluster_index,
+)
+
+
+def _erase_vs_rebuild(spark, edge_rows, erase_ids):
+    pairs = _pairs(spark, edge_rows)
+    labels = dedup_clusters(pairs)
+    er = spark.createDataFrame([(i,) for i in erase_ids], "node long")
+    got = erase_from_cluster_index(labels, pairs, er)
+    kept = [
+        (a, b) for a, b in edge_rows
+        if a not in erase_ids and b not in erase_ids
+    ]
+    want = dedup_clusters(_pairs(spark, kept)) if kept else None
+    want_set = _labels(want) if want is not None else set()
+    assert _labels(got) == want_set
+    return dict(_labels(got))
+
+
+def test_erase_bridge_node_splits_component(spark):
+    # 1-2-9-10 chained through bridge 5: erasing 5 splits {1,2} and {9,10}
+    got = _erase_vs_rebuild(spark, [(1, 2), (2, 5), (5, 9), (9, 10)], {5})
+    assert got == {1: 1, 2: 1, 9: 9, 10: 9}
+
+
+def test_erase_representative_promotes_new_min(spark):
+    # rep of {1,2,3} is 1; erasing 1 leaves {2,3} with rep 2
+    got = _erase_vs_rebuild(spark, [(1, 2), (2, 3)], {1})
+    assert got == {2: 2, 3: 2}
+
+
+def test_erase_leaves_unrelated_components_untouched(spark):
+    got = _erase_vs_rebuild(
+        spark, [(1, 2), (50, 60), (60, 70)], {2}
+    )
+    # {1,2} loses its only edge entirely (1 drops out like a rebuild);
+    # {50,60,70} must be byte-identical
+    assert got == {50: 50, 60: 50, 70: 50}
+
+
+def test_erase_random_graph_equals_rebuild(spark):
+    import random
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _erase_vs_rebuild(spark, edges, {3, 7, 11})
