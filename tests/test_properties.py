@@ -1022,3 +1022,125 @@ def test_sample_exact_per_group_quota_and_determinism(spark, rows, k):
         ).collect()
     }
     assert got2 == got
+
+
+# --- round-9 session-2 properties --------------------------------------------
+
+_SESS_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # entity
+        st.integers(min_value=0, max_value=2000),   # seconds offset
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(base=_SESS_EVENTS, delta=_SESS_EVENTS, cut=st.integers(0, 2000),
+       gap=st.integers(30, 400))
+@SLOW
+def test_session_index_merge_matches_full_recompute(
+    spark, base, delta, cut, gap
+):
+    """merge(sessions(base<cut), delta>=cut) ≡ sessions(all), for random
+    event sets, random cutoffs and random gaps — including events landing
+    EXACTLY one gap apart (the end-inclusive session_window boundary that
+    broke the first draft) and exactly at the cutoff."""
+    import datetime as dtm
+
+    from streaming_feature_store_spark.operators.sessions import (
+        session_index_merge,
+        sessionize,
+    )
+
+    b0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        (e, b0 + dtm.timedelta(seconds=s)) for e, s in base + delta
+    ]
+    cut_dt = b0 + dtm.timedelta(seconds=cut)
+    base_rows = [(e, t) for e, t in rows if t < cut_dt]
+    delta_rows = [(e, t) for e, t in rows if t >= cut_dt]
+    schema = "user_id long, ts timestamp"
+    all_df = spark.createDataFrame(rows, schema)
+    gap_s = f"{gap} seconds"
+    full = sessionize(all_df, "user_id", gap=gap_s)
+    if not base_rows:
+        idx = full.limit(0)
+    else:
+        idx = sessionize(
+            spark.createDataFrame(base_rows, schema), "user_id", gap=gap_s
+        )
+    delta_df = (
+        spark.createDataFrame(delta_rows, schema)
+        if delta_rows
+        else all_df.limit(0)
+    )
+    merged = session_index_merge(
+        delta_df, idx, cut_dt.isoformat(sep=" "), "user_id", gap=gap_s
+    )
+    key = lambda df: sorted(
+        (r["user_id"], r["n_events"], r["session_start_us"],
+         r["session_end_us"])
+        for r in df.collect()
+    )
+    assert key(merged) == key(full)
+
+
+_CORPUS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(corpus=_CORPUS, min_docs=st.integers(2, 4))
+@SLOW
+def test_line_dedup_matches_naive(spark, corpus, min_docs):
+    """line_dedup on random small corpora ≡ the obvious pure-Python
+    screen: line survival is corpus-global, reassembly preserves order,
+    counts are consistent."""
+    from collections import defaultdict
+
+    from streaming_feature_store_spark.operators.text import line_dedup
+
+    docs = [(i, "\n".join(lines)) for i, lines in enumerate(corpus)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_dedup(df, min_docs=min_docs).collect()}
+
+    docs_per_line = defaultdict(set)
+    for i, lines in enumerate(corpus):
+        for ln in lines:
+            docs_per_line[ln].add(i)
+    boiler = {ln for ln, ds in docs_per_line.items() if len(ds) >= min_docs}
+    for i, lines in enumerate(corpus):
+        kept = [ln for ln in lines if ln not in boiler]
+        assert got[i]["clean_text"] == "\n".join(kept)
+        assert got[i]["n_lines"] == len(lines)
+        assert got[i]["n_kept"] == len(kept)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=2, max_size=60
+    ),
+    n_bins=st.integers(2, 8),
+)
+@SLOW
+def test_quantile_edges_match_naive(spark, vals, n_bins):
+    """quantile_edges ≡ the sorted-list definition: edge_i = the element
+    at 1-based position ceil(i*N/n_bins)."""
+    from streaming_feature_store_spark.operators.drift import quantile_edges
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = {r["i"]: r["edge"] for r in quantile_edges(df, "x", n_bins).collect()}
+    s = sorted(vals)
+    n = len(s)
+    want = {
+        i: float(s[(i * n + n_bins - 1) // n_bins - 1])
+        for i in range(1, n_bins)
+    }
+    assert got == want
