@@ -117,6 +117,26 @@ def main() -> None:
     n_cells = erase_from_ivf_index(spark, f"{tmp}/ivf", erase_vecs)
     print(f"  ANN index:   {erase_vecs.count()} vectors purged; only "
           f"{n_cells}/16 cell partitions rewritten")
+    from streaming_feature_store_spark.operators.dedup import (
+        dedup_clusters,
+        erase_from_cluster_index,
+        minhash_index_pairs,
+    )
+
+    pairs = minhash_index_pairs(idx2, threshold=0.5).select("doc_a", "doc_b")
+    labels = dedup_clusters(pairs)
+    # erase a cluster REPRESENTATIVE — the hard case: the min-id label
+    # retires and the component may split; repair re-solves only the
+    # affected component
+    victim = labels.orderBy("node").limit(1).select("node")
+    repaired = erase_from_cluster_index(labels, pairs, victim)
+    vid = victim.collect()[0]["node"]
+    old = {r["node"]: r["cluster_id"] for r in labels.collect()}
+    new = {r["node"]: r["cluster_id"] for r in repaired.collect()}
+    changed = sum(1 for n in new if old.get(n) != new[n])
+    print(f"  cluster labels: erased representative doc {vid}; "
+          f"{labels.count()} -> {repaired.count()} rows, "
+          f"{changed} relabeled (affected component re-solved only)")
     print("== done: recurring cost priced on the delta; corpus state reused ==")
     spark.stop()
 
