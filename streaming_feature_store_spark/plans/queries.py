@@ -10716,7 +10716,12 @@ def q231_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % 3 == 0)
     idx = persist_tracked(build_minhash_index(base))
     labels = dedup_clusters(minhash_index_pairs(idx, threshold=0.5))
-    new_pairs, _ = minhash_index_merge(delta, idx, threshold=0.5)
+    # new_pairs feeds two consumers inside cluster_index_merge (contracted
+    # edges + the new-node set); unpersisted, the band-join + exact-verify
+    # lineage would execute twice
+    new_pairs = persist_tracked(
+        minhash_index_merge(delta, idx, threshold=0.5)[0]
+    )
     return cluster_index_merge(new_pairs, labels).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
