@@ -1251,6 +1251,7 @@ def line_dedup(
     line_sep: str = "\n",
     lines_col: str | None = None,
     min_docs: int = 2,
+    out_sep: str | None = None,
 ) -> DataFrame:
     """Corpus-level line deduplication — the CCNet/RefinedWeb pass that
     strips boilerplate LINES (nav bars, cookie banners, footers) which
@@ -1267,7 +1268,10 @@ def line_dedup(
 
     Pass ``lines_col`` (an ``array<string>`` column) to override the
     ``line_sep`` split with any segmentation — sentences, fixed token
-    windows (the q229 form), markdown blocks.
+    windows (the q229 form via ``token_chunk_text``), markdown blocks.
+    ``out_sep`` (default ``line_sep``) joins the surviving lines in
+    ``clean_text`` — set it when the segmentation separator is synthetic
+    (token chunks split on '\n' but reassemble with ' ').
 
     Scale shape: one explode feeds (a) the corpus line-frequency
     aggregate and (b) the keep/drop anti-join; the boilerplate set —
@@ -1281,6 +1285,8 @@ def line_dedup(
     """
     from streaming_feature_store_spark.cacheutil import persist_tracked
 
+    if out_sep is None:
+        out_sep = line_sep
     arr = (
         F.col(lines_col)
         if lines_col is not None
@@ -1305,7 +1311,7 @@ def line_dedup(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s["line"],
             ),
-            line_sep,
+            out_sep,
         ).alias("clean_text"),
         F.count("*").alias("n_kept"),
     )
@@ -1320,3 +1326,48 @@ def line_dedup(
             6,
         ).alias("kept_frac"),
     )
+
+
+def token_chunk_text(
+    df: DataFrame,
+    chunk_size: int = 4,
+    text_col: str = "text",
+    out_col: str = "chunked",
+    sep: str = "\n",
+) -> DataFrame:
+    """Segment each document's token stream into fixed-width chunks,
+    emitted as ONE string with ``sep`` between chunks — the synthetic
+    "line" segmentation for corpora without natural newlines (q229).
+
+    Arrow-batched kernel, not a higher-order-function expression: the
+    ``transform(sequence(...), i -> array_join(slice(tokens, ...)))``
+    form runs OUTSIDE whole-stage codegen and re-materializes the token
+    array per chunk — measured 12.7 s for 50k docs / 695k chunks at
+    sf1.0 vs 0.9 s for this kernel (the same pathology class as the
+    shingle-index and 3-gram rewrites, PERFORMANCE.md lesson 3).
+    Passthrough of all other columns; the kernel only appends a column.
+    """
+    import pandas as pd
+
+    fields = df.schema.fields
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    ) + f", {out_col} string"
+    names = [f.name for f in fields]
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col]:
+                toks = t.split(" ") if isinstance(t, str) else []
+                out.append(
+                    sep.join(
+                        " ".join(toks[i : i + chunk_size])
+                        for i in range(0, len(toks), chunk_size)
+                    )
+                )
+            pdf = pdf[names].copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return cpu_partitioned(df).mapInPandas(kernel, schema)

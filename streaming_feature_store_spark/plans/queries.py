@@ -10592,19 +10592,22 @@ def q229_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle rebuilds the chunking, the corpus frequency screen, the
     anti-join and the ordered reassembly in SQL — pinning position-exact
     reconstruction, not just counts."""
-    from streaming_feature_store_spark.operators.text import line_dedup
+    from streaming_feature_store_spark.operators.text import (
+        line_dedup,
+        token_chunk_text,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_ch = F.ceil(F.size(toks) / F.lit(4.0)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_ch - 1),
-        lambda i: F.array_join(F.slice(toks, i * 4 + 1, 4), " "),
-    )
+    # Arrow-batched chunking: the transform(sequence, i -> array_join(
+    # slice(...))) expression form runs outside codegen and cost 12.7 s
+    # of q229's 12.9 s at sf1.0; the kernel does the same segmentation
+    # in 0.9 s (PERFORMANCE.md lesson 3 pathology class)
+    chunked = token_chunk_text(docs.select("doc_id", "text"), chunk_size=4)
     return line_dedup(
-        docs.withColumn("_chunks", chunks),
-        lines_col="_chunks",
-        line_sep=" ",
+        chunked,
+        text_col="chunked",
+        line_sep="\n",
+        out_sep=" ",
         min_docs=2,
     )
 
