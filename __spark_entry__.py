@@ -36,27 +36,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # round's NEW and CHANGED code paths — the incremental-index family
 # (q221-q224 dedup/IVF, q225 histogram drift baseline, q226 histogram
 # quantiles, q228 distinct-cardinality index, q230 incremental
-# sessionization, q231 incremental clusters, q232 trending index, q233 quantile-frozen PSI), the retrieval-recall report (q227), line-level
+# sessionization, q231 incremental clusters, q232 trending index, q233 quantile-frozen PSI, q234 record linkage), the retrieval-recall report (q227), line-level
 # corpus dedup (q229), plus the r9 guard/fix paths (q216
 # proportions_ztest empty-arm guard, q217 stickiness zero-DAU gap
 # days, q220 forecast tiebreak, q58 ivf_topk persistence refactor) —
-# and the remaining 33 slots ROTATE THE LEGACY SPINE
-# q01-q33 through the driver: those rows were last driver-checked on
-# r2/r3-era HEADs, and with 233 queries and 50 slots the spine only
+# and the remaining 32 slots ROTATE THE LEGACY SPINE
+# q01-q32 through the driver: those rows were last driver-checked on
+# r2/r3-era HEADs, and with 234 queries and 50 slots the spine only
 # re-pins via the committed parity artifact unless deliberately rotated
-# back in (q34-q45 overflow to PARITY_sf0.01_r09.txt).
+# back in (q33-q45 overflow to PARITY_sf0.01_r09.txt).
 _PRIORITY = [
-    # r9 new + changed code paths (17)
+    # r9 new + changed code paths (18)
     "q221_incremental_minhash", "q222_incremental_exact_screen",
     "q223_incremental_neardup_screen", "q224_ivf_persisted_lifecycle",
     "q225_drift_baseline_index", "q226_histogram_quantiles",
     "q227_retrieval_recall", "q228_incremental_distinct",
     "q229_line_dedup", "q230_incremental_sessions",
     "q231_incremental_clusters", "q232_trending_parts",
-    "q233_psi_quantile_binned",
+    "q233_psi_quantile_binned", "q234_record_linkage",
     "q216_conversion_ztest",
     "q217_dau_stickiness", "q220_forecast_eval", "q58_ivf_topk",
-    # legacy spine rotation (33): TPC-H-ish aggregates/joins/windows
+    # legacy spine rotation (32): TPC-H-ish aggregates/joins/windows
     "q01_pricing_summary", "q02_user_window_stats_5m",
     "q03_user_sliding_5m_1m", "q04_time_since_last", "q05_multi_horizon",
     "q06_top_customers", "q07_event_type_mode", "q08_user_sessions",
@@ -70,7 +70,6 @@ _PRIORITY = [
     "q26_psi_drift", "q27_ks_drift", "q28_chi2_drift",
     "q29_daily_rollup", "q30_hourly_histogram",
     "q31_asof_order_enrichment", "q32_user_value_stddev",
-    "q33_risk_ladder",
 ]
 
 

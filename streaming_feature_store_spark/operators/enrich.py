@@ -167,3 +167,89 @@ def band_join(
         F.col(value_col) < bands[hi_col]
     )
     return fact.join(broadcast(bands), cond, how)
+
+
+def blocked_link(
+    probe: DataFrame,
+    master: DataFrame,
+    on: list[str],
+    probe_id: str,
+    master_id: str,
+    score: Column,
+    min_score: float,
+    band_col: str | None = None,
+    band: int = 1,
+    master_prefix: str = "m_",
+    prefilter: Column | None = None,
+) -> DataFrame:
+    """Blocked fuzzy record linkage — entity resolution of a dirty feed
+    against a master table: candidate pairs form ONLY inside blocks
+    (equality on ``on``, plus an optional +/-``band`` numeric band on
+    ``band_col``), each pair is scored by the caller's ``score``
+    expression over the joined frame (master columns arrive prefixed
+    ``m_``), and each probe row keeps its best match — argmax by the
+    ROUNDED score with the master id as tiebreak (q25 determinism
+    discipline).  Probe rows with no candidate at/above ``min_score``
+    are emitted with a NULL match (the production readout needs the
+    unmatched set, not just the hits).
+
+    The numeric band uses the lossless replication trick from the
+    edit-distance blocker (dedup.edit_distance_near_dups): each master
+    row is exploded into 2·band+1 (block, band value) keys so the band
+    predicate becomes an EQUI-join — no non-equi join, no cross product;
+    shuffle is |probe| + (2·band+1)·|master| rows hashed by block key.
+    At 100 TB the block key choice bounds the quadratic term: pairs per
+    block are |probe_block| x |master_block|, so blocks must come from
+    real selectivity (brand x banded size here, not brand alone); the
+    optional ``prefilter`` runs a cheap survivor test (length bands,
+    shared-token counts) before the expensive score expression.
+    """
+    keep = set(on) | {band_col} if band_col else set(on)
+    m = master
+    for c in master.columns:
+        if c not in keep:
+            m = m.withColumnRenamed(c, f"{master_prefix}{c}")
+    join_keys = list(on)
+    if band_col is not None:
+        # keep the master's ORIGINAL band value (prefixed) for scoring —
+        # the explode overwrites the join column with the probe-side
+        # values it must equal
+        m = m.withColumn(f"{master_prefix}{band_col}", F.col(band_col))
+        m = m.withColumn(
+            band_col,
+            F.explode(
+                F.sequence(
+                    F.col(band_col) - band, F.col(band_col) + band
+                )
+            ),
+        )
+        join_keys = [*on, band_col]
+    mid = f"{master_prefix}{master_id}"
+    joined = probe.join(m, join_keys)
+    if prefilter is not None:
+        # cheap survivor test evaluated BEFORE the (possibly expensive)
+        # score expression — e.g. a length band in front of levenshtein;
+        # a conjunct inside the score filter would not guarantee order
+        joined = joined.filter(prefilter)
+    cands = (
+        joined
+        .withColumn("_score", F.round(score, 6))
+        .filter(F.col("_score") >= min_score)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(probe_id).orderBy(
+        F.desc("_score"), F.asc(mid)
+    )
+    best = (
+        cands.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            probe_id,
+            F.col(mid).alias("matched_id"),
+            F.col("_score").alias("match_score"),
+        )
+    )
+    return probe.select(probe_id).distinct().join(
+        best, probe_id, "left"
+    )

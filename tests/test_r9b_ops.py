@@ -678,3 +678,78 @@ def test_erase_random_graph_equals_rebuild(spark):
     edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(40)]
     edges = [(a, b) for a, b in edges if a != b]
     _erase_vs_rebuild(spark, edges, {3, 7, 11})
+
+
+# --- blocked_link (q234) ------------------------------------------------------
+
+from streaming_feature_store_spark.operators.enrich import blocked_link
+
+
+def test_blocked_link_best_match_and_unmatched(spark):
+    master = spark.createDataFrame(
+        [(1, "red widget", "B1", 10), (2, "red gadget", "B1", 10),
+         (3, "blue bolt", "B2", 5)],
+        "p_id long, name string, brand string, size int",
+    )
+    probe = spark.createDataFrame(
+        [(100, "red widgex", "B1", 10),   # 1 edit from id 1
+         (101, "zzzzzzzzzz", "B1", 10),   # no good match
+         (102, "blue bolt", "B9", 5)],    # brand blocks it out entirely
+        "f_id long, name string, brand string, size int",
+    )
+    sim = 1.0 - F.levenshtein("name", "m_name") / F.greatest(
+        F.length("name"), F.length("m_name")
+    ).cast("double")
+    got = {
+        r["f_id"]: (r["matched_id"], r["match_score"])
+        for r in blocked_link(
+            probe, master, on=["brand"], probe_id="f_id",
+            master_id="p_id", score=sim, min_score=0.5,
+            band_col="size", band=1,
+        ).collect()
+    }
+    assert got[100][0] == 1 and got[100][1] == 0.9
+    assert got[101] == (None, None)
+    assert got[102] == (None, None)
+    assert len(got) == 3  # every probe row present
+
+
+def test_blocked_link_band_and_tiebreak(spark):
+    master = spark.createDataFrame(
+        [(5, "same name", "B", 10), (4, "same name", "B", 11),
+         (9, "same name", "B", 20)],
+        "p_id long, name string, brand string, size int",
+    )
+    probe = spark.createDataFrame(
+        [(100, "same name", "B", 10)],
+        "f_id long, name string, brand string, size int",
+    )
+    sim = 1.0 - F.levenshtein("name", "m_name") / F.greatest(
+        F.length("name"), F.length("m_name")
+    ).cast("double")
+    row = blocked_link(
+        probe, master, on=["brand"], probe_id="f_id", master_id="p_id",
+        score=sim, min_score=0.5, band_col="size", band=1,
+    ).collect()[0]
+    # size 20 is outside the +/-1 band; ids 4 and 5 tie on score ->
+    # lowest master id wins
+    assert row["matched_id"] == 4
+
+
+def test_blocked_link_prefilter_prunes_before_score(spark):
+    master = spark.createDataFrame(
+        [(1, "abcdefgh", "B", 1)], "p_id long, name string, brand string, size int"
+    )
+    probe = spark.createDataFrame(
+        [(9, "ab", "B", 1)], "f_id long, name string, brand string, size int"
+    )
+    sim = 1.0 - F.levenshtein("name", "m_name") / F.greatest(
+        F.length("name"), F.length("m_name")
+    ).cast("double")
+    out = blocked_link(
+        probe, master, on=["brand"], probe_id="f_id", master_id="p_id",
+        score=sim, min_score=0.0,
+        prefilter=F.abs(F.length("name") - F.length("m_name")) <= 2,
+    ).collect()[0]
+    # length gap 6 > 2 -> pruned before scoring -> unmatched
+    assert out["matched_id"] is None
