@@ -734,8 +734,11 @@ def decayed_topk(
         F.round(F.sum(term).cast("double"), 6).alias("decayed_weight"),
         F.sum("n").alias("n_total"),
     )
+    # Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps + a k-row driver merge) — an unpartitioned
+    # row_number window here would single-task-sort the full |items|
+    # scored frame (the skew.py:89 / text.py bigram_pmi discipline).
+    # The rank window then runs over the k-row result only.
+    topk = scored.orderBy(F.desc("decayed_weight"), F.asc("item")).limit(k)
     w = Window.orderBy(F.desc("decayed_weight"), F.asc("item"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return topk.withColumn("rank", F.row_number().over(w))

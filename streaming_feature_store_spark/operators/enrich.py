@@ -205,6 +205,28 @@ def blocked_link(
     shared-token counts) before the expensive score expression.
     """
     keep = set(on) | {band_col} if band_col else set(on)
+    # Guard the renaming scheme: a probe column named like a prefixed
+    # master column would make the joined frame ambiguous, and probe
+    # columns named _score/_rk would be silently overwritten before the
+    # argmax — both corrupt the match with no error from Spark itself.
+    probe_cols = set(probe.columns)
+    reserved = {"_score", "_rk"} & probe_cols
+    if reserved:
+        raise ValueError(
+            f"blocked_link: probe columns {sorted(reserved)} collide with "
+            "internal working columns — rename them before linking"
+        )
+    prefixed = {
+        f"{master_prefix}{c}" for c in master.columns if c not in keep
+    }
+    if band_col is not None:
+        prefixed.add(f"{master_prefix}{band_col}")
+    clash = prefixed & probe_cols
+    if clash:
+        raise ValueError(
+            f"blocked_link: prefixed master columns {sorted(clash)} collide "
+            f"with probe columns — pass a different master_prefix"
+        )
     m = master
     for c in master.columns:
         if c not in keep:

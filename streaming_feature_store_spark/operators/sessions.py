@@ -116,11 +116,13 @@ def session_index_merge(
     daily-ingest shape of ``sessionize``: history is never re-sessionized;
     only sessions that can still grow meet the delta.
 
-    Contract: every indexed event happened BEFORE ``cutoff`` and every
-    delta event AT/AFTER it (the daily-partition invariant).  Under that
-    contract at most ONE session per entity is still "open" (ends within
-    ``gap`` of the cutoff) — two would have to be gap-separated, pushing
-    the second past the cutoff — so:
+    Contract: every indexed event happened AT-OR-BEFORE ``cutoff`` and
+    every delta event AT/AFTER it (the daily-partition invariant;
+    same-microsecond ties AT the boundary are allowed — a tie gap-merges
+    with gap 0 exactly as a full recompute would).  Under that contract
+    at most ONE session per entity is still "open" (ends within ``gap``
+    of the cutoff) — two would have to be gap-separated, pushing the
+    second past the cutoff — so:
 
     - sessions ending before ``cutoff - gap`` are CLOSED: no delta event
       can attach (its distance already exceeds the gap); they pass
@@ -166,10 +168,18 @@ def session_index_merge(
                 f"{cutoff!r} — the incremental contract is violated; "
                 "re-sessionize the affected range instead"
             )
+        # strict > : an indexed session ENDING exactly at the cutoff is a
+        # same-microsecond tie with the delta's first event (realistic at
+        # a micro-batch boundary when the sink derives cutoff = batch min
+        # ts).  Ties are provably safe for the gaps-and-islands merge —
+        # gap 0 merges identically to a full recompute, and the at-most-
+        # one-open-session argument still holds (a second open session
+        # would need start > cutoff, impossible for events <= cutoff) —
+        # so only end > cutoff violates the contract.
         mx = index.agg(F.max("session_end_us").alias("m")).collect()[0]["m"]
-        if mx is not None and mx >= cutoff_us:
+        if mx is not None and mx > cutoff_us:
             raise ValueError(
-                f"session_index_merge: index has sessions at/after cutoff "
+                f"session_index_merge: index has sessions after cutoff "
                 f"{cutoff!r} — pass the cutoff the index was built to"
             )
 

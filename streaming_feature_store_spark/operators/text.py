@@ -1287,10 +1287,17 @@ def line_dedup(
 
     if out_sep is None:
         out_sep = line_sep
+    # line_sep is a LITERAL separator, matching out_sep's literal
+    # array_join: F.split takes a Java regex, so escape metacharacters
+    # ('|', '.', '\\'...) — unescaped they would split on every character
+    # and silently corrupt clean_text (ADVICE r9).  re.escape's output is
+    # Java-regex compatible (backslash-quoting punctuation/whitespace).
+    import re as _re
+
     arr = (
         F.col(lines_col)
         if lines_col is not None
-        else F.split(F.col(text_col), line_sep)
+        else F.split(F.col(text_col), _re.escape(line_sep))
     )
     lines = persist_tracked(
         df.select(
@@ -1359,7 +1366,15 @@ def token_chunk_text(
         for pdf in batches:
             out = []
             for t in pdf[text_col]:
-                toks = t.split(" ") if isinstance(t, str) else []
+                if not isinstance(t, str):
+                    # NULL text stays NULL (not an empty chunk string):
+                    # downstream F.split then propagates NULL, matching
+                    # line_dedup's "NULL text carries no lines" contract
+                    # and the q229 oracle, where a NULL doc is absent
+                    # (ADVICE r9).
+                    out.append(None)
+                    continue
+                toks = t.split(" ")
                 out.append(
                     sep.join(
                         " ".join(toks[i : i + chunk_size])

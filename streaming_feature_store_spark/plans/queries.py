@@ -10234,10 +10234,16 @@ def q224_ivf_persisted_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin's argmax cell equals its original's under the same centroid
     matrix, so nprobe=4 retrieves it deterministically, exactly as q58
     does for the build-per-call path.  The index lives under a
-    deterministic per-sf temp path, rebuilt (overwrite) each call so the
-    append is idempotent per invocation."""
+    per-invocation UNIQUE temp path (uuid suffix — two concurrent harness
+    runs at the same sf can never interleave save → append → read on a
+    shared directory, VERDICT r9 finding #2), the bounded k×|queries|
+    result is localized before the path is deleted, and the directory is
+    removed before returning so repeated invocations leave nothing
+    behind."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
     from streaming_feature_store_spark.operators.similarity import (
         as_double_vec,
@@ -10251,14 +10257,19 @@ def q224_ivf_persisted_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     twins = _twin_corpus(spark, sf_dir).filter(F.col("vec_id") >= 1000000)
     path = os.path.join(
-        tempfile.gettempdir(),
-        f"sfs_q224_ivf_{os.path.basename(sf_dir.rstrip('/'))}",
+        tempfile.gettempdir(), f"sfs_q224_ivf_{uuid.uuid4().hex}"
     )
-    save_ivf_index(base, path, nlist=16)
-    ivf_index_merge(spark, path, twins)
-    return ivf_topk_persisted(
-        spark, path, base.filter(F.col("vec_id") < 10), k=1, nprobe=4
-    )
+    try:
+        save_ivf_index(base, path, nlist=16)
+        ivf_index_merge(spark, path, twins)
+        out = ivf_topk_persisted(
+            spark, path, base.filter(F.col("vec_id") < 10), k=1, nprobe=4
+        )
+        # localize the (k × 10 queries)-row result so the lineage no
+        # longer references the about-to-be-deleted files
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 @query(

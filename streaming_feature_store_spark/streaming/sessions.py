@@ -38,8 +38,13 @@ def session_index_sink(
     batch seeds the snapshot with a plain ``sessionize``; later batches
     run ``session_index_merge`` with the batch's min event time as the
     cutoff (closed sessions pass through, the per-entity open session
-    gap-merges with the batch).  Retry-idempotent via the shared
-    batch-id-versioned snapshot rule."""
+    gap-merges with the batch).  Same-microsecond ties at the batch
+    boundary (an event sharing the exact timestamp of the previous
+    batch's last event) are tolerated by the merge contract — a tie
+    gap-merges with gap 0, identical to a full recompute — so
+    event-time-ordered input can never fail-stop the stream on a
+    boundary tie.  Retry-idempotent via the shared batch-id-versioned
+    snapshot rule."""
     from streaming_feature_store_spark.operators.sessions import (
         session_index_merge,
         sessionize,

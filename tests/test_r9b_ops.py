@@ -412,8 +412,20 @@ def test_session_merge_validates_contract(spark):
         _events(spark, [(1, dt.datetime(2024, 1, 2, 3, 0))]), "user_id"
     )
     ok_delta = _events(spark, [(1, dt.datetime(2024, 1, 2, 5, 0))])
-    with pytest.raises(ValueError, match="at/after cutoff"):
+    with pytest.raises(ValueError, match="after cutoff"):
         session_index_merge(ok_delta, post_idx, _CUT, "user_id")
+
+
+def test_session_merge_boundary_tie_is_allowed(spark):
+    # An indexed session ENDING exactly at the cutoff (same-microsecond
+    # tie with the delta's first event — realistic when a streaming sink
+    # derives cutoff = batch min ts) must NOT fail-stop: the tie
+    # gap-merges with gap 0 exactly as a full recompute would (ADVICE r9).
+    tie = dt.datetime(2024, 1, 2, 0, 0)  # == _CUT
+    base = [(1, _B + dt.timedelta(hours=23, minutes=50)), (1, tie)]
+    delta = [(1, tie), (1, dt.datetime(2024, 1, 2, 0, 20))]
+    merged = _merge_vs_full(spark, base, delta)
+    assert merged.count() == 1 and merged.collect()[0]["n_events"] == 4
 
 
 # --- cluster_index_merge (q231) ----------------------------------------------
