@@ -1386,3 +1386,361 @@ def token_chunk_text(
             yield pdf
 
     return cpu_partitioned(df).mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus-statistics indexes (round 10).
+#
+# Every text scorer above recomputes corpus-global statistics per call:
+# tfidf_top_terms / bm25_topk re-aggregate document frequency and corpus
+# size from the full corpus, unigram_nll / bigram_lm_doclogprob rebuild the
+# unigram/bigram count tables (the reference's quality-filter shape,
+# training/drift_check.py re-derives its baselines the same way).  All of
+# those statistics are ADDITIVE over disjoint document sets — exactly the
+# histogram_index_merge property (operators/drift.py:809) — so a daily
+# ingest should merge count tables and score ONLY the delta's documents.
+# The two persisted shapes:
+#
+# - ``corpus_stats_index``: tall (kind, term, n) counts — 'docs' (corpus
+#   size), 'df' (document frequency), 'uni' (unigram occurrences), 'bi'
+#   (bigram occurrences).  Vocabulary-bounded: the index is far smaller
+#   than the text it summarizes.
+# - ``postings_index``: (doc, term, tf) postings plus per-doc lengths —
+#   the inverted-index state behind BM25 retrieval; corpus-sized but
+#   append-only under disjoint-doc ingest.
+#
+# Contract for both merges: the two sides index DISJOINT document sets
+# (the daily-partition invariant; re-ingesting a doc double-counts it —
+# screen with fingerprint_index_merge first).  Under that contract
+# ``merge(index(base), index(delta)) == index(base UNION delta)`` exactly,
+# and each ``*_from_index`` scorer reproduces the full-recompute score for
+# the delta's documents bit-for-bit (oracled: q235-q237).
+
+
+def corpus_stats_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigrams: bool = True,
+) -> DataFrame:
+    """Build the additive corpus-statistics index: one ``(kind, term, n)``
+    row per statistic.
+
+    - ``('docs', NULL, N)`` — corpus size (all rows, q88's ``df.count()``
+      semantics: NULL-text docs still count as documents);
+    - ``('df', t, n)`` — documents containing term t;
+    - ``('uni', t, n)`` — total occurrences of t;
+    - ``('bi', 'a b', n)`` — bigram occurrences (``bigrams=True``; the
+      space-joined key is bijective because tokens are space-free).
+
+    One tokenize pass feeds every statistic (tf is persisted — it fans
+    out to the df and uni aggregates; released via
+    ``release_cached_intermediates()``).  All counts are additive over
+    disjoint doc sets, so :func:`corpus_stats_index_merge` is exact."""
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(text_col, "[^A-Za-z ]", " ")), " +"),
+        lambda t: t != "",
+    )
+    def _tag(frame: DataFrame, kind: str) -> DataFrame:
+        return frame.select(
+            F.lit(kind).alias("kind"), "term", F.col("n").cast("long").alias("n")
+        )
+
+    docs = df.agg(F.count("*").alias("n")).select(
+        F.lit(None).cast("string").alias("term"), "n"
+    )
+    dl = cpu_partitioned(df).select(F.col(id_col).alias("_id"), toks.alias("l"))
+    tf = _persist_tracked(
+        dl.select("_id", F.explode("l").alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("n"))
+    uni = tf.groupBy("term").agg(F.sum("c").alias("n"))
+    out = (
+        _tag(docs, "docs")
+        .unionByName(_tag(dfreq, "df"))
+        .unionByName(_tag(uni, "uni"))
+    )
+    if bigrams:
+        bi = (
+            dl.filter(F.size("l") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(l) - 1),"
+                        " j -> concat(element_at(l, j), ' ',"
+                        " element_at(l, j+1)))"
+                    )
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count("*").alias("n"))
+        )
+        out = out.unionByName(_tag(bi, "bi"))
+    return out
+
+
+def corpus_stats_index_merge(index: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge a delta's statistics into the persisted index — counts are
+    additive over disjoint doc sets, so the merge is union + sum keyed by
+    (kind, term) (NULL term — the 'docs' row — groups as one key).  At
+    100 TB only vocabulary-bounded index rows move, never documents."""
+    return (
+        index.unionByName(delta)
+        .groupBy("kind", "term")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def _stats_rows(stats: DataFrame, kind: str) -> DataFrame:
+    return stats.filter(F.col("kind") == kind).select("term", "n")
+
+
+def tfidf_top_terms_from_index(
+    delta: DataFrame,
+    stats: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF top-k terms for the DELTA documents only, with idf taken
+    from a (merged) :func:`corpus_stats_index` — the daily-ingest twin of
+    :func:`tfidf_top_terms`: tf tokenizes just the delta; N and df come
+    from 'docs'/'df' index rows, so the historical corpus is never
+    rescanned.  Identical scores to the full recompute restricted to the
+    delta's ids (every delta term is present in the merged index by
+    construction).  Same output schema/rounding/tiebreaks as
+    tfidf_top_terms."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    tf = (
+        alpha_tokens(delta, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    nd = stats.filter(F.col("kind") == "docs").select(
+        F.col("n").cast("double").alias("_nd")
+    )
+    dfreq = _stats_rows(stats, "df").withColumnRenamed("n", "df")
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(broadcast(nd))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("_nd") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+def unigram_nll_from_index(
+    delta: DataFrame,
+    stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-delta-document mean unigram NLL under the MERGED corpus model
+    (:func:`unigram_nll`'s incremental twin): token counts tokenize just
+    the delta; the vocabulary table and corpus total are 'uni' index rows
+    (the total is a one-row re-agg of the vocabulary-bounded index, not of
+    the corpus).  Same output schema/rounding as unigram_nll."""
+    from pyspark.sql.functions import broadcast
+
+    tf = (
+        alpha_tokens(delta, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("c"))
+    )
+    vc = _stats_rows(stats, "uni").withColumnRenamed("n", "cnt")
+    tot = vc.agg(F.sum("cnt").alias("t"))
+    return (
+        tf.join(vc, on="term")
+        .crossJoin(broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * -F.log(F.col("cnt") / F.col("t").cast("double")))
+                / F.sum("c"),
+                6,
+            ).alias("mean_nll"),
+        )
+    )
+
+
+def bigram_lm_from_index(
+    delta: DataFrame,
+    stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-delta-document mean add-k bigram log-likelihood under the
+    MERGED corpus LM (:func:`bigram_lm_doclogprob`'s incremental twin —
+    the CCNet/KenLM quality gate priced on the delta): bigram pairs come
+    from the delta only; c(w1,w2), c(w1) and |V| are index rows ('bi',
+    'uni' — |V| is a one-row count over the vocabulary-bounded index).
+    The space-joined bigram key makes the pair join an equi-join on one
+    string column.  Same schema/decimal accumulation/rounding as
+    bigram_lm_doclogprob."""
+    from pyspark.sql.functions import broadcast
+
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(text_col, "[^A-Za-z ]", " ")), " +"),
+        lambda t: t != "",
+    )
+    dl = cpu_partitioned(delta).select(id_col, toks.alias("l"))
+    pairs = dl.filter(F.size("l") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1),"
+                " j -> struct(element_at(l, j) AS a, element_at(l, j+1) AS b))"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.a", "p.b")
+    uni = _stats_rows(stats, "uni")
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))
+    ca = uni.select(F.col("term").alias("a"), F.col("n").alias("c_a"))
+    bc = _stats_rows(stats, "bi").select(
+        F.col("term").alias("_bt"), F.col("n").alias("c_ab")
+    )
+    scored = (
+        pairs.withColumn("_bt", F.concat(F.col("a"), F.lit(" "), F.col("b")))
+        .join(bc, "_bt")
+        .join(ca, "a")
+        .crossJoin(broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.col("c_ab") + F.lit(add_k))
+                / (F.col("c_a") + F.lit(add_k) * F.col("v"))
+            ).cast("decimal(28,12)").alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum("_lp").cast("double") / F.count("*"), 6
+        ).alias("avg_logprob"),
+    )
+
+
+def postings_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Build the persisted inverted-index state behind BM25 retrieval:
+    ``(doc, term, n)`` rows — term-level postings (n = tf) plus one
+    ``term = NULL`` row per doc carrying its length (n = dl).  One
+    tokenize pass; docs with no alphabetic tokens carry no rows (matching
+    :func:`bm25_topk`, whose corpus statistics see only tokenized docs).
+    Disjoint-doc merge is union + sum (:func:`postings_index_merge`);
+    under daily ingest the index is APPEND-shaped — a delta's rows never
+    collide with history's."""
+    tf = (
+        alpha_tokens(df, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    dl = (
+        tf.groupBy(id_col)
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(
+            id_col, F.lit(None).cast("string").alias("term"), "n"
+        )
+    )
+    return tf.unionByName(dl)
+
+
+def postings_index_merge(
+    index: DataFrame, delta: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merge delta postings into the index — union + sum keyed by
+    (doc, term).  For disjoint doc sets the sum never actually combines
+    rows (pure append — at 100 TB this is a partition add, no shuffle of
+    history); the groupBy also makes a re-ingested doc's counts explicit
+    rather than duplicated, though the contract is disjoint sets."""
+    return (
+        index.unionByName(delta)
+        .groupBy(id_col, "term")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def bm25_from_index(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Okapi BM25 top-k over a PERSISTED :func:`postings_index` +
+    :func:`corpus_stats_index` — :func:`bm25_topk` with the corpus
+    tokenize pass deleted: at query time nothing touches raw text.
+    Query terms join the vocabulary-bounded 'df' index rows for idf;
+    the postings prune to query-term rows (the inverted-index access
+    pattern); N/avgdl ride along as a one-row aggregate of the per-doc
+    length rows (map-side combined — the only corpus-sized input, one
+    narrow row per doc).  Identical scores/ranking to bm25_topk on the
+    same corpus (oracled q237)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    tf = postings.filter(F.col("term").isNotNull()).withColumnRenamed(
+        "n", "tf"
+    )
+    dl = postings.filter(F.col("term").isNull()).select(
+        id_col, F.col("n").alias("dl")
+    )
+    stats1 = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfreq = _stats_rows(stats, "df").withColumnRenamed("n", "dfr")
+    qterms = (
+        alpha_tokens(queries, query_id_col, query_text_col)
+        .distinct()
+        .join(dfreq, "term")
+        .crossJoin(broadcast(stats1))
+        .select(
+            query_id_col,
+            "term",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("dfr") + 0.5) / (F.col("dfr") + 0.5)
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    tf_c = F.col("tf").cast("double")
+    contrib = F.col("idf") * (
+        tf_c * (k1 + 1.0)
+        / (tf_c + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(broadcast(qterms), "term")
+        .join(dl, id_col)
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

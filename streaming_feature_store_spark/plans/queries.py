@@ -10962,3 +10962,240 @@ def q234_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.length("f_name") - F.length("m_p_name")) <= 2
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus-statistics indexes for text scoring (round 10) — the
+# last text family where recurring cost priced on the corpus: DF / unigram /
+# bigram count tables are additive over disjoint doc sets (the
+# histogram_index_merge property), so a daily ingest merges count tables and
+# scores ONLY delta docs.  Reference twin: the quality/drift baselines it
+# recomputes per check (training/drift_check.py:138-169).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q235_incremental_tfidf",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, tok AS term
+      FROM documents,
+        UNNEST(string_split_regex(
+          lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS u(tok)
+      WHERE tok <> ''
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), nd AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), scored AS (
+      SELECT doc_id, term,
+        ROUND(tf * LN(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT doc_id, term, tfidf,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+      FROM scored)
+    WHERE rank <= 3 AND doc_id % 5 = 0
+    """,
+)
+def q235_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TF-IDF over a persisted corpus-statistics index
+    (``text.corpus_stats_index`` + ``corpus_stats_index_merge`` +
+    ``tfidf_top_terms_from_index``): the corpus splits into a base (80 %)
+    and today's delta (doc_id % 5 == 0); each side builds its additive
+    (kind, term, n) count index, the delta MERGES into the base index
+    (union + sum — vocabulary-bounded rows, never documents), and only
+    the delta's documents are tokenized for scoring.  The oracle is the
+    FULL q88 recompute over all documents restricted to delta ids —
+    pinning merge(index(base), index(delta)) == index(base UNION delta)
+    AND delta-doc scores == full-recompute scores in one readout.  At
+    100 TB the recurring cost is |delta| tokenize + an index-sized merge,
+    not a corpus rescan."""
+    from streaming_feature_store_spark.operators.text import (
+        corpus_stats_index,
+        corpus_stats_index_merge,
+        tfidf_top_terms_from_index,
+    )
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    # the merged index feeds two consumers in the scorer (df join + N
+    # row); persisted exactly as a parquet-backed production index would
+    # be materialized (released by the harness' clearCache)
+    merged = persist_tracked(
+        corpus_stats_index_merge(
+            corpus_stats_index(base, bigrams=False),
+            corpus_stats_index(delta, bigrams=False),
+        )
+    )
+    return tfidf_top_terms_from_index(delta, merged, k=3)
+
+
+@query(
+    "q236_incremental_lm_quality",
+    sql=f"""
+    WITH dl AS ({_TOKS_SQL}
+    ), tf AS (
+      SELECT doc_id, w AS term, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(l) AS w FROM dl) GROUP BY 1, 2
+    ), vc AS (
+      SELECT term, SUM(c) AS cnt FROM tf GROUP BY term
+    ), tot AS (
+      SELECT SUM(cnt) AS t FROM vc
+    ), v AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vc
+    ), nll AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        ROUND(SUM(c * -LN(cnt / CAST(t AS DOUBLE))) / SUM(c), 6) AS mean_nll
+      FROM tf JOIN vc USING (term) CROSS JOIN tot
+      GROUP BY doc_id
+    ), pairs AS (
+      SELECT doc_id, l[j] AS a, l[j+1] AS b
+      FROM dl, unnest(generate_series(1, len(l) - 1)) AS t(j)
+      WHERE len(l) >= 2
+    ), bc AS (
+      SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2
+    ), sc AS (
+      SELECT doc_id,
+        CAST(LN((c_ab + 0.5) / (ca.cnt + 0.5 * v)) AS DECIMAL(28,12)) AS lp
+      FROM pairs JOIN bc USING (a, b)
+      JOIN vc ca ON pairs.a = ca.term
+      CROSS JOIN v
+    ), lm AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+      FROM sc GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, mean_nll, n_bigrams, avg_logprob
+    FROM nll LEFT JOIN lm USING (doc_id)
+    WHERE doc_id % 5 = 0
+    """,
+)
+def q236_incremental_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet/KenLM-style quality gate priced on the delta: unigram
+    NLL + add-0.5 bigram-LM fluency for TODAY'S documents under the
+    MERGED corpus model (``unigram_nll_from_index`` +
+    ``bigram_lm_from_index`` over one merged ``corpus_stats_index`` with
+    bigram counts).  The unigram/bigram count tables merge additively;
+    only delta docs tokenize at scoring time; |V| is a one-row count of
+    the vocabulary-bounded index.  Oracle = full q101 + q211 recompute
+    over the whole corpus restricted to delta ids (left join: a
+    single-token doc has NLL but no bigram rows), so a count-table merge
+    error OR a delta-scoring divergence breaks the hash."""
+    from streaming_feature_store_spark.operators.text import (
+        bigram_lm_from_index,
+        corpus_stats_index,
+        corpus_stats_index_merge,
+        unigram_nll_from_index,
+    )
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    merged = persist_tracked(
+        corpus_stats_index_merge(
+            corpus_stats_index(base, bigrams=True),
+            corpus_stats_index(delta, bigrams=True),
+        )
+    )
+    nll = unigram_nll_from_index(delta, merged)
+    lm = bigram_lm_from_index(delta, merged)
+    return nll.join(lm, "doc_id", "left").select(
+        "doc_id", "n_tokens", "mean_nll", "n_bigrams", "avg_logprob"
+    )
+
+
+@query(
+    "q237_bm25_from_index",
+    sql=r"""
+    WITH q(query_id, query_text) AS (VALUES
+      ('q1', 'hash join strategy'), ('q2', 'window batch stream'),
+      ('q3', 'customer order data'), ('q4', 'vector scan filter')),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(
+        lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS dfr FROM tf GROUP BY 1),
+    qt AS (
+      SELECT DISTINCT query_id, unnest(string_split_regex(
+        lower(regexp_replace(query_text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+      FROM q
+    ),
+    qi AS (
+      SELECT query_id, term,
+        ln(1.0 + (n_docs - dfr + 0.5) / (dfr + 0.5)) AS idf, avgdl
+      FROM qt JOIN dfreq USING (term) CROSS JOIN stats
+      WHERE term <> ''
+    ),
+    sc AS (
+      SELECT query_id, doc_id,
+        ROUND(SUM(idf * (tf * 2.2)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+      FROM tf JOIN qi USING (term) JOIN dl USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM sc)
+    WHERE rank <= 5
+    """,
+)
+def q237_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over a PERSISTED inverted index
+    (``text.postings_index`` + ``postings_index_merge`` +
+    ``bm25_from_index``): the corpus splits base/delta, each side builds
+    (doc, term, tf) postings + per-doc lengths, the delta merges (pure
+    append for disjoint docs), document frequency comes from the merged
+    ``corpus_stats_index``, and the q152 queries run WITHOUT touching raw
+    text — query terms prune the postings, idf joins vocabulary-bounded
+    'df' rows, N/avgdl is one narrow aggregate of the per-doc length
+    rows.  Oracle = q152's full tokenize-and-score recompute, pinning
+    postings merge == full build AND index-only scoring == bm25_topk.
+    The daily-ingest shape: new docs append ≤ |delta| postings rows;
+    queries never re-tokenize the corpus."""
+    from streaming_feature_store_spark.operators.text import (
+        bm25_from_index,
+        corpus_stats_index,
+        corpus_stats_index_merge,
+        postings_index,
+        postings_index_merge,
+    )
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    postings = persist_tracked(
+        postings_index_merge(postings_index(base), postings_index(delta))
+    )
+    stats = persist_tracked(
+        corpus_stats_index_merge(
+            corpus_stats_index(base, bigrams=False),
+            corpus_stats_index(delta, bigrams=False),
+        )
+    )
+    qdf = spark.createDataFrame(
+        [
+            ("q1", "hash join strategy"),
+            ("q2", "window batch stream"),
+            ("q3", "customer order data"),
+            ("q4", "vector scan filter"),
+        ],
+        "query_id string, query_text string",
+    )
+    return bm25_from_index(postings, stats, qdf, k=5)

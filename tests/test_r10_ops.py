@@ -1,0 +1,155 @@
+"""Round-10 incremental corpus-statistics indexes (q235-q237): additive
+(kind, term, n) count tables + (doc, term, tf) postings, exact under
+merge(index(base), index(delta)) == index(base UNION delta) for disjoint
+doc sets, with delta-only scoring equal to the full recompute."""
+
+import random
+
+import pyspark.sql.functions as F
+
+from streaming_feature_store_spark.operators.text import (
+    bigram_lm_doclogprob,
+    bigram_lm_from_index,
+    bm25_from_index,
+    bm25_topk,
+    corpus_stats_index,
+    corpus_stats_index_merge,
+    postings_index,
+    postings_index_merge,
+    tfidf_top_terms,
+    tfidf_top_terms_from_index,
+    unigram_nll,
+    unigram_nll_from_index,
+)
+
+_VOCAB = (
+    "spark hash join window batch stream data query the a vector scan"
+).split()
+
+
+def _docs(spark, n=120, seed=3, with_null=True):
+    rng = random.Random(seed)
+    rows = [
+        (i, " ".join(rng.choice(_VOCAB) for _ in range(rng.randrange(1, 20))))
+        for i in range(n)
+    ]
+    if with_null:
+        rows += [(n, None), (n + 1, "zzz"), (n + 2, "q")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _canon(df):
+    return sorted(tuple(map(repr, r)) for r in df.collect())
+
+
+def _split(docs):
+    return (
+        docs.filter(F.col("doc_id") % 4 != 0),
+        docs.filter(F.col("doc_id") % 4 == 0),
+    )
+
+
+def test_stats_index_merge_equals_full_build(spark):
+    docs = _docs(spark)
+    base, delta = _split(docs)
+    merged = corpus_stats_index_merge(
+        corpus_stats_index(base), corpus_stats_index(delta)
+    )
+    assert _canon(merged) == _canon(corpus_stats_index(docs))
+
+
+def test_stats_index_docs_row_counts_null_text_docs(spark):
+    docs = _docs(spark, n=10)
+    idx = corpus_stats_index(docs, bigrams=False)
+    n = idx.filter(F.col("kind") == "docs").collect()
+    assert len(n) == 1 and n[0]["n"] == 13  # 10 + NULL + 'zzz' + 'q'
+
+
+def test_stats_index_merge_empty_delta_is_identity_except_docs(spark):
+    docs = _docs(spark, n=30)
+    empty = docs.filter(F.lit(False))
+    merged = corpus_stats_index_merge(
+        corpus_stats_index(docs), corpus_stats_index(empty)
+    )
+    # the empty delta contributes docs=0 and no term rows
+    assert _canon(merged) == _canon(corpus_stats_index(docs))
+
+
+def test_tfidf_from_index_matches_full_recompute(spark):
+    docs = _docs(spark)
+    base, delta = _split(docs)
+    merged = corpus_stats_index_merge(
+        corpus_stats_index(base, bigrams=False),
+        corpus_stats_index(delta, bigrams=False),
+    ).persist()
+    got = tfidf_top_terms_from_index(delta, merged, k=3)
+    want = tfidf_top_terms(docs, k=3).filter(F.col("doc_id") % 4 == 0)
+    assert _canon(got) == _canon(want)
+
+
+def test_unigram_nll_from_index_matches_full_recompute(spark):
+    docs = _docs(spark)
+    base, delta = _split(docs)
+    merged = corpus_stats_index_merge(
+        corpus_stats_index(base, bigrams=False),
+        corpus_stats_index(delta, bigrams=False),
+    ).persist()
+    got = unigram_nll_from_index(delta, merged)
+    want = unigram_nll(docs).filter(F.col("doc_id") % 4 == 0)
+    assert _canon(got) == _canon(want)
+
+
+def test_bigram_lm_from_index_matches_full_recompute(spark):
+    docs = _docs(spark)
+    base, delta = _split(docs)
+    merged = corpus_stats_index_merge(
+        corpus_stats_index(base), corpus_stats_index(delta)
+    ).persist()
+    got = bigram_lm_from_index(delta, merged)
+    want = bigram_lm_doclogprob(docs).filter(F.col("doc_id") % 4 == 0)
+    assert _canon(got) == _canon(want)
+    # single-token doc ('q') is in neither side; NULL-text doc absent
+    ids = {r["doc_id"] for r in got.collect()}
+    assert 121 not in ids and 122 not in ids
+
+
+def test_postings_merge_equals_full_and_bm25_from_index(spark):
+    docs = _docs(spark)
+    base, delta = _split(docs)
+    pm = postings_index_merge(
+        postings_index(base), postings_index(delta)
+    ).persist()
+    assert _canon(pm) == _canon(postings_index(docs))
+    stats = corpus_stats_index_merge(
+        corpus_stats_index(base, bigrams=False),
+        corpus_stats_index(delta, bigrams=False),
+    ).persist()
+    qdf = spark.createDataFrame(
+        [("q1", "hash join strategy"), ("q2", "the vector scan")],
+        "query_id string, query_text string",
+    )
+    got = bm25_from_index(pm, stats, qdf, k=5)
+    want = bm25_topk(docs, qdf, k=5)
+    assert _canon(got) == _canon(want)
+
+
+def test_postings_index_has_one_length_row_per_tokenized_doc(spark):
+    docs = _docs(spark, n=8)
+    p = postings_index(docs)
+    dl = p.filter(F.col("term").isNull())
+    # NULL-text doc carries no rows; 'zzz' and 'q' tokenize to 1 token
+    assert dl.count() == 10
+    tot_tf = p.filter(F.col("term").isNotNull()).agg(F.sum("n")).collect()[0][0]
+    tot_dl = dl.agg(F.sum("n")).collect()[0][0]
+    assert tot_tf == tot_dl
+
+
+def test_three_way_merge_is_order_independent(spark):
+    docs = _docs(spark, n=90)
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    c = docs.filter(F.col("doc_id") % 3 == 2)
+    ia, ib, ic = (corpus_stats_index(x) for x in (a, b, c))
+    m1 = corpus_stats_index_merge(corpus_stats_index_merge(ia, ib), ic)
+    m2 = corpus_stats_index_merge(ia, corpus_stats_index_merge(ic, ib))
+    assert _canon(m1) == _canon(m2) == _canon(corpus_stats_index(docs))
