@@ -1124,9 +1124,10 @@ def ivf_index_merge(
     with ``train_centroids`` + :func:`save_ivf_index`.
 
     Idempotence note: append is NOT retry-idempotent (unlike the
-    batch-id-versioned dedup snapshots) — wrap in the versioned-snapshot
-    discipline of ``streaming/dedup._latest_snapshot`` if driving from
-    foreachBatch.
+    batch-id-versioned dedup snapshots) — when driving from foreachBatch
+    use ``streaming/dedup.ivf_index_sink``, which wraps the same
+    assign-to-fixed-centroids merge in the versioned-snapshot
+    discipline (query those snapshots with :func:`ivf_topk_snapshot`).
     """
     import numpy as np
 
@@ -1135,6 +1136,41 @@ def ivf_index_merge(
     _ivf_assign(new_vecs, Cn, id_col, vec_col).write.mode(
         "append"
     ).partitionBy("cell").parquet(f"{path}/cells")
+
+
+def ivf_topk_snapshot(
+    spark,
+    index_root: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """ANN top-k against a batch-id-versioned IVF snapshot maintained by
+    ``streaming/dedup.ivf_index_sink``: resolves the newest committed
+    cell-table snapshot (or an explicit ``version`` — readers get
+    isolation for free, a query pinned to v=N is untouched by v=N+1
+    landing) and probes it exactly like :func:`ivf_topk_persisted`.
+    Raises if no snapshot has been committed yet."""
+    import numpy as np
+
+    from streaming_feature_store_spark.streaming.dedup import (
+        _latest_snapshot,
+    )
+
+    cells_root = f"{index_root}/cells"
+    if version is None:
+        version = _latest_snapshot(cells_root, None)
+    if version is None:
+        raise ValueError(
+            f"ivf_topk_snapshot: no committed snapshot under {cells_root}"
+        )
+    cent = spark.read.parquet(f"{index_root}/centroids").orderBy("cell").collect()
+    Cn = np.array([r["vec"] for r in cent], dtype=np.float64)
+    c = spark.read.parquet(f"{cells_root}/v={version}")
+    return _ivf_probe_score(c, queries, Cn, k, nprobe, id_col, vec_col)
 
 
 def erase_from_ivf_index(

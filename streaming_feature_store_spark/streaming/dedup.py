@@ -35,12 +35,14 @@ def dedup_events(
     )
 
 
-def _latest_snapshot(index_root: str, batch_id: int) -> int | None:
+def _latest_snapshot(index_root: str, batch_id: int | None) -> int | None:
     """Newest committed snapshot version ≤ batch_id.  NOT the global max:
     a crashed attempt of THIS batch may already have written v=<id+1>,
     and its retry must re-merge against the pre-batch snapshot (the
-    retry-idempotence contract both index sinks rely on).  Local-FS
-    listing here; on a cluster this is one catalog/manifest lookup."""
+    retry-idempotence contract the index sinks rely on).  ``batch_id
+    = None`` means the newest version outright (the READER form — a
+    query wants the latest committed snapshot).  Local-FS listing here;
+    on a cluster this is one catalog/manifest lookup."""
     import os
     import re
 
@@ -48,7 +50,7 @@ def _latest_snapshot(index_root: str, batch_id: int) -> int | None:
     if os.path.isdir(index_root):
         for d in os.listdir(index_root):
             m = re.fullmatch(r"v=(\d+)", d)
-            if m and int(m.group(1)) <= batch_id:
+            if m and (batch_id is None or int(m.group(1)) <= batch_id):
                 versions.append(int(m.group(1)))
     return max(versions) if versions else None
 
@@ -162,6 +164,75 @@ def fingerprint_index_sink(
         )
         screen.write.mode("overwrite").parquet(
             f"{screen_root}/batch={batch_id}"
+        )
+
+    return _handle
+
+
+def ivf_index_sink(
+    index_root: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """``foreachBatch`` twin of ``similarity.ivf_index_merge``, closing
+    its documented non-idempotent-append hole (the raw merge APPENDS to
+    the cell table, so a retried batch would double its vectors): cell
+    tables are batch-id-versioned snapshots ``index_root/cells/v=<id+1>``
+    under the shared ``_latest_snapshot`` discipline — a retried batch
+    re-reads the PRE-batch snapshot (never a crashed attempt's v=<id+1>)
+    and overwrites its own batch-derived output, so the path is
+    effectively-once without transactions.
+
+    The FIRST non-empty batch trains the centroids
+    (``_default_ivf_centroids``, deterministic for a given batch — a
+    retry re-trains identically) and seeds snapshot v=1; later batches
+    assign their vectors to the FIXED centroids (FAISS ``add``
+    semantics) and write ``previous snapshot ∪ assigned delta`` as the
+    next snapshot.  Query the latest committed snapshot with
+    ``similarity.ivf_topk_snapshot``; bound retention with
+    :func:`prune_snapshots` on ``index_root/cells``.
+
+    Post-drain contract (tests/test_streaming.py): top-k answered from
+    the newest snapshot ≡ a one-shot ``save_ivf_index`` build over all
+    vectors WITH THE SAME CENTROIDS."""
+    from streaming_feature_store_spark.operators.similarity import (
+        _centroid_matrix,
+        _default_ivf_centroids,
+        _ivf_assign,
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cells_root = f"{index_root}/cells"
+        v = _latest_snapshot(cells_root, batch_id)
+        if v is None:
+            centroids = _default_ivf_centroids(
+                batch_df, nlist, id_col, vec_col
+            )
+            Cn = _centroid_matrix(centroids, vec_col)
+            spark.createDataFrame(
+                [(i, [float(x) for x in row]) for i, row in enumerate(Cn)],
+                "cell long, vec array<double>",
+            ).write.mode("overwrite").parquet(f"{index_root}/centroids")
+            updated = _ivf_assign(batch_df, Cn, id_col, vec_col)
+        else:
+            import numpy as np
+
+            cent = (
+                spark.read.parquet(f"{index_root}/centroids")
+                .orderBy("cell")
+                .collect()
+            )
+            Cn = np.array([r["vec"] for r in cent], dtype=np.float64)
+            prev = spark.read.parquet(f"{cells_root}/v={v}")
+            updated = prev.unionByName(
+                _ivf_assign(batch_df, Cn, id_col, vec_col)
+            )
+        updated.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{cells_root}/v={batch_id + 1}"
         )
 
     return _handle

@@ -1025,3 +1025,100 @@ def test_streaming_session_index_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(f"{idx}/v={versions[-1]}").collect()
     }
     assert got2 == want
+
+
+def _rand_vecs(n, dim=4, seed=11, offset=0):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (offset + i, [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(n)
+    ]
+
+
+def test_ivf_index_stream_matches_batch_build(spark, tmp_path):
+    """Streaming IVF maintenance (round 10): vectors arrive in
+    micro-batches; the first batch trains centroids and seeds snapshot
+    v=1; later batches assign to the FIXED centroids and version new
+    snapshots.  Post-drain, top-k from the newest snapshot must equal a
+    one-shot save_ivf_index build over ALL vectors with the same
+    centroids (rank-for-rank)."""
+    from streaming_feature_store_spark.operators.similarity import (
+        ivf_topk_persisted,
+        ivf_topk_snapshot,
+        save_ivf_index,
+    )
+    from streaming_feature_store_spark.streaming.dedup import ivf_index_sink
+
+    vecs = _rand_vecs(36)
+    batches = [vecs[0:12], vecs[12:24], vecs[24:36]]
+    src = str(tmp_path / "vecs")
+    os.makedirs(src)
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+    root = str(tmp_path / "ivfidx")
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(ivf_index_sink(root, nlist=4))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(os.listdir(f"{root}/cells")) >= 3  # one snapshot per batch
+
+    queries = spark.createDataFrame(
+        vecs[:5], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+        for r in ivf_topk_snapshot(
+            spark, root, queries, k=2, nprobe=2
+        ).collect()
+    }
+    # batch build over all vectors with the STREAM's centroids
+    cent = (
+        spark.read.parquet(f"{root}/centroids")
+        .orderBy("cell")
+        .select(F.col("vec").alias("embedding"))
+    )
+    all_vecs = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    path2 = str(tmp_path / "ivfbatch")
+    save_ivf_index(all_vecs, path2, nlist=4, centroids=cent)
+    want = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+        for r in ivf_topk_persisted(
+            spark, path2, queries, k=2, nprobe=2
+        ).collect()
+    }
+    assert got == want and len(want) == 10
+
+
+def test_ivf_index_sink_retry_rereads_prebatch_snapshot(spark, tmp_path):
+    """The retry-idempotence contract: a retried batch must re-merge
+    against the PRE-batch snapshot even though its crashed attempt
+    already wrote v=<id+1> — replaying handler(b1, 1) twice leaves v=2
+    identical (no duplicated vectors)."""
+    from streaming_feature_store_spark.streaming.dedup import ivf_index_sink
+
+    handle = ivf_index_sink(str(tmp_path / "idx"), nlist=2)
+    b0 = spark.createDataFrame(
+        _rand_vecs(8), "vec_id long, embedding array<double>"
+    )
+    b1 = spark.createDataFrame(
+        _rand_vecs(6, seed=12, offset=100),
+        "vec_id long, embedding array<double>",
+    )
+    handle(b0, 0)
+    handle(b1, 1)          # crashed attempt: v=2 exists
+    handle(b1, 1)          # retry must read v=1, not v=2
+    snap = spark.read.parquet(str(tmp_path / "idx/cells/v=2"))
+    ids = [r["nbr_id"] for r in snap.collect()]
+    assert sorted(ids) == sorted(set(ids)) and len(ids) == 14
