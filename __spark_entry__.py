@@ -29,47 +29,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
 # registration (dict-insertion) order.  Every catalog query has carried a
-# driver-recorded green row at least once (union of CORRECTNESS_r01..r08 =
-# 220/220), and the full catalog is re-pinned per round by the committed
-# PARITY_sf0.01_r0N.txt runs on final HEAD.
-# Round 9's window (r8 verdict item #3): the front slots carry this
-# round's NEW and CHANGED code paths — the incremental-index family
-# (q221-q224 dedup/IVF, q225 histogram drift baseline, q226 histogram
-# quantiles, q228 distinct-cardinality index, q230 incremental
-# sessionization, q231 incremental clusters, q232 trending index, q233 quantile-frozen PSI, q234 record linkage), the retrieval-recall report (q227), line-level
-# corpus dedup (q229), plus the r9 guard/fix paths (q216
-# proportions_ztest empty-arm guard, q217 stickiness zero-DAU gap
-# days, q220 forecast tiebreak, q58 ivf_topk persistence refactor) —
-# and the remaining 32 slots ROTATE THE LEGACY SPINE
-# q01-q32 through the driver: those rows were last driver-checked on
-# r2/r3-era HEADs, and with 234 queries and 50 slots the spine only
-# re-pins via the committed parity artifact unless deliberately rotated
-# back in (q33-q45 overflow to PARITY_sf0.01_r09.txt).
+# driver-recorded green row at least once (union of CORRECTNESS_r01..r09 =
+# 234/234, checked name-by-name by the r9 judge), and the full catalog is
+# re-pinned per round by the committed PARITY_sf0.01_r0N.txt runs on final
+# HEAD.
+# Round 10's window (r9 verdict item #2): front slots carry this round's
+# NEW paths (q235 incremental TF-IDF over a merged corpus-stats index,
+# q236 incremental unigram-NLL + bigram-LM quality gate, q237 BM25 over a
+# persisted postings index) and the r10 CHANGED paths (q224 uuid-unique
+# persisted-index path, q229 line_dedup literal separators +
+# token_chunk_text NULL propagation, q230 session-merge boundary-tie
+# contract, q232 decayed_topk TakeOrdered rewrite, q234 blocked_link
+# collision guard); the remaining 42 slots ROTATE THE NEXT LEGACY COHORT
+# q33-q74 through the driver (q33-q64 last carried driver rows on
+# r2-r4-era HEADs; q65-q74 ride along to fill the window).
 _PRIORITY = [
-    # r9 new + changed code paths (18)
-    "q221_incremental_minhash", "q222_incremental_exact_screen",
-    "q223_incremental_neardup_screen", "q224_ivf_persisted_lifecycle",
-    "q225_drift_baseline_index", "q226_histogram_quantiles",
-    "q227_retrieval_recall", "q228_incremental_distinct",
-    "q229_line_dedup", "q230_incremental_sessions",
-    "q231_incremental_clusters", "q232_trending_parts",
-    "q233_psi_quantile_binned", "q234_record_linkage",
-    "q216_conversion_ztest",
-    "q217_dau_stickiness", "q220_forecast_eval", "q58_ivf_topk",
-    # legacy spine rotation (32): TPC-H-ish aggregates/joins/windows
-    "q01_pricing_summary", "q02_user_window_stats_5m",
-    "q03_user_sliding_5m_1m", "q04_time_since_last", "q05_multi_horizon",
-    "q06_top_customers", "q07_event_type_mode", "q08_user_sessions",
-    "q09_user_type_ratios", "q10_value_zscore", "q11_rolling_last_100",
-    "q12_engagement_score", "q13_event_flags",
-    "q14_asof_purchase_features", "q15_revenue_by_nation",
-    "q16_union_activity", "q17_market_segment_stats",
-    "q18_order_priority", "q19_doc_token_stats", "q20_doc_quality",
-    "q21_exact_dup_groups", "q22_jaccard_near_dups",
-    "q23_lang_source_stats", "q24_lang_id", "q25_cosine_topk",
-    "q26_psi_drift", "q27_ks_drift", "q28_chi2_drift",
-    "q29_daily_rollup", "q30_hourly_histogram",
-    "q31_asof_order_enrichment", "q32_user_value_stddev",
+    # r10 new + changed code paths (8)
+    "q235_incremental_tfidf", "q236_incremental_lm_quality",
+    "q237_bm25_from_index",
+    "q224_ivf_persisted_lifecycle", "q229_line_dedup",
+    "q230_incremental_sessions", "q232_trending_parts",
+    "q234_record_linkage",
+    # legacy cohort rotation (42)
+    "q33_risk_ladder", "q34_profile_default_fill",
+    "q35_user_hour_profile", "q36_velocity", "q37_same_type_affinity",
+    "q38_top_parts_by_revenue", "q39_minhash_near_dups",
+    "q40_simhash_near_dups", "q41_lsh_cosine_topk",
+    "q42_out_of_order_stats", "q43_supplier_region_stats",
+    "q44_timestamp_normalization", "q45_approx_distinct",
+    "q46_wide_feature_frame", "q47_discount_revenue",
+    "q48_salted_user_stats", "q49_rollup_revenue",
+    "q50_shipping_priority", "q51_promo_revenue_share",
+    "q52_value_percentiles", "q53_ks_by_feature", "q54_ks_drift_report",
+    "q55_prediction_drift", "q56_ks_binned", "q57_embedding_near_dups",
+    "q58_ivf_topk", "q59_winnow_fingerprints", "q60_dedup_survivors",
+    "q61_curated_corpus", "q62_decontamination", "q63_repetition_stats",
+    "q64_corpus_mixture", "q65_chunked_documents", "q66_pii_redaction",
+    "q67_dedup_clusters", "q68_quality_funnel",
+    "q69_cluster_balanced_sample", "q70_late_shipment_priority",
+    "q71_parts_never_bulk_shipped", "q72_winnow_containment_pairs",
+    "q73_small_quantity_revenue", "q74_latest_features_per_user",
 ]
 
 
