@@ -21,6 +21,7 @@ Run:  python examples/demo_incremental_ingest.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 
@@ -137,6 +138,29 @@ def main() -> None:
     print(f"  cluster labels: erased representative doc {vid}; "
           f"{labels.count()} -> {repaired.count()} rows, "
           f"{changed} relabeled (affected component re-solved only)")
+    print("== day 3: retention sweep bounds snapshot growth ==")
+    # The streaming sinks (streaming/dedup.py) version every index write
+    # as <root>/v=<batch_id+1> so a retried batch can re-read its
+    # pre-batch snapshot and concurrent readers keep their version.  The
+    # cost is retained history: without a sweep the index root grows one
+    # full snapshot per batch.  Stage this demo's three index states as
+    # the snapshot lineage they would be under the sink, then prune.
+    from streaming_feature_store_spark.streaming.dedup import (
+        prune_snapshots,
+    )
+
+    snap_root = f"{tmp}/mhidx_snapshots"
+    spark.read.parquet(f"{tmp}/mhidx").write.parquet(f"{snap_root}/v=1")
+    spark.read.parquet(f"{tmp}/mhidx_v2").write.parquet(f"{snap_root}/v=2")
+    purged.write.parquet(f"{snap_root}/v=3")
+    before = sorted(os.listdir(snap_root))
+    pruned = prune_snapshots(snap_root, keep_last=2)
+    after = sorted(os.listdir(snap_root))
+    print(f"  snapshots before sweep: {before}")
+    print(f"  pruned versions {pruned} (keep_last=2 — never 1, so an "
+          f"in-flight retry of the current batch keeps its pre-batch view)")
+    print(f"  snapshots after sweep:  {after}; newest still queryable: "
+          f"{spark.read.parquet(f'{snap_root}/v=3').count()} docs")
     print("== done: recurring cost priced on the delta; corpus state reused ==")
     spark.stop()
 
