@@ -206,6 +206,75 @@ def importance_weights(
     )
 
 
+def dsir_weights_from_index(
+    delta: DataFrame,
+    stats: DataFrame,
+    target_stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """:func:`importance_weights`' incremental twin (round 10): DSIR
+    log-weights for TODAY'S documents only, with the source and target
+    unigram distributions taken from two (merged)
+    ``text.corpus_stats_index`` frames instead of re-tokenizing both
+    corpora per call — s_c/t_c are the indexes' 'uni' rows, the union
+    vocabulary is their full outer join (vocabulary-bounded), and only
+    the delta tokenizes for tf.  Identical weights to the full recompute
+    restricted to the delta's ids (every delta term is in the merged
+    source index by construction; target-unseen terms get the same
+    finite smoothed evidence).  Same output schema/rounding as
+    importance_weights."""
+    from streaming_feature_store_spark.operators.text import (
+        _stats_rows,
+        alpha_tokens,
+    )
+
+    tf = (
+        alpha_tokens(delta, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    s_counts = _stats_rows(stats, "uni").withColumnRenamed("n", "s_c")
+    t_counts = _stats_rows(target_stats, "uni").withColumnRenamed("n", "t_c")
+    vocab = (
+        s_counts.join(t_counts, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("s_c", F.lit(0)).alias("s_c"),
+            F.coalesce("t_c", F.lit(0)).alias("t_c"),
+        )
+    )
+    totals = vocab.agg(
+        F.sum("s_c").alias("s_tot"),
+        F.sum("t_c").alias("t_tot"),
+        F.count("*").alias("v"),
+    )
+    ratio = vocab.crossJoin(broadcast(totals)).select(
+        "term",
+        (
+            F.log(
+                (F.col("t_c") + alpha)
+                / (F.col("t_tot") + alpha * F.col("v"))
+            )
+            - F.log(
+                (F.col("s_c") + alpha)
+                / (F.col("s_tot") + alpha * F.col("v"))
+            )
+        ).alias("log_ratio"),
+    )
+    return (
+        tf.join(ratio, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("log_ratio")), 6).alias(
+                "log_weight"
+            ),
+        )
+    )
+
+
 def sample_corpus(
     df: DataFrame,
     rates: dict[str, float],

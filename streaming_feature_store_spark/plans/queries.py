@@ -11199,3 +11199,80 @@ def q237_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id string, query_text string",
     )
     return bm25_from_index(postings, stats, qdf, k=5)
+
+
+@query(
+    "q238_incremental_dsir",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(
+        lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term <> '' GROUP BY 1, 2),
+    sc AS (SELECT term, SUM(tf) AS s_c FROM tf GROUP BY 1),
+    ttok AS (
+      SELECT unnest(string_split_regex(
+        lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+      FROM documents WHERE lang = 'en'
+    ),
+    tc AS (SELECT term, COUNT(*) AS t_c FROM ttok
+           WHERE term <> '' GROUP BY 1),
+    vocab AS (
+      SELECT COALESCE(sc.term, tc.term) AS term,
+             COALESCE(s_c, 0) AS s_c, COALESCE(t_c, 0) AS t_c
+      FROM sc FULL OUTER JOIN tc ON sc.term = tc.term
+    ),
+    tot AS (SELECT SUM(s_c) AS s_tot, SUM(t_c) AS t_tot,
+                   COUNT(*) AS v FROM vocab),
+    ratio AS (
+      SELECT term,
+        ln((t_c + 0.5) / (t_tot + 0.5 * v))
+        - ln((s_c + 0.5) / (s_tot + 0.5 * v)) AS log_ratio
+      FROM vocab CROSS JOIN tot
+    )
+    SELECT tf.doc_id,
+      CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+      ROUND(SUM(tf.tf * ratio.log_ratio), 6) AS log_weight
+    FROM tf JOIN ratio USING (term)
+    WHERE tf.doc_id % 5 = 0
+    GROUP BY 1
+    """,
+)
+def q238_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights priced on the delta
+    (``curation.dsir_weights_from_index``): BOTH unigram distributions —
+    the raw-corpus source and the English-target — live as merged
+    ``corpus_stats_index`` frames (base index + delta index, union+sum),
+    and only today's documents tokenize for scoring.  This closes the
+    last scorer in the r9 verdict's text-statistics list (TF-IDF / BM25 /
+    LM / DSIR).  Oracle = q153's full two-corpus recompute restricted to
+    delta ids: a merge error in EITHER distribution or a delta-scoring
+    divergence breaks the hash."""
+    from streaming_feature_store_spark.operators.curation import (
+        dsir_weights_from_index,
+    )
+    from streaming_feature_store_spark.operators.text import (
+        corpus_stats_index,
+        corpus_stats_index_merge,
+    )
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    stats = persist_tracked(
+        corpus_stats_index_merge(
+            corpus_stats_index(base, bigrams=False),
+            corpus_stats_index(delta, bigrams=False),
+        )
+    )
+    en = F.col("lang") == "en"
+    target_stats = persist_tracked(
+        corpus_stats_index_merge(
+            corpus_stats_index(base.filter(en), bigrams=False),
+            corpus_stats_index(delta.filter(en), bigrams=False),
+        )
+    )
+    return dsir_weights_from_index(delta, stats, target_stats)

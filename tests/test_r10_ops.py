@@ -153,3 +153,29 @@ def test_three_way_merge_is_order_independent(spark):
     m1 = corpus_stats_index_merge(corpus_stats_index_merge(ia, ib), ic)
     m2 = corpus_stats_index_merge(ia, corpus_stats_index_merge(ic, ib))
     assert _canon(m1) == _canon(m2) == _canon(corpus_stats_index(docs))
+
+
+def test_dsir_from_index_matches_full_recompute(spark):
+    from streaming_feature_store_spark.operators.curation import (
+        dsir_weights_from_index,
+        importance_weights,
+    )
+
+    docs = _docs(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de")
+    )
+    base, delta = _split(docs)
+    en = F.col("lang") == "en"
+    stats = corpus_stats_index_merge(
+        corpus_stats_index(base, bigrams=False),
+        corpus_stats_index(delta, bigrams=False),
+    ).persist()
+    tstats = corpus_stats_index_merge(
+        corpus_stats_index(base.filter(en), bigrams=False),
+        corpus_stats_index(delta.filter(en), bigrams=False),
+    ).persist()
+    got = dsir_weights_from_index(delta, stats, tstats)
+    want = importance_weights(docs, docs.filter(en)).filter(
+        F.col("doc_id") % 4 == 0
+    )
+    assert _canon(got) == _canon(want)
