@@ -1744,3 +1744,41 @@ def bm25_from_index(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+def corpus_stats_index_erase(
+    index: DataFrame,
+    erased_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigrams: bool | None = None,
+) -> DataFrame:
+    """Right-to-be-forgotten maintenance for the corpus-statistics index:
+    counts are additive, so an erased document's contribution SUBTRACTS
+    exactly — build the erased docs' own index, negate it, merge, drop
+    zeroed rows.  Equal to a rebuild over the survivors (pytest pins it)
+    while touching only the erased docs' text plus index rows — the same
+    surgical cost class as ``erase_from_minhash_index``.  Requires the
+    erased documents WITH their text (the retained corpus or an erasure
+    staging log); a bare id list cannot reconstruct the counts to remove.
+
+    ``bigrams=None`` infers from the index (negates 'bi' rows only if the
+    index carries any) so the erase matches how the index was built."""
+    if bigrams is None:
+        bigrams = bool(index.filter(F.col("kind") == "bi").head(1))
+    neg = corpus_stats_index(erased_docs, id_col, text_col, bigrams).select(
+        "kind", "term", (-F.col("n")).alias("n")
+    )
+    return corpus_stats_index_merge(index, neg).filter(F.col("n") != 0)
+
+
+def postings_index_erase(
+    index: DataFrame, erased_docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Erase documents from the postings index: postings and length rows
+    are keyed BY document, so erasure is one anti-join on the id — no
+    text needed, no recount.  (On a doc_id-partitioned/bucketed cell
+    layout this rewrites only the touched files, exactly like
+    ``erase_from_ivf_index``.)"""
+    ids = erased_docs.select(F.col(id_col)).distinct()
+    return index.join(F.broadcast(ids), id_col, "left_anti")

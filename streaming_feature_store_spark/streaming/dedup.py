@@ -262,3 +262,76 @@ def prune_snapshots(index_root: str, keep_last: int = 2) -> list[int]:
     for v in pruned:
         shutil.rmtree(os.path.join(index_root, f"v={v}"))
     return pruned
+
+
+def stats_index_sink(
+    index_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+):
+    """``foreachBatch`` twin of ``text.corpus_stats_index_merge``: each
+    micro-batch of documents folds its (vocabulary-bounded) count index
+    into the persisted corpus-statistics snapshot — the streaming
+    maintenance path for the q235/q236/q238 quality-gate and DSIR
+    statistics.  Same batch-id-versioned retry-idempotence discipline as
+    the other index sinks; post-drain the newest snapshot ≡ one batch
+    ``corpus_stats_index`` over all documents (tests/test_streaming.py).
+    Documents must arrive exactly once across batches (the disjoint-set
+    merge contract — put ``fingerprint_index_sink`` in front to screen
+    re-deliveries)."""
+    from streaming_feature_store_spark.operators.text import (
+        corpus_stats_index,
+        corpus_stats_index_merge,
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = corpus_stats_index(batch_df, id_col, text_col, bigrams)
+        v = _latest_snapshot(index_root, batch_id)
+        if v is None:
+            updated = delta
+        else:
+            updated = corpus_stats_index_merge(
+                spark.read.parquet(f"{index_root}/v={v}"), delta
+            )
+        updated.write.mode("overwrite").parquet(
+            f"{index_root}/v={batch_id + 1}"
+        )
+
+    return _handle
+
+
+def postings_index_sink(
+    index_root: str, text_col: str = "text", id_col: str = "doc_id"
+):
+    """``foreachBatch`` twin of ``text.postings_index_merge`` — streaming
+    maintenance of the BM25 inverted index (q237): each batch's postings
+    + per-doc length rows fold into the versioned snapshot (pure append
+    for disjoint docs; the sum also keeps a split-across-batches doc
+    correct).  Same retry-idempotence discipline; post-drain snapshot ≡
+    one batch ``postings_index`` over all documents."""
+    from streaming_feature_store_spark.operators.text import (
+        postings_index,
+        postings_index_merge,
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = postings_index(batch_df, id_col, text_col)
+        v = _latest_snapshot(index_root, batch_id)
+        if v is None:
+            updated = delta
+        else:
+            updated = postings_index_merge(
+                spark.read.parquet(f"{index_root}/v={v}"), delta, id_col
+            )
+        updated.write.mode("overwrite").parquet(
+            f"{index_root}/v={batch_id + 1}"
+        )
+
+    return _handle

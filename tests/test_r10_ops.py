@@ -179,3 +179,42 @@ def test_dsir_from_index_matches_full_recompute(spark):
         F.col("doc_id") % 4 == 0
     )
     assert _canon(got) == _canon(want)
+
+
+def test_corpus_stats_index_erase_equals_rebuild_over_survivors(spark):
+    from streaming_feature_store_spark.operators.text import (
+        corpus_stats_index_erase,
+    )
+
+    docs = _docs(spark)
+    erased = docs.filter(F.col("doc_id") % 7 == 0)
+    survivors = docs.filter(F.col("doc_id") % 7 != 0)
+    idx = corpus_stats_index(docs).persist()
+    got = corpus_stats_index_erase(idx, erased)
+    want = corpus_stats_index(survivors)
+    # rebuild keeps zero-count rows only where it never saw the term;
+    # erase drops zeroed rows — compare non-zero content
+    assert _canon(got.filter(F.col("n") != 0)) == _canon(
+        want.filter(F.col("n") != 0)
+    )
+    # bigrams flag inferred from the index: a bigram-free index erases
+    # without negating 'bi' rows
+    idx2 = corpus_stats_index(docs, bigrams=False).persist()
+    got2 = corpus_stats_index_erase(idx2, erased)
+    assert got2.filter(F.col("kind") == "bi").count() == 0
+    want2 = corpus_stats_index(survivors, bigrams=False)
+    assert _canon(got2.filter(F.col("n") != 0)) == _canon(
+        want2.filter(F.col("n") != 0)
+    )
+
+
+def test_postings_index_erase_equals_rebuild_over_survivors(spark):
+    from streaming_feature_store_spark.operators.text import (
+        postings_index_erase,
+    )
+
+    docs = _docs(spark)
+    erased = docs.filter(F.col("doc_id") % 7 == 0)
+    survivors = docs.filter(F.col("doc_id") % 7 != 0)
+    got = postings_index_erase(postings_index(docs), erased)
+    assert _canon(got) == _canon(postings_index(survivors))

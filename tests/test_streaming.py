@@ -1122,3 +1122,60 @@ def test_ivf_index_sink_retry_rereads_prebatch_snapshot(spark, tmp_path):
     snap = spark.read.parquet(str(tmp_path / "idx/cells/v=2"))
     ids = [r["nbr_id"] for r in snap.collect()]
     assert sorted(ids) == sorted(set(ids)) and len(ids) == 14
+
+
+def test_stats_and_postings_index_streams_match_batch(spark, tmp_path):
+    """Streaming maintenance of the corpus-statistics and postings
+    indexes (round 10): documents arrive in micro-batches; post-drain,
+    the newest snapshot of each index equals the one-shot batch build
+    over all documents."""
+    from streaming_feature_store_spark.operators.text import (
+        corpus_stats_index,
+        postings_index,
+    )
+    from streaming_feature_store_spark.streaming.dedup import (
+        _latest_snapshot,
+        postings_index_sink,
+        stats_index_sink,
+    )
+
+    docs = [
+        (1, "the quick brown fox"), (2, "jumps over the lazy dog"),
+        (3, "spark shuffles data"), (4, "the quick red fox"),
+        (5, "dog and fox and spark"), (6, None), (7, "one"),
+    ]
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for rows in (docs[0:3], docs[3:5], docs[5:7]):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    sroot, proot = str(tmp_path / "stats"), str(tmp_path / "postings")
+
+    def run(sink, ckpt):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(stats_index_sink(sroot), "ckpt_s")
+    run(postings_index_sink(proot), "ckpt_p")
+
+    def canon(df):
+        return sorted(tuple(map(repr, r)) for r in df.collect())
+
+    all_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    vs = _latest_snapshot(sroot, None)
+    assert canon(spark.read.parquet(f"{sroot}/v={vs}")) == canon(
+        corpus_stats_index(all_docs)
+    )
+    vp = _latest_snapshot(proot, None)
+    assert canon(spark.read.parquet(f"{proot}/v={vp}")) == canon(
+        postings_index(all_docs)
+    )
