@@ -68,6 +68,14 @@ def main() -> None:
     merges = train_bpe(base, n_merges=60, sample_docs=None)
     save_bpe(merges, f"{tmp}/bpe.json")
     print(f"  tokenizer:   {len(merges)} BPE merges -> {tmp}/bpe.json")
+    from streaming_feature_store_spark.operators.text import (
+        bigram_lm_from_index,
+        corpus_stats_index,
+        corpus_stats_index_merge,
+    )
+
+    corpus_stats_index(base).write.mode("overwrite").parquet(f"{tmp}/stats")
+    print(f"  text stats:  DF/unigram/bigram count index -> {tmp}/stats")
 
     print("== day 1: incremental ingest of the delta ==")
     idx = spark.read.parquet(f"{tmp}/mhidx")
@@ -94,6 +102,20 @@ def main() -> None:
     ).collect()[0]
     print(f"  tokenized survivors with SAVED merges: {stats['total']} "
           f"BPE tokens total, {stats['avg']} avg/doc")
+
+    # quality-gate the survivors against the MERGED corpus LM: the
+    # persisted count index absorbs the delta's counts (union+sum) and
+    # only the survivors tokenize for scoring (q236's daily shape)
+    tstats = corpus_stats_index_merge(
+        spark.read.parquet(f"{tmp}/stats"), corpus_stats_index(survivors)
+    ).persist()
+    lm = bigram_lm_from_index(survivors, tstats)
+    worst = lm.orderBy("avg_logprob", "doc_id").limit(3).collect()
+    print("  LM quality gate vs merged corpus stats (3 least-fluent "
+          "survivors):")
+    for r in worst:
+        print(f"    doc {r['doc_id']}: avg_logprob {r['avg_logprob']:.4f} "
+              f"({r['n_bigrams']} bigrams)")
 
     q = emb.filter(F.col("vec_id") < 5)
     nn = ivf_topk_persisted(spark, f"{tmp}/ivf", q, k=3, nprobe=4)
