@@ -1485,7 +1485,14 @@ def corpus_stats_index_merge(index: DataFrame, delta: DataFrame) -> DataFrame:
     """Merge a delta's statistics into the persisted index — counts are
     additive over disjoint doc sets, so the merge is union + sum keyed by
     (kind, term) (NULL term — the 'docs' row — groups as one key).  At
-    100 TB only vocabulary-bounded index rows move, never documents."""
+    100 TB only vocabulary-bounded index rows move, never documents.
+
+    Both sides must be built with the same ``bigrams`` setting: merging a
+    bigram-free index into a bigram-carrying one yields PARTIAL 'bi'
+    counts with no error (the union can't know docs are missing), and any
+    LM score read from them is silently wrong — rebuild or erase+rebuild
+    instead of mixing.  (:func:`corpus_stats_index_erase` infers the
+    setting from the index for exactly this reason.)"""
     return (
         index.unionByName(delta)
         .groupBy("kind", "term")
