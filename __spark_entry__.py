@@ -37,18 +37,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # NEW paths (q235 incremental TF-IDF over a merged corpus-stats index,
 # q236 incremental unigram-NLL + bigram-LM quality gate, q237 BM25 over a
 # persisted postings index, q238 incremental DSIR with both distributions
-# index-backed) and the r10 CHANGED paths (q224 uuid-unique
+# index-backed, q239 incremental CCNet line dedup over a merged
+# line-frequency index) and the r10 CHANGED paths (q224 uuid-unique
 # persisted-index path, q229 line_dedup literal separators +
 # token_chunk_text NULL propagation, q230 session-merge boundary-tie
 # contract, q232 decayed_topk TakeOrdered rewrite, q234 blocked_link
-# collision guard); the remaining 41 slots ROTATE THE NEXT LEGACY COHORT
-# q33-q73 through the driver (q33-q64 last carried driver rows on
-# r2-r4-era HEADs; q65-q73 ride along to fill the window; q74 overflows
-# to PARITY_sf0.01_r10.txt).
+# collision guard); the remaining 40 slots ROTATE THE NEXT LEGACY COHORT
+# q33-q72 through the driver (q33-q64 last carried driver rows on
+# r2-r4-era HEADs; q65-q72 ride along to fill the window; q73-q74
+# overflow to PARITY_sf0.01_r10.txt).
 _PRIORITY = [
-    # r10 new + changed code paths (9)
+    # r10 new + changed code paths (10)
     "q235_incremental_tfidf", "q236_incremental_lm_quality",
     "q237_bm25_from_index", "q238_incremental_dsir",
+    "q239_incremental_line_dedup",
     "q224_ivf_persisted_lifecycle", "q229_line_dedup",
     "q230_incremental_sessions", "q232_trending_parts",
     "q234_record_linkage",
@@ -70,7 +72,6 @@ _PRIORITY = [
     "q67_dedup_clusters", "q68_quality_funnel",
     "q69_cluster_balanced_sample", "q70_late_shipment_priority",
     "q71_parts_never_bulk_shipped", "q72_winnow_containment_pairs",
-    "q73_small_quantity_revenue",
 ]
 
 

@@ -1789,3 +1789,102 @@ def postings_index_erase(
     ``erase_from_ivf_index``.)"""
     ids = erased_docs.select(F.col(id_col)).distinct()
     return index.join(F.broadcast(ids), id_col, "left_anti")
+
+
+def line_freq_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    lines_col: str | None = None,
+) -> DataFrame:
+    """Build the additive line-frequency index behind :func:`line_dedup`:
+    one ``(line, n_docs)`` row per distinct line, counting DISTINCT
+    documents.  Within a call a doc counts once per line however often it
+    repeats it (line_dedup's countDistinct semantics); across DISJOINT
+    doc sets the counts are therefore additive, so
+    :func:`line_freq_index_merge` is exact.  Same segmentation contract
+    as line_dedup (``line_sep`` literal, or ``lines_col`` override)."""
+    import re as _re
+
+    arr = (
+        F.col(lines_col)
+        if lines_col is not None
+        else F.split(F.col(text_col), _re.escape(line_sep))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(arr).alias("line"))
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).cast("long").alias("n_docs"))
+    )
+
+
+def line_freq_index_merge(index: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge a delta's line frequencies into the persisted index — union +
+    sum keyed by line (exact for disjoint doc sets).  At 100 TB key both
+    sides on ``xxhash64(line)`` to narrow the shuffle, as line_dedup's
+    docstring prescribes for the inline form."""
+    return (
+        index.unionByName(delta)
+        .groupBy("line")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
+
+
+def line_dedup_from_index(
+    delta: DataFrame,
+    index: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    lines_col: str | None = None,
+    out_sep: str | None = None,
+) -> DataFrame:
+    """:func:`line_dedup` priced on the delta (the CCNet cleaning pass as
+    a daily ingest step): the corpus-global boilerplate set — lines in
+    >= ``min_docs`` distinct documents — comes from a (merged)
+    :func:`line_freq_index`, so history is never re-segmented; only the
+    delta's documents explode, anti-join the broadcast boilerplate set,
+    and reassemble in original order.  Identical output to
+    ``line_dedup(base UNION delta)`` restricted to the delta's ids
+    (oracled q239).  Same output schema (clean_text, n_lines, n_kept,
+    kept_frac) and NULL-text behavior (no lines, doc absent)."""
+    import re as _re
+
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    if out_sep is None:
+        out_sep = line_sep
+    arr = (
+        F.col(lines_col)
+        if lines_col is not None
+        else F.split(F.col(text_col), _re.escape(line_sep))
+    )
+    lines = persist_tracked(
+        delta.select(F.col(id_col), F.posexplode(arr).alias("pos", "line"))
+    )
+    boiler = index.filter(F.col("n_docs") >= min_docs).select("line")
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    re_ = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            out_sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return totals.join(re_, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(
+            F.coalesce("n_kept", F.lit(0))
+            / F.col("n_lines").cast("double"),
+            6,
+        ).alias("kept_frac"),
+    )

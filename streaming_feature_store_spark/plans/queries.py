@@ -11276,3 +11276,75 @@ def q238_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dsir_weights_from_index(delta, stats, target_stats)
+
+
+@query(
+    "q239_incremental_line_dedup",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), ch AS (
+      SELECT doc_id,
+        list_transform(
+          generate_series(0, CAST(ceil(len(l) / 4.0) AS INT) - 1),
+          i -> array_to_string(l[(i*4+1):(i*4+4)], ' ')) AS chunks
+      FROM tok
+    ), lines AS (
+      SELECT doc_id,
+        unnest(list_transform(chunks, (x, i) -> {'pos': i, 'line': x}),
+               recursive := true)
+      FROM ch
+    ), freq AS (
+      SELECT line FROM lines
+      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+    ), dlines AS (
+      SELECT * FROM lines WHERE doc_id % 5 = 0
+    ), kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM dlines l ANTI JOIN freq f ON l.line = f.line
+    ), tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM dlines GROUP BY 1
+    ), re AS (
+      SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+        CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id, COALESCE(re.clean_text, '') AS clean_text, t.n_lines,
+      COALESCE(re.n_kept, 0) AS n_kept,
+      ROUND(COALESCE(re.n_kept, 0) / CAST(t.n_lines AS DOUBLE), 6)
+        AS kept_frac
+    FROM tot t LEFT JOIN re ON t.doc_id = re.doc_id
+    """,
+)
+def q239_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet line-dedup cleaning pass priced on the delta
+    (``text.line_freq_index`` + ``line_freq_index_merge`` +
+    ``line_dedup_from_index``): line frequencies are DISTINCT-doc counts
+    — additive over disjoint doc sets — so the persisted index absorbs
+    the delta's counts in one union+sum, and only today's documents
+    re-segment, anti-join the corpus-global boilerplate set, and
+    reassemble.  Same 4-token-window segmentation as q229 (Arrow
+    kernel); the oracle recomputes the FULL corpus frequency screen and
+    cleans the delta docs against it, pinning merge(index(base),
+    index(delta)) ≡ index(base∪delta) AND position-exact delta
+    reconstruction."""
+    from streaming_feature_store_spark.operators.text import (
+        line_dedup_from_index,
+        line_freq_index,
+        line_freq_index_merge,
+        token_chunk_text,
+    )
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunked = token_chunk_text(docs, chunk_size=4)
+    cbase = chunked.filter(F.col("doc_id") % 5 != 0)
+    cdelta = persist_tracked(chunked.filter(F.col("doc_id") % 5 == 0))
+    merged = line_freq_index_merge(
+        line_freq_index(cbase, text_col="chunked"),
+        line_freq_index(cdelta, text_col="chunked"),
+    )
+    return line_dedup_from_index(
+        cdelta, merged, min_docs=2, text_col="chunked", out_sep=" "
+    )

@@ -218,3 +218,36 @@ def test_postings_index_erase_equals_rebuild_over_survivors(spark):
     survivors = docs.filter(F.col("doc_id") % 7 != 0)
     got = postings_index_erase(postings_index(docs), erased)
     assert _canon(got) == _canon(postings_index(survivors))
+
+
+def test_line_freq_index_merge_and_dedup_from_index(spark):
+    from streaming_feature_store_spark.operators.text import (
+        line_dedup,
+        line_dedup_from_index,
+        line_freq_index,
+        line_freq_index_merge,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\nshared a\nshared b"),
+            (2, "shared a\nother text"),
+            (3, "shared b\nshared a\nshared b"),   # repeats within doc
+            (4, "fresh delta\nshared a"),
+            (8, "delta only\nshared b"),
+        ],
+        "doc_id long, text string",
+    )
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    merged = line_freq_index_merge(
+        line_freq_index(base), line_freq_index(delta)
+    )
+    assert _canon(merged) == _canon(line_freq_index(docs))
+    got = line_dedup_from_index(delta, merged, min_docs=2)
+    want = line_dedup(docs, min_docs=2).filter(F.col("doc_id") % 4 == 0)
+    assert _canon(got) == _canon(want)
+    rows = {r["doc_id"]: r.asDict() for r in got.collect()}
+    # 'shared a'/'shared b' are corpus boilerplate; delta keeps the rest
+    assert rows[4]["clean_text"] == "fresh delta"
+    assert rows[8]["clean_text"] == "delta only"
