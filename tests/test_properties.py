@@ -1144,3 +1144,58 @@ def test_quantile_edges_match_naive(spark, vals, n_bins):
         for i in range(1, n_bins)
     }
     assert got == want
+
+
+# --- round 10: corpus-statistics index merge algebra -------------------------
+
+# small vocab + short docs to force term collisions across splits
+DOCS = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=12),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=DOCS, split=st.integers(min_value=1, max_value=11))
+@SLOW
+def test_corpus_stats_merge_matches_full_and_python_oracle(
+    spark, texts, split
+):
+    """merge(index(A), index(B)) == index(A ∪ B) for any disjoint split,
+    and both equal a pure-Python count oracle."""
+    from collections import Counter
+
+    from streaming_feature_store_spark.operators.text import (
+        corpus_stats_index,
+        corpus_stats_index_merge,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = df.filter(F.col("doc_id") % 12 < split)
+    b = df.filter(F.col("doc_id") % 12 >= split)
+    merged = corpus_stats_index_merge(
+        corpus_stats_index(a), corpus_stats_index(b)
+    )
+    got = {
+        (r["kind"], r["term"]): r["n"] for r in merged.collect()
+    }
+    full = {
+        (r["kind"], r["term"]): r["n"]
+        for r in corpus_stats_index(df).collect()
+    }
+    assert got == full
+    # pure-Python oracle (tokens = maximal alpha runs, lowercased)
+    import re
+
+    want: Counter = Counter()
+    want[("docs", None)] = len(rows)
+    for _, t in rows:
+        toks = [w for w in re.sub(r"[^A-Za-z ]", " ", t or "").lower().split() if w]
+        for w in set(toks):
+            want[("df", w)] += 1
+        for w in toks:
+            want[("uni", w)] += 1
+        for x, y in zip(toks, toks[1:]):
+            want[("bi", f"{x} {y}")] += 1
+    assert got == dict(want)
