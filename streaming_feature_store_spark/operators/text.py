@@ -1888,3 +1888,83 @@ def line_dedup_from_index(
             6,
         ).alias("kept_frac"),
     )
+
+
+def build_winnow_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Persistable winnowing-fingerprint index: the distinct
+    ``(doc, sel)`` selected-fingerprint set behind
+    :func:`winnow_containment_pairs` — one row per doc per selected
+    md5 — so containment detection against a growing corpus never
+    re-fingerprints history.  Doc-keyed rows: the disjoint-doc merge is
+    a pure union (no sum needed), done inline by
+    :func:`winnow_index_merge`."""
+    return _winnow_sel(df, text_col, id_col, k, w)
+
+
+def winnow_index_merge(
+    delta: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental substring-containment detection — the plagiarism /
+    quote / contamination screen as a daily ingest step: fingerprint
+    ONLY the delta's documents, join them against the persisted
+    :func:`build_winnow_index`, and return ``(new_pairs, updated_index)``
+    where ``new_pairs`` are exactly the containment pairs involving at
+    least one delta doc.  Contract (unit-pinned):
+    ``pairs(base) ∪ new_pairs == winnow_containment_pairs(base ∪ delta)``
+    — containment is |shared| / min(|fp_a|, |fp_b|) over PER-DOC
+    fingerprint sets, so history's pairs are untouched by the delta.
+
+    Plan: delta fingerprints (persisted — they feed the union and the
+    join) meet the index via the fingerprint equi-join (inverted-index
+    access: only docs sharing a selected hash pair up); delta-delta
+    pairs arrive from both sides, so the pair key normalizes
+    (least/greatest) and shared hashes count DISTINCT.  Shuffle is
+    |delta fps| + matching index rows, never all history.  The caller
+    persists/parquet-backs ``index`` (the minhash_index_merge
+    contract)."""
+    delta_fps = _persist_tracked(_winnow_sel(delta, text_col, id_col, k, w))
+    updated = index.unionByName(delta_fps)
+    sizes = updated.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    d = delta_fps.select(F.col(id_col).alias("_d"), "sel")
+    u = updated.select(F.col(id_col).alias("_u"), "sel")
+    inter = (
+        d.join(u, "sel")
+        .filter(F.col("_d") != F.col("_u"))
+        .select(
+            F.least("_d", "_u").alias("doc_a"),
+            F.greatest("_d", "_u").alias("doc_b"),
+            "sel",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct("sel").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("nfa"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("nfb"))
+    new_pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment_raw",
+            F.col("n_shared") / F.least("nfa", "nfb").cast("double"),
+        )
+        .filter(F.col("containment_raw") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round("containment_raw", 6).alias("containment"),
+        )
+    )
+    return new_pairs, updated

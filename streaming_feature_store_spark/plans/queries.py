@@ -11348,3 +11348,65 @@ def q239_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup_from_index(
         cdelta, merged, min_docs=2, text_col="chunked", out_sep=" "
     )
+
+
+@query(
+    "q240_incremental_winnow",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS w,
+             generate_subscripts(string_split(text,' '),1) AS pos
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, pos,
+        md5(w || ' ' || lead(w,1) OVER dw || ' ' || lead(w,2) OVER dw) AS g
+      FROM toks WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(w,2) OVER dw IS NOT NULL
+    ), wmin AS (
+      SELECT doc_id, pos,
+        MIN(g) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+        MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, sel FROM wmin WHERE pos <= maxpos - 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM fps a JOIN fps b ON a.sel = b.sel AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+      ROUND(n_shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE), 6)
+        AS containment
+    FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) >= 0.5
+      AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+    """,
+)
+def q240_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring-containment screen
+    (``text.build_winnow_index`` + ``winnow_index_merge``): the base
+    corpus' winnowing fingerprints live as a persisted doc-keyed index;
+    today's delta (doc_id % 5 == 0) fingerprints ONLY itself, joins the
+    index on the selected-hash key, and emits exactly the containment
+    pairs involving a delta doc — history's pairs are provably untouched
+    (per-doc fingerprint sets don't change).  Oracle = q72's full MOSS
+    recompute restricted to delta-involving pairs, pinning the
+    delta-vs-corpus join, the delta-delta normalization, and the
+    containment arithmetic."""
+    from streaming_feature_store_spark.operators.text import (
+        build_winnow_index,
+        winnow_index_merge,
+    )
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = persist_tracked(build_winnow_index(base))
+    new_pairs, _ = winnow_index_merge(delta, idx, threshold=0.5)
+    return new_pairs

@@ -251,3 +251,37 @@ def test_line_freq_index_merge_and_dedup_from_index(spark):
     # 'shared a'/'shared b' are corpus boilerplate; delta keeps the rest
     assert rows[4]["clean_text"] == "fresh delta"
     assert rows[8]["clean_text"] == "delta only"
+
+
+def test_winnow_index_merge_union_equals_full_pairs(spark):
+    from streaming_feature_store_spark.operators.text import (
+        build_winnow_index,
+        winnow_containment_pairs,
+        winnow_index_merge,
+    )
+
+    # planted shared passages straddling the base/delta split
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " one two three"),
+            (2, "totally different words here nothing shared at all ok"),
+            (3, passage + " four five six"),                 # base-base pair with 1
+            (4, passage + " seven eight nine"),              # delta vs base 1/3
+            (8, "totally different words here nothing shared at all ok"),  # delta dup of 2
+            (12, passage + " ten eleven twelve"),            # delta-delta with 4
+        ],
+        "doc_id long, text string",
+    )
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    idx = build_winnow_index(base).persist()
+    new_pairs, updated = winnow_index_merge(delta, idx, threshold=0.3)
+    base_pairs = winnow_containment_pairs(base, threshold=0.3)
+    full = winnow_containment_pairs(docs, threshold=0.3)
+    assert _canon(base_pairs.unionByName(new_pairs)) == _canon(full)
+    # every new pair involves a delta doc
+    for r in new_pairs.collect():
+        assert r["doc_a"] % 4 == 0 or r["doc_b"] % 4 == 0
+    # updated index == fresh build over base ∪ delta
+    assert _canon(updated) == _canon(build_winnow_index(docs))
