@@ -152,6 +152,103 @@ def main():
         f"EXACT PARITY; bm25 query batch {t_bfull:.1f}s -> {t_binc:.1f}s "
         f"({t_bfull / t_binc:.1f}x)"
     )
+
+    # ---- CCNet line dedup: merged line-frequency index vs full rescan
+    from streaming_feature_store_spark.operators.text import (
+        line_dedup,
+        line_dedup_from_index,
+        line_freq_index,
+        line_freq_index_merge,
+        token_chunk_text,
+    )
+
+    chunked_base = token_chunk_text(base, chunk_size=4)
+    _, t_lf = timed(
+        f"one-time line_freq_index build + persist ({cut} docs)",
+        lambda: line_freq_index(chunked_base, text_col="chunked")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/linefreq"),
+    )
+
+    def ld_full():
+        spark.catalog.clearCache()
+        out = line_dedup(
+            token_chunk_text(docs, chunk_size=4),
+            text_col="chunked",
+            line_sep="\n",
+            out_sep=" ",
+            min_docs=2,
+        ).filter(F.col("doc_id") >= cut)
+        return canon(out)
+
+    want_l, t_lfull = timed(
+        f"FULL line_dedup (re-segment {n_docs} docs, clean delta)", ld_full
+    )
+
+    def ld_inc():
+        spark.catalog.clearCache()
+        cdelta = token_chunk_text(delta, chunk_size=4).persist()
+        merged = line_freq_index_merge(
+            spark.read.parquet(f"{tmp}/linefreq"),
+            line_freq_index(cdelta, text_col="chunked"),
+        )
+        return canon(
+            line_dedup_from_index(
+                cdelta, merged, min_docs=2, text_col="chunked", out_sep=" "
+            )
+        )
+
+    got_l, t_linc = timed(
+        "INCREMENTAL line_dedup (merge delta line counts, clean delta only)",
+        ld_inc,
+    )
+    assert got_l == want_l, "incremental line dedup != full recompute"
+    print(
+        f"EXACT PARITY; line-dedup daily pass {t_lfull:.1f}s -> "
+        f"{t_linc:.1f}s ({t_lfull / t_linc:.1f}x)"
+    )
+
+    # ---- winnowing containment: persisted fingerprint index vs full
+    from streaming_feature_store_spark.operators.text import (
+        build_winnow_index,
+        winnow_containment_pairs,
+        winnow_index_merge,
+    )
+
+    _, t_wb = timed(
+        f"one-time build_winnow_index + persist ({cut} docs)",
+        lambda: build_winnow_index(base)
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/winnow"),
+    )
+
+    def wn_full():
+        spark.catalog.clearCache()
+        pairs = winnow_containment_pairs(docs, threshold=0.5).filter(
+            (F.col("doc_a") >= cut) | (F.col("doc_b") >= cut)
+        )
+        return canon(pairs)
+
+    want_w, t_wfull = timed(
+        f"FULL winnow pairs (re-fingerprint {n_docs} docs, delta pairs)",
+        wn_full,
+    )
+
+    def wn_inc():
+        spark.catalog.clearCache()
+        idx = spark.read.parquet(f"{tmp}/winnow")
+        new_pairs, _ = winnow_index_merge(delta, idx, threshold=0.5)
+        return canon(new_pairs)
+
+    got_w, t_winc = timed(
+        "INCREMENTAL winnow (fingerprint delta only, join persisted index)",
+        wn_inc,
+    )
+    assert got_w == want_w, "incremental winnow pairs != full recompute"
+    print(
+        f"EXACT PARITY; winnow containment screen {t_wfull:.1f}s -> "
+        f"{t_winc:.1f}s ({t_wfull / t_winc:.1f}x)"
+    )
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
