@@ -1704,7 +1704,17 @@ def bm25_from_index(
     pattern); N/avgdl ride along as a one-row aggregate of the per-doc
     length rows (map-side combined — the only corpus-sized input, one
     narrow row per doc).  Identical scores/ranking to bm25_topk on the
-    same corpus (oracled q237)."""
+    same corpus (oracled q237).
+
+    100 TB layout note: this takes the index as ONE tall frame for
+    oracle simplicity; a production deployment stores the two row kinds
+    as separate tables — postings bucketed by ``term`` (the query join
+    then broadcasts qterms against co-located buckets with no postings
+    shuffle) and doc lengths bucketed by ``doc_id`` alongside a
+    doc_id-bucketed copy of the pruned postings (the dl join becomes
+    co-located too).  The plan here already keeps the corpus side
+    shuffle-free for the idf/prune join; the dl equi-join is the one
+    |docs|-proportional shuffle bucketing removes."""
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 

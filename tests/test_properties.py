@@ -1199,3 +1199,32 @@ def test_corpus_stats_merge_matches_full_and_python_oracle(
         for x, y in zip(toks, toks[1:]):
             want[("bi", f"{x} {y}")] += 1
     assert got == dict(want)
+
+
+@given(texts=DOCS, split=st.integers(min_value=1, max_value=11))
+@SLOW
+def test_postings_and_linefreq_merges_match_full(spark, texts, split):
+    """Same merge algebra, the doc-keyed (postings) and distinct-doc
+    (line frequency) variants: any disjoint split merges to the full
+    build."""
+    from streaming_feature_store_spark.operators.text import (
+        line_freq_index,
+        line_freq_index_merge,
+        postings_index,
+        postings_index_merge,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = df.filter(F.col("doc_id") % 12 < split)
+    b = df.filter(F.col("doc_id") % 12 >= split)
+
+    def canon(frame):
+        return sorted(tuple(map(repr, r)) for r in frame.collect())
+
+    pm = postings_index_merge(postings_index(a), postings_index(b))
+    assert canon(pm) == canon(postings_index(df))
+    lf = line_freq_index_merge(
+        line_freq_index(a, line_sep=" "), line_freq_index(b, line_sep=" ")
+    )
+    assert canon(lf) == canon(line_freq_index(df, line_sep=" "))
