@@ -38,23 +38,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # q236 incremental unigram-NLL + bigram-LM quality gate, q237 BM25 over a
 # persisted postings index, q238 incremental DSIR with both distributions
 # index-backed, q239 incremental CCNet line dedup over a merged
-# line-frequency index, q240 incremental winnowing containment) and the
+# line-frequency index, q240 incremental winnowing containment, q241
+# incremental boilerplate screen) and the
 # r10 CHANGED paths (q224 uuid-unique persisted-index path, q229
 # line_dedup literal separators + token_chunk_text NULL propagation,
 # q230 session-merge boundary-tie contract, q232 decayed_topk
 # TakeOrdered rewrite, q234 blocked_link collision guard); the remaining
-# 39 slots ROTATE THE NEXT LEGACY COHORT q33-q71 through the driver
-# (q33-q64 last carried driver rows on r2-r4-era HEADs; q65-q71 ride
-# along to fill the window; q72-q74 overflow to PARITY_sf0.01_r10.txt).
+# 38 slots ROTATE THE NEXT LEGACY COHORT q33-q70 through the driver
+# (q33-q64 last carried driver rows on r2-r4-era HEADs; q65-q70 ride
+# along to fill the window; q71-q74 overflow to PARITY_sf0.01_r10.txt).
 _PRIORITY = [
-    # r10 new + changed code paths (11)
+    # r10 new + changed code paths (12)
     "q235_incremental_tfidf", "q236_incremental_lm_quality",
     "q237_bm25_from_index", "q238_incremental_dsir",
     "q239_incremental_line_dedup", "q240_incremental_winnow",
+    "q241_incremental_boilerplate",
     "q224_ivf_persisted_lifecycle", "q229_line_dedup",
     "q230_incremental_sessions", "q232_trending_parts",
     "q234_record_linkage",
-    # legacy cohort rotation (39)
+    # legacy cohort rotation (38)
     "q33_risk_ladder", "q34_profile_default_fill",
     "q35_user_hour_profile", "q36_velocity", "q37_same_type_affinity",
     "q38_top_parts_by_revenue", "q39_minhash_near_dups",
@@ -71,7 +73,6 @@ _PRIORITY = [
     "q64_corpus_mixture", "q65_chunked_documents", "q66_pii_redaction",
     "q67_dedup_clusters", "q68_quality_funnel",
     "q69_cluster_balanced_sample", "q70_late_shipment_priority",
-    "q71_parts_never_bulk_shipped",
 ]
 
 

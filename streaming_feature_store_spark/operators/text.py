@@ -1978,3 +1978,75 @@ def winnow_index_merge(
         )
     )
     return new_pairs, updated
+
+
+def ngram_doc_freq_index(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Additive index behind :func:`boilerplate_ngrams`: one
+    ``(gram, n_docs)`` row per distinct word n-gram (DISTINCT-doc
+    counts, additive over disjoint doc sets — the line_freq_index
+    algebra on n-grams) plus a ``gram = NULL`` row carrying the corpus
+    size, so ``doc_frac`` is computable from the index alone."""
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(text_col, "[^A-Za-z ]", " ")), " +"),
+        lambda t: t != "",
+    )
+    dl = cpu_partitioned(df).select(id_col, toks.alias("l"))
+    grams = (
+        dl.filter(F.size("l") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(l) - {n} + 1),"
+                    f" j -> concat_ws(' ', slice(l, j, {n})))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    total = df.agg(F.count("*").alias("n_docs")).select(
+        F.lit(None).cast("string").alias("gram"),
+        F.col("n_docs").cast("long"),
+    )
+    return grams.unionByName(total)
+
+
+def ngram_doc_freq_index_merge(
+    index: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """union + sum keyed by gram (NULL gram — the corpus-size row —
+    groups as one key); exact for disjoint doc sets."""
+    return (
+        index.unionByName(delta)
+        .groupBy("gram")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
+
+
+def boilerplate_from_index(index: DataFrame, min_docs: int = 10) -> DataFrame:
+    """:func:`boilerplate_ngrams`' report read from a (merged) index —
+    the threshold screen and doc_frac are closed forms over index rows,
+    so re-screening after a delta never rescans documents.  Same output
+    schema (gram, n_docs, doc_frac)."""
+    from pyspark.sql.functions import broadcast
+
+    total = index.filter(F.col("gram").isNull()).select(
+        F.col("n_docs").cast("double").alias("_nd")
+    )
+    return (
+        index.filter(F.col("gram").isNotNull())
+        .filter(F.col("n_docs") >= min_docs)
+        .crossJoin(broadcast(total))
+        .select(
+            "gram",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_nd"), 6).alias("doc_frac"),
+        )
+    )

@@ -11410,3 +11410,44 @@ def q240_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = persist_tracked(build_winnow_index(base))
     new_pairs, _ = winnow_index_merge(delta, idx, threshold=0.5)
     return new_pairs
+
+
+@query(
+    "q241_incremental_boilerplate",
+    sql=f"""
+    WITH dl AS ({_TOKS_SQL}
+    ), g AS (
+      SELECT DISTINCT doc_id, array_to_string(l[j:j+2], ' ') AS gram
+      FROM dl, unnest(generate_series(1, len(l) - 2)) AS t(j)
+      WHERE len(l) >= 3
+    ), c AS (
+      SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents
+    )
+    SELECT gram, n_docs, ROUND(n_docs / nd, 6) AS doc_frac
+    FROM c CROSS JOIN tot WHERE n_docs >= 5
+    """,
+)
+def q241_incremental_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/RefinedWeb boilerplate-phrase screen priced on the delta
+    (``text.ngram_doc_freq_index`` + merge + ``boilerplate_from_index``):
+    distinct-doc 3-gram counts are additive, so the persisted index
+    absorbs the delta in one union+sum and the threshold screen + doc
+    fraction are closed forms over index rows — after day one, finding
+    NEWLY-crossed boilerplate phrases never rescans the corpus.  Oracle
+    = q212's full recompute, pinning merge(index(base), index(delta)) ≡
+    index(base∪delta) through the report arithmetic."""
+    from streaming_feature_store_spark.operators.text import (
+        boilerplate_from_index,
+        ngram_doc_freq_index,
+        ngram_doc_freq_index_merge,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    merged = ngram_doc_freq_index_merge(
+        ngram_doc_freq_index(base, n=3), ngram_doc_freq_index(delta, n=3)
+    )
+    return boilerplate_from_index(merged, min_docs=5)

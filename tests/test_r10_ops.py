@@ -285,3 +285,22 @@ def test_winnow_index_merge_union_equals_full_pairs(spark):
         assert r["doc_a"] % 4 == 0 or r["doc_b"] % 4 == 0
     # updated index == fresh build over base ∪ delta
     assert _canon(updated) == _canon(build_winnow_index(docs))
+
+
+def test_ngram_df_index_merge_and_boilerplate_from_index(spark):
+    from streaming_feature_store_spark.operators.text import (
+        boilerplate_from_index,
+        boilerplate_ngrams,
+        ngram_doc_freq_index,
+        ngram_doc_freq_index_merge,
+    )
+
+    docs = _docs(spark, n=60)
+    base, delta = _split(docs)
+    merged = ngram_doc_freq_index_merge(
+        ngram_doc_freq_index(base, n=3), ngram_doc_freq_index(delta, n=3)
+    )
+    assert _canon(merged) == _canon(ngram_doc_freq_index(docs, n=3))
+    got = boilerplate_from_index(merged, min_docs=4)
+    want = boilerplate_ngrams(docs, n=3, min_docs=4)
+    assert _canon(got) == _canon(want)
