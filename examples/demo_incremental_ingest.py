@@ -1,18 +1,22 @@
 """Composed incremental-ingest pipeline — the DAILY path of a 100 TB
-training-data platform, built from round-9 operators: all corpus-scale
-state (dedup index, ANN index, tokenizer) is built ONCE and persisted;
-each day's delta prices on the DELTA.
+training-data platform: all corpus-scale state (dedup/stats/postings
+indexes, ANN index, tokenizer) is built ONCE and persisted; each day's
+delta prices on the DELTA.
 
 Day 0 (one-time, amortized):
-  1. build + persist the MinHash dedup index     (dedup.build_minhash_index)
+  1. seed the four ingest indexes (fingerprint/minhash/stats/postings)
+     by running the base corpus through curation.daily_ingest
   2. build + persist the IVF ANN index           (similarity.save_ivf_index)
   3. train + persist the BPE merge table         (tokenize.train_bpe/save_bpe)
 
 Day 1..N (the recurring path — never re-shingles / re-assigns / re-trains):
-  4. incremental near-dup screen: delta vs index (dedup.minhash_index_merge)
-  5. drop delta docs that duplicate the corpus; upsert survivors' index
-  6. tokenize survivors with the SAVED merges    (tokenize.bpe_encode)
-  7. ANN retrieval of each survivor's nearest corpus neighbors against the
+  4. ONE CALL: curation.daily_ingest(delta, state_root) — exact recrawl
+     screen -> near-dup gate -> survivors -> stats/postings merge (the
+     screens run BEFORE the merge, honoring the disjoint-doc contract) ->
+     LM quality scores from the merged snapshot (round 11: the r10
+     hand-wired sequence productized)
+  5. tokenize survivors with the SAVED merges    (tokenize.bpe_encode)
+  6. ANN retrieval of each survivor's nearest corpus neighbors against the
      PERSISTED index (similarity.ivf_topk_persisted) — the semantic-dedup /
      retrieval-eval hot loop
 
@@ -37,10 +41,7 @@ def main() -> None:
     spark = get_spark("incremental-ingest-demo")
     spark.sparkContext.setLogLevel("ERROR")
 
-    from streaming_feature_store_spark.operators.dedup import (
-        build_minhash_index,
-        minhash_index_screen,
-    )
+    from streaming_feature_store_spark.operators.curation import daily_ingest
     from streaming_feature_store_spark.operators.similarity import (
         ivf_topk_persisted,
         save_ivf_index,
@@ -54,46 +55,37 @@ def main() -> None:
     from streaming_feature_store_spark.sources.file import load_table
 
     tmp = tempfile.mkdtemp(prefix="ingest_demo_")
+    state = f"{tmp}/ingest_state"
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = docs.filter(F.col("doc_id") % 10 != 0)      # the existing corpus
     delta = docs.filter(F.col("doc_id") % 10 == 0)     # today's crawl
 
     print("== day 0: build persistent corpus state (one-time) ==")
-    build_minhash_index(base).write.mode("overwrite").parquet(f"{tmp}/mhidx")
-    n_idx = spark.read.parquet(f"{tmp}/mhidx").count()
-    print(f"  dedup index: {n_idx} docs indexed -> {tmp}/mhidx")
+    # seed fingerprint/minhash/stats/postings v=1 snapshots in one call —
+    # day 0 is just daily_ingest against empty indexes
+    base_surv, _ = daily_ingest(base, state)
+    print(f"  ingest state: {base_surv.count()} base docs seeded 4 indexes "
+          f"-> {state}/{{fingerprint,minhash,stats,postings}}/v=1")
     save_ivf_index(emb, f"{tmp}/ivf", nlist=16)
     print(f"  ANN index:   16 cells persisted  -> {tmp}/ivf")
     merges = train_bpe(base, n_merges=60, sample_docs=None)
     save_bpe(merges, f"{tmp}/bpe.json")
     print(f"  tokenizer:   {len(merges)} BPE merges -> {tmp}/bpe.json")
-    from streaming_feature_store_spark.operators.text import (
-        bigram_lm_from_index,
-        corpus_stats_index,
-        corpus_stats_index_merge,
-    )
 
-    corpus_stats_index(base).write.mode("overwrite").parquet(f"{tmp}/stats")
-    print(f"  text stats:  DF/unigram/bigram count index -> {tmp}/stats")
-
-    print("== day 1: incremental ingest of the delta ==")
-    idx = spark.read.parquet(f"{tmp}/mhidx")
+    print("== day 1: incremental ingest of the delta (ONE call) ==")
     n_delta = delta.count()
-    screen, updated = minhash_index_screen(delta, idx, threshold=0.5)
-    # the documented gate policy: drop if the match is already indexed,
-    # else keep the lowest-id member of an in-batch-only cluster
-    keep = screen.filter(
-        ~F.col("is_near_dup")
-        | (~F.col("match_in_index") & (F.col("best_match_id") > F.col("doc_id")))
-    ).select("doc_id")
-    n_dup = n_delta - keep.count()
-    print(f"  delta: {n_delta} docs; flagged duplicate by the gate: {n_dup}")
-    survivors = delta.join(keep, "doc_id", "left_semi")
+    survivors, reports = daily_ingest(delta, state)
+    scr = reports["screen"]
+    n_exact = scr.filter(F.col("is_exact_dup")).count()
+    n_near = scr.filter(
+        F.col("is_near_dup") & ~F.col("is_exact_dup") & ~F.col("kept")
+    ).count()
     n_surv = survivors.count()
-    updated.write.mode("overwrite").parquet(f"{tmp}/mhidx_v2")
-    print(f"  survivors: {n_surv}; index upserted -> {tmp}/mhidx_v2 "
-          f"({spark.read.parquet(f'{tmp}/mhidx_v2').count()} docs)")
+    print(f"  delta: {n_delta} docs; exact recrawls dropped: {n_exact}; "
+          f"near-dups dropped: {n_near}; survivors: {n_surv}")
+    print(f"  indexes upserted to v=2 (screens BEFORE stats merge — the "
+          f"disjoint-doc contract); only survivors' counts merged")
 
     toks = bpe_encode(survivors, load_bpe(f"{tmp}/bpe.json"))
     stats = toks.agg(
@@ -103,14 +95,11 @@ def main() -> None:
     print(f"  tokenized survivors with SAVED merges: {stats['total']} "
           f"BPE tokens total, {stats['avg']} avg/doc")
 
-    # quality-gate the survivors against the MERGED corpus LM: the
-    # persisted count index absorbs the delta's counts (union+sum) and
-    # only the survivors tokenize for scoring (q236's daily shape)
-    tstats = corpus_stats_index_merge(
-        spark.read.parquet(f"{tmp}/stats"), corpus_stats_index(survivors)
-    ).persist()
-    lm = bigram_lm_from_index(survivors, tstats)
-    worst = lm.orderBy("avg_logprob", "doc_id").limit(3).collect()
+    # the quality report came back index-backed: survivors scored against
+    # the merged snapshot (q236's daily shape), no corpus rescan
+    worst = (
+        reports["quality"].orderBy("avg_logprob", "doc_id").limit(3).collect()
+    )
     print("  LM quality gate vs merged corpus stats (3 least-fluent "
           "survivors):")
     for r in worst:
@@ -132,7 +121,7 @@ def main() -> None:
     )
 
     erase_docs = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
-    idx2 = spark.read.parquet(f"{tmp}/mhidx_v2")
+    idx2 = spark.read.parquet(f"{state}/minhash/v=2")
     purged = erase_from_minhash_index(idx2, erase_docs)
     print(f"  dedup index: {idx2.count()} -> {purged.count()} docs after "
           f"purging {erase_docs.count()} erased ids")
@@ -161,23 +150,20 @@ def main() -> None:
           f"{labels.count()} -> {repaired.count()} rows, "
           f"{changed} relabeled (affected component re-solved only)")
     print("== day 3: retention sweep bounds snapshot growth ==")
-    # The streaming sinks (streaming/dedup.py) version every index write
-    # as <root>/v=<batch_id+1> so a retried batch can re-read its
-    # pre-batch snapshot and concurrent readers keep their version.  The
-    # cost is retained history: without a sweep the index root grows one
-    # full snapshot per batch.  Stage this demo's three index states as
-    # the snapshot lineage they would be under the sink, then prune.
+    # daily_ingest (like the streaming sinks) versions every index write
+    # as <root>/v=<n> so a retried batch can re-read its pre-batch
+    # snapshot and concurrent readers keep their version.  The cost is
+    # retained history: without a sweep each root grows one full snapshot
+    # per day.  The erasure result lands as v=3; then prune.
     from streaming_feature_store_spark.streaming.dedup import (
         prune_snapshots,
     )
 
-    snap_root = f"{tmp}/mhidx_snapshots"
-    spark.read.parquet(f"{tmp}/mhidx").write.parquet(f"{snap_root}/v=1")
-    spark.read.parquet(f"{tmp}/mhidx_v2").write.parquet(f"{snap_root}/v=2")
+    snap_root = f"{state}/minhash"
     purged.write.parquet(f"{snap_root}/v=3")
-    before = sorted(os.listdir(snap_root))
+    before = sorted(d for d in os.listdir(snap_root) if d.startswith("v="))
     pruned = prune_snapshots(snap_root, keep_last=2)
-    after = sorted(os.listdir(snap_root))
+    after = sorted(d for d in os.listdir(snap_root) if d.startswith("v="))
     print(f"  snapshots before sweep: {before}")
     print(f"  pruned versions {pruned} (keep_last=2 — never 1, so an "
           f"in-flight retry of the current batch keeps its pre-batch view)")

@@ -122,6 +122,93 @@ def decontaminate(
     )
 
 
+def decontam_index(
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Persistable eval-side state for INCREMENTAL decontamination
+    (VERDICT r10 next-item #6): the distinct ``(doc_id, sh)`` n-gram-hash
+    relation of the eval set — the STATIC side of the screen.
+    :func:`decontaminate` rebuilds this per call even though eval suites
+    change ~never while the training corpus grows daily; build it once,
+    persist it, and each day's crawl screens against it via
+    :func:`decontam_hits_merge` without re-shingling the eval set or any
+    prior train data.  Eval docs shorter than ``n`` tokens carry no rows
+    (n_grams = 0 in the report, never flagged — decontaminate's rule)."""
+    from streaming_feature_store_spark.operators.dedup import _shingle_index
+
+    return _shingle_index(eval_df, text_col, id_col, n)
+
+
+def decontam_hits_merge(
+    hits: DataFrame | None,
+    train_delta: DataFrame,
+    eval_index: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fold one day's training delta into the persisted contamination-hit
+    set: ``hits`` is the ``(doc_id, sh)`` subset of :func:`decontam_index`
+    rows already matched by ANY prior train document — monotone state
+    (a gram once hit stays hit; train data is never deleted from a
+    decontamination ledger), so the merge is
+    ``hits ∪ (eval_index ⋉ grams(delta))`` — exactly the
+    union+distinct algebra of the other additive indexes, bounded by the
+    EVAL set size forever.  Pass ``hits=None`` on day 0.
+
+    Scale shape: only the delta shingles (mapInPandas kernel, no
+    shuffle); its distinct gram hashes semi-join the eval index on the
+    8-byte key (eval sets are small — AQE broadcasts the probe side);
+    history is never rescanned.  Equal to recomputing
+    ``decontaminate(all train so far, eval)``'s hit pairs from scratch
+    (oracled q243 + pytest)."""
+    from streaming_feature_store_spark.operators.dedup import _shingle_index
+
+    delta_grams = (
+        _shingle_index(train_delta, text_col, id_col, n)
+        .select("sh")
+        .distinct()
+    )
+    new_hits = eval_index.join(delta_grams, "sh", "left_semi")
+    if hits is None:
+        return new_hits
+    return hits.unionByName(new_hits).distinct()
+
+
+def decontaminate_from_index(
+    eval_df: DataFrame,
+    eval_index: DataFrame,
+    hits: DataFrame,
+    max_containment: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`decontaminate`'s report read from the persisted state:
+    ``n_grams`` counts :func:`decontam_index` rows, ``n_shared_grams``
+    counts the (merged) :func:`decontam_hits_merge` rows — closed forms
+    over eval-bounded relations, so re-reporting after a delta never
+    touches text.  Same schema, containment arithmetic, zero-gram and
+    threshold semantics as decontaminate (oracled q243)."""
+    sizes = eval_index.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    shared = hits.groupBy(id_col).agg(F.count("*").alias("n_shared_grams"))
+    containment = F.col("n_shared_grams") / F.col("n_grams").cast("double")
+    return (
+        eval_df.join(sizes, id_col, "left")
+        .join(shared, id_col, "left")
+        .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+        .withColumn("n_shared_grams", F.coalesce("n_shared_grams", F.lit(0)))
+        .withColumn(
+            "containment",
+            F.when(F.col("n_grams") > 0, F.round(containment, 6)).otherwise(
+                0.0
+            ),
+        )
+        .withColumn("is_contaminated", F.col("containment") > max_containment)
+    )
+
+
 def importance_weights(
     corpus: DataFrame,
     target: DataFrame,
@@ -213,6 +300,7 @@ def dsir_weights_from_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.5,
+    validate: bool = False,
 ) -> DataFrame:
     """:func:`importance_weights`' incremental twin (round 10): DSIR
     log-weights for TODAY'S documents only, with the source and target
@@ -222,10 +310,13 @@ def dsir_weights_from_index(
     vocabulary is their full outer join (vocabulary-bounded), and only
     the delta tokenizes for tf.  Identical weights to the full recompute
     restricted to the delta's ids (every delta term is in the merged
-    source index by construction; target-unseen terms get the same
-    finite smoothed evidence).  Same output schema/rounding as
+    source index by construction — ``validate=True`` enforces it against
+    the SOURCE index with a bounded anti-join, ADVICE r10; target-unseen
+    terms get the same finite smoothed evidence, so the target side is
+    never validated).  Same output schema/rounding as
     importance_weights."""
     from streaming_feature_store_spark.operators.text import (
+        _require_indexed_terms,
         _stats_rows,
         alpha_tokens,
     )
@@ -236,6 +327,8 @@ def dsir_weights_from_index(
         .agg(F.count("*").alias("tf"))
     )
     s_counts = _stats_rows(stats, "uni").withColumnRenamed("n", "s_c")
+    if validate:
+        _require_indexed_terms(tf, s_counts, "dsir_weights_from_index")
     t_counts = _stats_rows(target_stats, "uni").withColumnRenamed("n", "t_c")
     vocab = (
         s_counts.join(t_counts, "term", "full_outer")
@@ -872,3 +965,192 @@ def neyman_allocation(
         weighted, budget, key_col=stratum_col, weight_col="_wt"
     ).select(stratum_col, "alloc")
     return weighted.drop("_wt").join(alloc, on=stratum_col, how="inner")
+
+
+def daily_ingest(
+    delta: DataFrame,
+    state_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    minhash_threshold: float = 0.5,
+    bigrams: bool = True,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """The composed daily-ingest pipeline as ONE operator (VERDICT r10
+    next-item #5 — examples/demo_incremental_ingest.py productized):
+    screen today's crawl against the persisted corpus state, upsert
+    every index, and score the survivors — with the dedup screens
+    applied BEFORE any statistics merge, in the order that honors the
+    disjoint-doc double-count hazard the stats-index contract names
+    (text.py corpus_stats_index_merge: a duplicate document folded into
+    the counts is silently wrong forever).
+
+    State under ``state_root``, each in the batch-id-versioned
+    ``v=<n>`` snapshot discipline of streaming/dedup.py (committed
+    versions only — the _SUCCESS gate; prune with
+    ``streaming.dedup.prune_snapshots`` per root):
+
+    - ``fingerprint/`` — exact_dup_groups rows (tier-1 recrawl screen);
+    - ``minhash/``     — MinHash signatures (tier-2 near-dup gate);
+    - ``stats/``       — corpus_stats_index counts (quality scoring);
+    - ``postings/``    — BM25 postings + doc lengths (retrieval).
+
+    Day 0 (no snapshots) seeds all four from the delta itself: both
+    screens run against EMPTY indexes of the right schema, so in-batch
+    duplicates still collapse to one representative — no special-cased
+    first day.
+
+    Order of operations (the load-bearing part):
+
+    1. tier-1 EXACT screen: delta fingerprints vs the corpus index
+       (byte-identical recrawls are the bulk of web duplication and
+       never need shingles); the fingerprint index absorbs the WHOLE
+       delta — its contract is exact_dup_groups(everything ever
+       ingested), it IS the re-delivery ledger;
+    2. tier-2 NEAR-DUP gate on the exact survivors
+       (minhash_index_screen): drop if the best match is already
+       indexed, else keep the lowest-id member of an in-batch cluster;
+    3. only the FINAL survivors merge into the stats and postings
+       indexes — a dropped duplicate's tokens never double-count;
+    4. survivors score against the MERGED stats snapshot (unigram NLL +
+       bigram LM when ``bigrams``) — the q236 daily quality gate, priced
+       on the delta.
+
+    Returns ``(survivors, reports)``: ``reports['screen']`` is one row
+    per delta doc (fingerprint, is_exact_dup, is_near_dup,
+    best_match_id, best_jaccard, match_in_index, kept), and
+    ``reports['quality']`` the survivor scores read from the snapshot
+    just written.  Index writes happen inside the call (it IS the
+    ingest step); pytest pins the two-day parity contracts — snapshots
+    ≡ one-shot builds over the union of survivors, recrawl idempotence,
+    and score ≡ full-recompute (tests/test_r11_ops.py).  Call
+    ``cacheutil.release_cached_intermediates()`` after consuming the
+    reports.
+
+    Scale shape: every step prices on |delta| — fingerprint/minhash
+    probes scan the index but shuffle only delta-sized sides (AQE
+    broadcasts them), stats/postings merges move vocabulary/doc-bounded
+    index rows, and scoring tokenizes survivors only.  History text is
+    never read.
+    """
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+    from streaming_feature_store_spark.operators.dedup import (
+        build_minhash_index,
+        exact_dup_groups,
+        fingerprint_index_merge,
+        minhash_index_screen,
+    )
+    from streaming_feature_store_spark.operators.text import (
+        bigram_lm_from_index,
+        corpus_stats_index,
+        corpus_stats_index_merge,
+        postings_index,
+        postings_index_merge,
+        unigram_nll_from_index,
+    )
+    from streaming_feature_store_spark.streaming.dedup import (
+        _latest_snapshot,
+    )
+
+    spark = delta.sparkSession
+    roots = {
+        k: f"{state_root}/{k}"
+        for k in ("fingerprint", "minhash", "stats", "postings")
+    }
+    vers = {k: _latest_snapshot(r, None) for k, r in roots.items()}
+
+    def _snap(kind):
+        return spark.read.parquet(f"{roots[kind]}/v={vers[kind]}")
+
+    # tier 1: exact recrawl screen (empty-schema index on day 0)
+    fp_idx = (
+        _snap("fingerprint")
+        if vers["fingerprint"] is not None
+        else exact_dup_groups(delta.limit(0), text_col, id_col)
+    )
+    fp_screen, fp_updated = fingerprint_index_merge(
+        delta, fp_idx, text_col, id_col
+    )
+    fp_screen = persist_tracked(fp_screen)
+    exact_surv = delta.join(
+        fp_screen.filter(~F.col("is_corpus_dup")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+
+    # tier 2: near-dup gate on the exact survivors
+    mh_idx = (
+        _snap("minhash")
+        if vers["minhash"] is not None
+        else build_minhash_index(delta.limit(0), text_col, id_col)
+    )
+    mh_screen, mh_updated = minhash_index_screen(
+        exact_surv, mh_idx, text_col, id_col, threshold=minhash_threshold
+    )
+    mh_screen = persist_tracked(mh_screen)
+    keep_ids = mh_screen.filter(
+        ~F.col("is_near_dup")
+        | (
+            ~F.col("match_in_index")
+            & (F.col("best_match_id") > F.col(id_col))
+        )
+    ).select(id_col)
+    survivors = persist_tracked(delta.join(keep_ids, id_col, "left_semi"))
+
+    # step 3: only survivors feed the statistics indexes
+    s_delta = corpus_stats_index(survivors, id_col, text_col, bigrams)
+    stats_updated = (
+        corpus_stats_index_merge(_snap("stats"), s_delta)
+        if vers["stats"] is not None
+        else s_delta
+    )
+    p_delta = postings_index(survivors, id_col, text_col)
+    post_updated = (
+        postings_index_merge(_snap("postings"), p_delta, id_col)
+        if vers["postings"] is not None
+        else p_delta
+    )
+
+    for kind, updated in (
+        ("fingerprint", fp_updated),
+        ("minhash", mh_updated),
+        ("stats", stats_updated),
+        ("postings", post_updated),
+    ):
+        updated.write.mode("overwrite").parquet(
+            f"{roots[kind]}/v={(vers[kind] or 0) + 1}"
+        )
+
+    # step 4: survivor quality read from the snapshot just written
+    written_stats = spark.read.parquet(
+        f"{roots['stats']}/v={(vers['stats'] or 0) + 1}"
+    )
+    quality = unigram_nll_from_index(
+        survivors, written_stats, id_col, text_col
+    )
+    if bigrams:
+        quality = quality.join(
+            bigram_lm_from_index(survivors, written_stats, id_col, text_col),
+            id_col,
+            "left",
+        )
+
+    screen = (
+        fp_screen.select(
+            id_col,
+            "fingerprint",
+            F.col("is_corpus_dup").alias("is_exact_dup"),
+        )
+        .join(mh_screen, id_col, "left")
+        .join(keep_ids.withColumn("_kept", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "fingerprint",
+            "is_exact_dup",
+            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+            "best_match_id",
+            "best_jaccard",
+            "match_in_index",
+            F.coalesce("_kept", F.lit(False)).alias("kept"),
+        )
+    )
+    return survivors, {"screen": screen, "quality": quality}

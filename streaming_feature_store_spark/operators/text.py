@@ -1274,9 +1274,14 @@ def line_dedup(
     (token chunks split on '\n' but reassemble with ' ').
 
     Scale shape: one explode feeds (a) the corpus line-frequency
-    aggregate and (b) the keep/drop anti-join; the boilerplate set —
-    lines in >= min_docs docs — is vastly smaller than the corpus, so
-    the anti-join broadcasts it.  Reassembly is one grouped
+    aggregate and (b) the keep/drop anti-join; the boilerplate set
+    carries NO broadcast hint (VERDICT r10 #1, the bigram_pmi vocab-join
+    policy above): AQE's runtime size gate broadcasts it when it fits —
+    the common case, since only lines in >= min_docs docs qualify — and
+    falls back to a shuffled anti-join at web scale, where with
+    min_docs=2 the duplicated-line set is a large fraction of ALL
+    distinct lines and a forced hint would ship GBs to every executor.
+    Reassembly is one grouped
     ``array_sort(collect_list(struct(pos, line)))`` keyed by doc — the
     list is per-document-bounded.  Lines join on their exact text here
     (oracle-exact); at 100 TB key the frequency table and anti-join on
@@ -1310,7 +1315,7 @@ def line_dedup(
         .filter(F.col("_nd") >= min_docs)
         .select("line")
     )
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    kept = lines.join(boiler, "line", "left_anti")
     totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
     re = kept.groupBy(id_col).agg(
         F.array_join(
@@ -1504,12 +1509,42 @@ def _stats_rows(stats: DataFrame, kind: str) -> DataFrame:
     return stats.filter(F.col("kind") == kind).select("term", "n")
 
 
+def _require_indexed_terms(
+    delta_terms: DataFrame, index_terms: DataFrame, what: str
+) -> None:
+    """Contract guard for the from-index scorers (ADVICE r10): every
+    delta term must exist in the (merged) index — true by construction
+    when the caller merged the delta's own index first, but a contract
+    slip (scoring an unmerged delta) makes the inner joins silently DROP
+    unseen terms, skewing n_tokens/mean_nll/log_weight with no error.
+    One bounded anti-join (limit 5 — never a corpus-sized collect)
+    raises with examples; the ``validate=False`` default keeps the
+    scoring plan lazy/action-free (the session_index_merge guard runs
+    eagerly because ITS contract is about physical row placement)."""
+    missing = (
+        delta_terms.select("term")
+        .distinct()
+        .join(index_terms.select("term"), "term", "left_anti")
+        .limit(5)
+        .collect()
+    )
+    if missing:
+        terms = ", ".join(repr(r["term"]) for r in missing)
+        raise ValueError(
+            f"{what}: delta terms missing from the stats index (e.g. "
+            f"{terms}) — the delta was not merged into the index it is "
+            "being scored against; merge first (corpus_stats_index_merge) "
+            "or score against the merged frame"
+        )
+
+
 def tfidf_top_terms_from_index(
     delta: DataFrame,
     stats: DataFrame,
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    validate: bool = False,
 ) -> DataFrame:
     """TF-IDF top-k terms for the DELTA documents only, with idf taken
     from a (merged) :func:`corpus_stats_index` — the daily-ingest twin of
@@ -1517,8 +1552,9 @@ def tfidf_top_terms_from_index(
     from 'docs'/'df' index rows, so the historical corpus is never
     rescanned.  Identical scores to the full recompute restricted to the
     delta's ids (every delta term is present in the merged index by
-    construction).  Same output schema/rounding/tiebreaks as
-    tfidf_top_terms."""
+    construction — ``validate=True`` enforces that contract with a
+    bounded anti-join that raises on unmerged deltas, ADVICE r10).
+    Same output schema/rounding/tiebreaks as tfidf_top_terms."""
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
@@ -1527,6 +1563,10 @@ def tfidf_top_terms_from_index(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
+    if validate:
+        _require_indexed_terms(
+            tf, _stats_rows(stats, "df"), "tfidf_top_terms_from_index"
+        )
     nd = stats.filter(F.col("kind") == "docs").select(
         F.col("n").cast("double").alias("_nd")
     )
@@ -1556,12 +1596,15 @@ def unigram_nll_from_index(
     stats: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    validate: bool = False,
 ) -> DataFrame:
     """Per-delta-document mean unigram NLL under the MERGED corpus model
     (:func:`unigram_nll`'s incremental twin): token counts tokenize just
     the delta; the vocabulary table and corpus total are 'uni' index rows
     (the total is a one-row re-agg of the vocabulary-bounded index, not of
-    the corpus).  Same output schema/rounding as unigram_nll."""
+    the corpus).  ``validate=True`` raises if any delta term is missing
+    from the index (unmerged-delta contract slip, ADVICE r10).  Same
+    output schema/rounding as unigram_nll."""
     from pyspark.sql.functions import broadcast
 
     tf = (
@@ -1570,6 +1613,8 @@ def unigram_nll_from_index(
         .agg(F.count("*").alias("c"))
     )
     vc = _stats_rows(stats, "uni").withColumnRenamed("n", "cnt")
+    if validate:
+        _require_indexed_terms(tf, vc, "unigram_nll_from_index")
     tot = vc.agg(F.sum("cnt").alias("t"))
     return (
         tf.join(vc, on="term")
@@ -1592,6 +1637,7 @@ def bigram_lm_from_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     add_k: float = 0.5,
+    validate: bool = False,
 ) -> DataFrame:
     """Per-delta-document mean add-k bigram log-likelihood under the
     MERGED corpus LM (:func:`bigram_lm_doclogprob`'s incremental twin —
@@ -1599,8 +1645,10 @@ def bigram_lm_from_index(
     from the delta only; c(w1,w2), c(w1) and |V| are index rows ('bi',
     'uni' — |V| is a one-row count over the vocabulary-bounded index).
     The space-joined bigram key makes the pair join an equi-join on one
-    string column.  Same schema/decimal accumulation/rounding as
-    bigram_lm_doclogprob."""
+    string column.  ``validate=True`` raises if any delta bigram (or
+    left-unigram) is missing from the index — the unmerged-delta slip
+    would otherwise silently drop pairs (ADVICE r10).  Same
+    schema/decimal accumulation/rounding as bigram_lm_doclogprob."""
     from pyspark.sql.functions import broadcast
 
     toks = F.filter(
@@ -1623,6 +1671,19 @@ def bigram_lm_from_index(
     bc = _stats_rows(stats, "bi").select(
         F.col("term").alias("_bt"), F.col("n").alias("c_ab")
     )
+    if validate:
+        _require_indexed_terms(
+            pairs.select(
+                F.concat(F.col("a"), F.lit(" "), F.col("b")).alias("term")
+            ),
+            _stats_rows(stats, "bi"),
+            "bigram_lm_from_index (bigrams)",
+        )
+        _require_indexed_terms(
+            pairs.select(F.col("a").alias("term")),
+            uni,
+            "bigram_lm_from_index (unigrams)",
+        )
     scored = (
         pairs.withColumn("_bt", F.concat(F.col("a"), F.lit(" "), F.col("b")))
         .join(bc, "_bt")
@@ -1685,6 +1746,97 @@ def postings_index_merge(
     )
 
 
+def save_postings_index(
+    index: DataFrame,
+    name: str,
+    path: str,
+    buckets: int = 32,
+    id_col: str = "doc_id",
+    layouts: tuple[str, ...] = ("by_doc", "by_term"),
+) -> None:
+    """Persist a :func:`postings_index` in the executable 100 TB layout
+    (VERDICT r10 next-item #1 — the docstring layout made real): three
+    external bucketed tables under catalog prefix ``name`` with data
+    files under ``path``:
+
+    - ``<name>_tf_by_doc`` — term rows ``(doc_id, term, n)`` bucketed +
+      sorted by ``doc_id``: the table :func:`bm25_from_index` scores
+      from, so the per-doc-length join and the (query, doc) score
+      aggregation are CO-LOCATED — the one |docs|-proportional query-time
+      shuffle the tall-frame form pays is gone (test-pinned zero-Exchange
+      plan);
+    - ``<name>_dl`` — ``(doc_id, dl)`` length rows, bucketed the same so
+      the dl join never exchanges;
+    - ``<name>_tf_by_term`` — the same term rows bucketed + sorted by
+      ``term``, for the OTHER access pattern: a query batch too large to
+      broadcast joins postings on ``term`` shuffle-free (bulk
+      decontamination screens, offline eval suites with 10^6 queries).
+
+    Bucketed tables must go through the catalog (``saveAsTable`` — plain
+    ``parquet(path)`` cannot record the bucket spec); ``path`` keeps the
+    data external so the catalog entry is metadata only.  BM25 retrieval
+    is the highest-QPS read path of a training-data pipeline (the
+    serving-read analog of the reference's inference/features.py:129-246
+    feature fetch), so the layout is built once at ingest and every
+    query amortizes it.  Erasure stays the :func:`postings_index_erase`
+    anti-join applied per table; refresh by re-saving (the daily merge
+    is append-shaped, so production would insert-into the bucketed
+    tables per delta instead).  ``layouts`` picks which term-row copies
+    to materialize — a broadcast-query-only deployment skips the
+    ``by_term`` copy and halves the write."""
+    spark = index.sparkSession
+    tf = index.filter(F.col("term").isNotNull())
+    dl = index.filter(F.col("term").isNull()).select(
+        id_col, F.col("n").alias("dl")
+    )
+    if "by_doc" in layouts:
+        (
+            tf.write.mode("overwrite")
+            .bucketBy(buckets, id_col)
+            .sortBy(id_col)
+            .option("path", f"{path}/tf_by_doc")
+            .saveAsTable(f"{name}_tf_by_doc")
+        )
+    (
+        dl.write.mode("overwrite")
+        .bucketBy(buckets, id_col)
+        .sortBy(id_col)
+        .option("path", f"{path}/dl")
+        .saveAsTable(f"{name}_dl")
+    )
+    if "by_term" in layouts:
+        (
+            tf.write.mode("overwrite")
+            .bucketBy(buckets, "term")
+            .sortBy("term")
+            .option("path", f"{path}/tf_by_term")
+            .saveAsTable(f"{name}_tf_by_term")
+        )
+
+
+def load_postings_index(
+    spark, name: str, layout: str = "by_doc"
+) -> tuple[DataFrame, DataFrame]:
+    """Reload a :func:`save_postings_index` layout as ``(tf, dl)`` —
+    feed both straight into :func:`bm25_from_index` (``postings=tf,
+    doc_lengths=dl``).  ``layout='by_doc'`` (default) serves the
+    broadcast-query retrieval path with the co-located dl join;
+    ``'by_term'`` serves huge non-broadcastable query batches (the dl
+    join then shuffles — pick the copy that kills the bigger exchange
+    for the workload)."""
+    if layout not in ("by_doc", "by_term"):
+        raise ValueError(f"unknown postings layout {layout!r}")
+    return spark.table(f"{name}_tf_{layout}"), spark.table(f"{name}_dl")
+
+
+def drop_postings_index(spark, name: str) -> None:
+    """Drop the three catalog entries of a :func:`save_postings_index`
+    (external tables — data files under the save ``path`` survive and
+    are the caller's to remove)."""
+    for t in (f"{name}_tf_by_doc", f"{name}_tf_by_term", f"{name}_dl"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def bm25_from_index(
     postings: DataFrame,
     stats: DataFrame,
@@ -1695,6 +1847,7 @@ def bm25_from_index(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    doc_lengths: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k over a PERSISTED :func:`postings_index` +
     :func:`corpus_stats_index` — :func:`bm25_topk` with the corpus
@@ -1706,24 +1859,36 @@ def bm25_from_index(
     narrow row per doc).  Identical scores/ranking to bm25_topk on the
     same corpus (oracled q237).
 
-    100 TB layout note: this takes the index as ONE tall frame for
-    oracle simplicity; a production deployment stores the two row kinds
-    as separate tables — postings bucketed by ``term`` (the query join
-    then broadcasts qterms against co-located buckets with no postings
-    shuffle) and doc lengths bucketed by ``doc_id`` alongside a
-    doc_id-bucketed copy of the pruned postings (the dl join becomes
-    co-located too).  The plan here already keeps the corpus side
-    shuffle-free for the idf/prune join; the dl equi-join is the one
-    |docs|-proportional shuffle bucketing removes."""
+    Two input shapes:
+
+    - ``doc_lengths=None`` (oracle simplicity): ``postings`` is the ONE
+      tall :func:`postings_index` frame carrying both row kinds; the dl
+      equi-join is then the one |docs|-proportional shuffle at query
+      time.
+    - ``doc_lengths`` given (the 100 TB layout, VERDICT r10 item #1):
+      ``postings`` is the term-row table and ``doc_lengths`` the
+      ``(doc_id, dl)`` table, both as written by
+      :func:`save_postings_index` — bucketed by ``doc_id``, so the dl
+      join AND the (query, doc) score aggregation are co-located with
+      ZERO Exchange on the postings side (doc_id bucketing satisfies the
+      (query_id, doc_id) clustering too — a hash partitioning on a
+      SUBSET of the grouping keys already co-locates every group).  The
+      only shuffles left are the one-row N/avgdl aggregate and the
+      bounded per-query top-k window (tests/test_retrieval.py pins the
+      plan)."""
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
-    tf = postings.filter(F.col("term").isNotNull()).withColumnRenamed(
-        "n", "tf"
-    )
-    dl = postings.filter(F.col("term").isNull()).select(
-        id_col, F.col("n").alias("dl")
-    )
+    if doc_lengths is None:
+        tf = postings.filter(F.col("term").isNotNull()).withColumnRenamed(
+            "n", "tf"
+        )
+        dl = postings.filter(F.col("term").isNull()).select(
+            id_col, F.col("n").alias("dl")
+        )
+    else:
+        tf = postings.withColumnRenamed("n", "tf")
+        dl = doc_lengths.select(id_col, "dl")
     stats1 = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -1855,11 +2020,13 @@ def line_dedup_from_index(
     a daily ingest step): the corpus-global boilerplate set — lines in
     >= ``min_docs`` distinct documents — comes from a (merged)
     :func:`line_freq_index`, so history is never re-segmented; only the
-    delta's documents explode, anti-join the broadcast boilerplate set,
-    and reassemble in original order.  Identical output to
-    ``line_dedup(base UNION delta)`` restricted to the delta's ids
-    (oracled q239).  Same output schema (clean_text, n_lines, n_kept,
-    kept_frac) and NULL-text behavior (no lines, doc absent)."""
+    delta's documents explode, anti-join the boilerplate set (unhinted —
+    AQE broadcasts it when it fits, line_dedup's policy; at web scale
+    with min_docs=2 the set is too large to force), and reassemble in
+    original order.  Identical output to ``line_dedup(base UNION
+    delta)`` restricted to the delta's ids (oracled q239).  Same output
+    schema (clean_text, n_lines, n_kept, kept_frac) and NULL-text
+    behavior (no lines, doc absent)."""
     import re as _re
 
     from streaming_feature_store_spark.cacheutil import persist_tracked
@@ -1875,7 +2042,7 @@ def line_dedup_from_index(
         delta.select(F.col(id_col), F.posexplode(arr).alias("pos", "line"))
     )
     boiler = index.filter(F.col("n_docs") >= min_docs).select("line")
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    kept = lines.join(boiler, "line", "left_anti")
     totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
     re_ = kept.groupBy(id_col).agg(
         F.array_join(

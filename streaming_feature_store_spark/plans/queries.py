@@ -11451,3 +11451,177 @@ def q241_incremental_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_doc_freq_index(base, n=3), ngram_doc_freq_index(delta, n=3)
     )
     return boilerplate_from_index(merged, min_docs=5)
+
+
+@query(
+    "q242_bm25_persisted_layout",
+    sql=r"""
+    WITH q(query_id, query_text) AS (VALUES
+      ('q1', 'hash join strategy'), ('q2', 'window batch stream'),
+      ('q3', 'customer order data'), ('q4', 'vector scan filter')),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(
+        lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS dfr FROM tf GROUP BY 1),
+    qt AS (
+      SELECT DISTINCT query_id, unnest(string_split_regex(
+        lower(regexp_replace(query_text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+      FROM q
+    ),
+    qi AS (
+      SELECT query_id, term,
+        ln(1.0 + (n_docs - dfr + 0.5) / (dfr + 0.5)) AS idf, avgdl
+      FROM qt JOIN dfreq USING (term) CROSS JOIN stats
+      WHERE term <> ''
+    ),
+    sc AS (
+      SELECT query_id, doc_id,
+        ROUND(SUM(idf * (tf * 2.2)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+      FROM tf JOIN qi USING (term) JOIN dl USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM sc)
+    WHERE rank <= 5
+    """,
+)
+def q242_bm25_persisted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the EXECUTABLE bucketed postings layout
+    (VERDICT r10 next-item #1 made runnable): the corpus' inverted index
+    is written once via ``text.save_postings_index`` — term rows and
+    per-doc lengths as external tables bucketed by ``doc_id`` (plus a
+    term-bucketed copy for non-broadcastable query batches) — reloaded
+    with ``load_postings_index``, and the q237 query batch scores
+    against the loaded tables (``bm25_from_index(..., doc_lengths=...)``)
+    so the query-time dl join and the (query, doc) score aggregation are
+    CO-LOCATED: zero shuffle Exchange on the postings side, the one
+    |docs|-proportional shuffle the tall-frame form pays (test-pinned in
+    tests/test_r11_ops.py).  Oracle = q237's full recompute, pinning
+    save → load → score ≡ bm25_topk.  Tables/paths are uuid-unique per
+    invocation and dropped before returning (the q224 lifecycle
+    discipline); the bounded k×|queries| result is localized first."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from streaming_feature_store_spark.operators.text import (
+        bm25_from_index,
+        corpus_stats_index,
+        drop_postings_index,
+        load_postings_index,
+        postings_index,
+        save_postings_index,
+    )
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    name = f"sfs_q242_{uuid.uuid4().hex[:12]}"
+    path = os.path.join(tempfile.gettempdir(), f"{name}_data")
+    try:
+        # broadcast-query retrieval only reads the by_doc copy; skipping
+        # the by_term twin halves the one-time layout write
+        save_postings_index(
+            postings_index(docs), name, path, layouts=("by_doc",)
+        )
+        tf, dl = load_postings_index(spark, name)
+        stats = persist_tracked(corpus_stats_index(docs, bigrams=False))
+        qdf = spark.createDataFrame(
+            [
+                ("q1", "hash join strategy"),
+                ("q2", "window batch stream"),
+                ("q3", "customer order data"),
+                ("q4", "vector scan filter"),
+            ],
+            "query_id string, query_text string",
+        )
+        out = bm25_from_index(tf, stats, qdf, k=5, doc_lengths=dl)
+        # localize the bounded (k × 4 queries) result so the lineage no
+        # longer references the about-to-be-dropped tables
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        drop_postings_index(spark, name)
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "q243_incremental_decontamination",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), g AS (
+      SELECT doc_id, unnest({_GRAMS8_SQL}) AS s FROM tok
+    ), tr AS (
+      SELECT DISTINCT s FROM g WHERE doc_id % 5 != 0
+    ), ev AS (
+      SELECT doc_id, s FROM g WHERE doc_id % 5 = 0
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1
+    ), hits AS (
+      SELECT ev.doc_id, count(*) AS n_shared FROM ev JOIN tr USING (s)
+      GROUP BY 1
+    )
+    SELECT d.doc_id, d.source,
+      CAST(COALESCE(sizes.n_grams, 0) AS BIGINT) AS n_grams,
+      CAST(COALESCE(hits.n_shared, 0) AS BIGINT) AS n_shared_grams,
+      CASE WHEN COALESCE(sizes.n_grams, 0) > 0
+           THEN ROUND(COALESCE(hits.n_shared, 0)
+                      / CAST(sizes.n_grams AS DOUBLE), 6)
+           ELSE 0.0 END AS containment,
+      (CASE WHEN COALESCE(sizes.n_grams, 0) > 0
+            THEN ROUND(COALESCE(hits.n_shared, 0)
+                       / CAST(sizes.n_grams AS DOUBLE), 6)
+            ELSE 0.0 END) > 0.0 AS is_contaminated
+    FROM documents d
+    LEFT JOIN sizes ON d.doc_id = sizes.doc_id
+    LEFT JOIN hits ON d.doc_id = hits.doc_id
+    WHERE d.doc_id % 5 = 0
+    """,
+)
+def q243_incremental_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval-set decontamination priced on the TRAINING DELTA (VERDICT
+    r10 next-item #6): the eval suite's n-gram index is built once
+    (``curation.decontam_index`` — the static side), the training corpus
+    arrives in two installments (base: doc_id % 5 in (1, 2); today's
+    delta: % 5 in (3, 4)), and each installment folds into the
+    persisted HIT set via ``decontam_hits_merge`` — monotone
+    union+distinct state bounded by the eval set forever, with only the
+    delta shingling.  ``decontaminate_from_index`` then reads the report
+    as closed forms over the two eval-bounded relations.  Oracle = q62's
+    one-shot ``decontaminate(all train, eval)`` recompute: a missed or
+    double-counted hit in either installment breaks the hash."""
+    from streaming_feature_store_spark.operators.curation import (
+        decontam_hits_merge,
+        decontam_index,
+        decontaminate_from_index,
+    )
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter((F.col("doc_id") % 5).isin(1, 2))
+    delta = docs.filter((F.col("doc_id") % 5).isin(3, 4))
+    eval_index = persist_tracked(decontam_index(ev, n=8))
+    hits = decontam_hits_merge(None, base, eval_index, n=8)
+    hits = decontam_hits_merge(hits, delta, eval_index, n=8)
+    return decontaminate_from_index(ev, eval_index, hits).select(
+        "doc_id",
+        "source",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+        "containment",
+        "is_contaminated",
+    )

@@ -36,13 +36,22 @@ def dedup_events(
 
 
 def _latest_snapshot(index_root: str, batch_id: int | None) -> int | None:
-    """Newest committed snapshot version ≤ batch_id.  NOT the global max:
+    """Newest COMMITTED snapshot version ≤ batch_id.  NOT the global max:
     a crashed attempt of THIS batch may already have written v=<id+1>,
     and its retry must re-merge against the pre-batch snapshot (the
     retry-idempotence contract the index sinks rely on).  ``batch_id
     = None`` means the newest version outright (the READER form — a
-    query wants the latest committed snapshot).  Local-FS listing here;
-    on a cluster this is one catalog/manifest lookup."""
+    query wants the latest committed snapshot).
+
+    Committed means the directory carries parquet's ``_SUCCESS`` job
+    marker (ADVICE r10): the sinks write snapshots directly to their
+    final path, so a crash MID-write leaves a partial ``v=`` directory —
+    without the marker gate a reader (or the NEXT batch's writer, whose
+    ``<= batch_id`` filter only excludes its own retries) would treat
+    the torn snapshot as newest and read a partial index.  ``_SUCCESS``
+    appears only at job commit, so gating on it is exactly the
+    visibility rule a table format's manifest provides.  Local-FS
+    listing here; on a cluster this is one catalog/manifest lookup."""
     import os
     import re
 
@@ -50,7 +59,11 @@ def _latest_snapshot(index_root: str, batch_id: int | None) -> int | None:
     if os.path.isdir(index_root):
         for d in os.listdir(index_root):
             m = re.fullmatch(r"v=(\d+)", d)
-            if m and (batch_id is None or int(m.group(1)) <= batch_id):
+            if (
+                m
+                and (batch_id is None or int(m.group(1)) <= batch_id)
+                and os.path.exists(os.path.join(index_root, d, "_SUCCESS"))
+            ):
                 versions.append(int(m.group(1)))
     return max(versions) if versions else None
 
@@ -332,6 +345,133 @@ def postings_index_sink(
             )
         updated.write.mode("overwrite").parquet(
             f"{index_root}/v={batch_id + 1}"
+        )
+
+    return _handle
+
+
+def line_freq_index_sink(
+    index_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+):
+    """``foreachBatch`` twin of ``text.line_freq_index_merge`` (VERDICT
+    r10 next-item #3) — streaming maintenance of the CCNet boilerplate
+    line-frequency index: each batch's distinct-doc line counts fold
+    into the versioned snapshot (union+sum keyed by line), so a
+    streaming line-dedup gate (``line_dedup_from_index`` against the
+    newest snapshot) never re-segments history.  Same batch-id-versioned
+    retry-idempotence discipline as the other index sinks; post-drain
+    snapshot ≡ one batch ``line_freq_index`` over all documents.
+    Documents must arrive exactly once across batches (the disjoint-set
+    contract — screen re-deliveries with ``fingerprint_index_sink``)."""
+    from streaming_feature_store_spark.operators.text import (
+        line_freq_index,
+        line_freq_index_merge,
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = line_freq_index(batch_df, id_col, text_col, line_sep)
+        v = _latest_snapshot(index_root, batch_id)
+        if v is None:
+            updated = delta
+        else:
+            updated = line_freq_index_merge(
+                spark.read.parquet(f"{index_root}/v={v}"), delta
+            )
+        updated.write.mode("overwrite").parquet(
+            f"{index_root}/v={batch_id + 1}"
+        )
+
+    return _handle
+
+
+def ngram_df_index_sink(
+    index_root: str,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """``foreachBatch`` twin of ``text.ngram_doc_freq_index_merge``
+    (VERDICT r10 next-item #3) — streaming maintenance of the
+    boilerplate-phrase n-gram document-frequency index: distinct-doc
+    gram counts (and the NULL-gram corpus-size row) are additive, so
+    each batch is one union+sum and ``boilerplate_from_index`` reads the
+    newest snapshot as a closed form.  Same snapshot discipline and
+    disjoint-doc contract as :func:`line_freq_index_sink`."""
+    from streaming_feature_store_spark.operators.text import (
+        ngram_doc_freq_index,
+        ngram_doc_freq_index_merge,
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = ngram_doc_freq_index(batch_df, n, id_col, text_col)
+        v = _latest_snapshot(index_root, batch_id)
+        if v is None:
+            updated = delta
+        else:
+            updated = ngram_doc_freq_index_merge(
+                spark.read.parquet(f"{index_root}/v={v}"), delta
+            )
+        updated.write.mode("overwrite").parquet(
+            f"{index_root}/v={batch_id + 1}"
+        )
+
+    return _handle
+
+
+def winnow_index_sink(
+    index_root: str,
+    pairs_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    threshold: float = 0.5,
+):
+    """``foreachBatch`` twin of ``text.winnow_index_merge`` (VERDICT r10
+    next-item #3) — the streaming substring-containment gate: each
+    batch fingerprints ONLY itself, joins the persisted ``(doc, sel)``
+    winnowing index, lands its containment pairs under
+    ``pairs_root/batch=<id>`` and the unioned index as the next
+    snapshot.  Emit-then-upsert mirrors :func:`minhash_index_sink`
+    (pairs are the actionable screen; the index is the state), with the
+    same retry discipline — both writes are batch-derived overwrite
+    paths.  Post-drain contract: ``union(all pairs batches) ≡
+    winnow_containment_pairs(all docs)`` — every pair involves at least
+    one batch's docs because EVERY doc arrives in some batch, so no
+    pair is history-only (tests/test_r11_ops.py)."""
+    from streaming_feature_store_spark.operators.text import (
+        _winnow_sel,
+        winnow_index_merge,
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        v = _latest_snapshot(index_root, batch_id)
+        if v is None:
+            # empty index with the exact fingerprint schema: the merge
+            # then yields the batch's own (delta-delta) pairs
+            index = _winnow_sel(batch_df.limit(0), text_col, id_col, k, w)
+        else:
+            index = spark.read.parquet(f"{index_root}/v={v}")
+        new_pairs, updated = winnow_index_merge(
+            batch_df, index, id_col, text_col, k, w, threshold
+        )
+        updated.write.mode("overwrite").parquet(
+            f"{index_root}/v={batch_id + 1}"
+        )
+        new_pairs.write.mode("overwrite").parquet(
+            f"{pairs_root}/batch={batch_id}"
         )
 
     return _handle

@@ -1,0 +1,357 @@
+"""Round-11 operators: the executable BM25 bucketed layout
+(save/load_postings_index — VERDICT r10 next-item #1), streaming sink
+twins for the line-freq/winnow/ngram-df indexes (#3), the incremental
+decontamination index (#6), and the composed daily_ingest pipeline (#5)."""
+
+import random
+import uuid
+
+import pyspark.sql.functions as F
+
+from streaming_feature_store_spark.operators.text import (
+    bm25_from_index,
+    bm25_topk,
+    corpus_stats_index,
+    drop_postings_index,
+    load_postings_index,
+    postings_index,
+    save_postings_index,
+)
+
+_VOCAB = (
+    "spark hash join window batch stream data query the a vector scan"
+).split()
+
+
+def _docs(spark, n=120, seed=3, with_null=True):
+    rng = random.Random(seed)
+    rows = [
+        (i, " ".join(rng.choice(_VOCAB) for _ in range(rng.randrange(1, 20))))
+        for i in range(n)
+    ]
+    if with_null:
+        rows += [(n, None), (n + 1, "zzz"), (n + 2, "q")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _canon(df):
+    return sorted(tuple(map(repr, r)) for r in df.collect())
+
+
+_SHUFFLE_MARKS = (
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "Exchange SinglePartition",
+)
+
+
+def _shuffles(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(plan.count(m) for m in _SHUFFLE_MARKS)
+
+
+# --- save/load_postings_index: parity + zero-Exchange postings side ---------
+
+
+def test_persisted_postings_layout_bm25_parity(spark, tmp_path):
+    docs = _docs(spark)
+    name = f"t_post_{uuid.uuid4().hex[:8]}"
+    try:
+        save_postings_index(
+            postings_index(docs), name, str(tmp_path / "post"), buckets=8
+        )
+        tf, dl = load_postings_index(spark, name)
+        stats = corpus_stats_index(docs, bigrams=False).persist()
+        qdf = spark.createDataFrame(
+            [("q1", "hash join strategy"), ("q2", "the vector scan")],
+            "query_id string, query_text string",
+        )
+        got = bm25_from_index(tf, stats, qdf, k=5, doc_lengths=dl)
+        want = bm25_topk(docs, qdf, k=5)
+        assert _canon(got) == _canon(want)
+        # the by_term copy scores identically (only the physical layout
+        # differs)
+        tf_t, dl_t = load_postings_index(spark, name, layout="by_term")
+        got_t = bm25_from_index(tf_t, stats, qdf, k=5, doc_lengths=dl_t)
+        assert _canon(got_t) == _canon(want)
+    finally:
+        drop_postings_index(spark, name)
+
+
+def test_persisted_postings_dl_join_and_score_agg_shuffle_free(
+    spark, tmp_path
+):
+    """The mechanism VERDICT r10 item #1 asks for: with both tables
+    bucketed by doc_id, the postings ⋈ doc-lengths join AND the
+    (query_id, doc_id) score aggregation run with ZERO shuffle Exchange —
+    doc_id hash buckets already co-locate every (query_id, doc_id) group
+    (subset-of-grouping-keys partitioning satisfies the clustering)."""
+    docs = _docs(spark)
+    name = f"t_post_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_postings_index(
+            postings_index(docs), name, str(tmp_path / "post"), buckets=8
+        )
+        tf, dl = load_postings_index(spark, name)
+        # the exact postings-side subplan of bm25_from_index: prune to
+        # broadcast query terms, join lengths, aggregate per (query, doc)
+        qterms = F.broadcast(
+            spark.createDataFrame(
+                [("q1", "hash", 1.5, 10.0), ("q1", "join", 1.1, 10.0)],
+                "query_id string, term string, idf double, avgdl double",
+            )
+        )
+        scored = (
+            tf.withColumnRenamed("n", "tf")
+            .join(qterms, "term")
+            .join(dl, "doc_id")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("idf") * F.col("tf")).alias("score"))
+        )
+        assert scored.count() > 0
+        assert _shuffles(scored) == 0, (
+            scored._jdf.queryExecution().executedPlan().toString()
+        )
+        # contrast: the tall-frame form pays a |docs|-proportional shuffle
+        tall = postings_index(docs)
+        tf2 = tall.filter(F.col("term").isNotNull()).withColumnRenamed(
+            "n", "tf"
+        )
+        dl2 = tall.filter(F.col("term").isNull()).select(
+            "doc_id", F.col("n").alias("dl")
+        )
+        scored2 = (
+            tf2.join(qterms, "term")
+            .join(dl2, "doc_id")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("idf") * F.col("tf")).alias("score"))
+        )
+        assert _shuffles(scored2) > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        drop_postings_index(spark, name)
+
+
+def test_load_postings_index_rejects_unknown_layout(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="layout"):
+        load_postings_index(spark, "whatever", layout="by_moon")
+
+
+# --- streaming sink twins for the r10 index family (VERDICT r10 #3) ---------
+
+_SINK_DOCS = [
+    (1, "nav bar\nthe quick brown fox jumps over the lazy dog today"),
+    (2, "nav bar\njumps over the lazy dog jumps over the lazy dog"),
+    (3, "spark shuffles data\nthe quick brown fox jumps over the lazy"),
+    (4, "nav bar\nthe quick red fox jumps over the lazy dog today"),
+    (5, "dog and fox and spark shuffles data all day long here"),
+    (6, None),
+    (7, "one"),
+]
+
+
+def _drain(spark, tmp_path, sink, ckpt, src):
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _doc_source(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for rows in (_SINK_DOCS[0:3], _SINK_DOCS[3:5], _SINK_DOCS[5:7]):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    return src, spark.createDataFrame(_SINK_DOCS, "doc_id long, text string")
+
+
+def test_line_freq_and_ngram_df_index_streams_match_batch(spark, tmp_path):
+    from streaming_feature_store_spark.operators.text import (
+        line_freq_index,
+        ngram_doc_freq_index,
+    )
+    from streaming_feature_store_spark.streaming.dedup import (
+        _latest_snapshot,
+        line_freq_index_sink,
+        ngram_df_index_sink,
+    )
+
+    src, all_docs = _doc_source(spark, tmp_path)
+    lroot, groot = str(tmp_path / "lines"), str(tmp_path / "grams")
+    _drain(spark, tmp_path, line_freq_index_sink(lroot), "ckpt_l", src)
+    _drain(spark, tmp_path, ngram_df_index_sink(groot, n=3), "ckpt_g", src)
+    vl = _latest_snapshot(lroot, None)
+    assert _canon(spark.read.parquet(f"{lroot}/v={vl}")) == _canon(
+        line_freq_index(all_docs)
+    )
+    vg = _latest_snapshot(groot, None)
+    assert _canon(spark.read.parquet(f"{groot}/v={vg}")) == _canon(
+        ngram_doc_freq_index(all_docs, n=3)
+    )
+
+
+def test_winnow_index_stream_matches_batch(spark, tmp_path):
+    from streaming_feature_store_spark.operators.text import (
+        build_winnow_index,
+        winnow_containment_pairs,
+    )
+    from streaming_feature_store_spark.streaming.dedup import (
+        _latest_snapshot,
+        winnow_index_sink,
+    )
+
+    src, all_docs = _doc_source(spark, tmp_path)
+    iroot, proot = str(tmp_path / "widx"), str(tmp_path / "wpairs")
+    _drain(
+        spark,
+        tmp_path,
+        winnow_index_sink(iroot, proot, threshold=0.3),
+        "ckpt_w",
+        src,
+    )
+    vi = _latest_snapshot(iroot, None)
+    assert _canon(spark.read.parquet(f"{iroot}/v={vi}")) == _canon(
+        build_winnow_index(all_docs)
+    )
+    # union of all per-batch pair outputs ≡ the one-shot batch screen
+    got = spark.read.parquet(f"{proot}/batch=*").select(
+        "doc_a", "doc_b", "n_shared", "containment"
+    )
+    want = winnow_containment_pairs(all_docs, threshold=0.3).select(
+        "doc_a", "doc_b", "n_shared", "containment"
+    )
+    assert _canon(got) == _canon(want)
+
+
+# --- incremental decontamination (VERDICT r10 #6) ----------------------------
+
+
+def test_decontam_hits_merge_matches_one_shot(spark):
+    from streaming_feature_store_spark.operators.curation import (
+        decontam_hits_merge,
+        decontam_index,
+        decontaminate,
+        decontaminate_from_index,
+    )
+
+    docs = _docs(spark, n=60, seed=7)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter((F.col("doc_id") % 5).isin(1, 2))
+    delta = docs.filter((F.col("doc_id") % 5).isin(3, 4))
+    idx = decontam_index(ev, n=4).persist()
+    hits = decontam_hits_merge(None, base, idx, n=4)
+    hits = decontam_hits_merge(hits, delta, idx, n=4)
+    got = decontaminate_from_index(ev, idx, hits).select(
+        "doc_id", "n_grams", "n_shared_grams", "containment", "is_contaminated"
+    )
+    want = decontaminate(
+        docs.filter(F.col("doc_id") % 5 != 0), ev, n=4
+    ).select(
+        "doc_id", "n_grams", "n_shared_grams", "containment", "is_contaminated"
+    )
+    assert _canon(got) == _canon(want)
+    # monotone state: re-ingesting the same delta is a no-op
+    again = decontam_hits_merge(hits, delta, idx, n=4)
+    assert _canon(again) == _canon(hits)
+
+
+# --- daily_ingest composite (VERDICT r10 #5) ---------------------------------
+
+
+def test_daily_ingest_two_days(spark, tmp_path):
+    from streaming_feature_store_spark.operators.curation import daily_ingest
+    from streaming_feature_store_spark.operators.text import (
+        postings_index,
+        unigram_nll,
+    )
+    from streaming_feature_store_spark.streaming.dedup import _latest_snapshot
+
+    root = str(tmp_path / "state")
+    base_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "spark shuffles data across the cluster every night"),
+        (3, "the quick brown fox jumps over the lazy dog today"),  # in-batch exact dup of 1
+        (4, "window functions rank rows within partitions cheaply"),
+    ]
+    day1 = spark.createDataFrame(base_rows, "doc_id long, text string")
+    s1, rep1 = daily_ingest(day1, root, bigrams=False)
+    kept1 = sorted(r["doc_id"] for r in s1.collect())
+    assert kept1 == [1, 2, 4]  # 3 collapsed onto 1 (lowest id kept)
+    scr1 = {r["doc_id"]: r.asDict() for r in rep1["screen"].collect()}
+    assert scr1[3]["kept"] is False and scr1[3]["is_near_dup"] is True
+    assert scr1[3]["best_match_id"] == 1 and not scr1[3]["match_in_index"]
+
+    day2_rows = [
+        (10, "the quick brown fox jumps over the lazy dog today"),  # exact recrawl of 1
+        (11, "spark shuffles data across the cluster every single night"),  # near-dup of 2
+        (12, "completely novel content about embeddings and retrieval"),
+    ]
+    day2 = spark.createDataFrame(day2_rows, "doc_id long, text string")
+    s2, rep2 = daily_ingest(day2, root, bigrams=False)
+    kept2 = sorted(r["doc_id"] for r in s2.collect())
+    assert kept2 == [12]
+    scr2 = {r["doc_id"]: r.asDict() for r in rep2["screen"].collect()}
+    assert scr2[10]["is_exact_dup"] is True
+    assert scr2[11]["is_near_dup"] is True and scr2[11]["match_in_index"]
+    assert scr2[11]["best_match_id"] == 2
+
+    # the statistics indexes hold EXACTLY the survivors' counts — the
+    # double-count hazard contract: dropped duplicates never merged
+    all_surv = day1.filter(F.col("doc_id").isin(kept1)).unionByName(
+        day2.filter(F.col("doc_id").isin(kept2))
+    )
+    from streaming_feature_store_spark.operators.text import (
+        corpus_stats_index,
+    )
+
+    vs = _latest_snapshot(f"{root}/stats", None)
+    assert vs == 2
+    assert _canon(spark.read.parquet(f"{root}/stats/v={vs}")) == _canon(
+        corpus_stats_index(all_surv, bigrams=False)
+    )
+    vp = _latest_snapshot(f"{root}/postings", None)
+    assert _canon(spark.read.parquet(f"{root}/postings/v={vp}")) == _canon(
+        postings_index(all_surv)
+    )
+    # survivor quality scores ≡ full recompute over the survivor corpus
+    want_q = unigram_nll(all_surv).filter(F.col("doc_id") == 12)
+    got_q = rep2["quality"].select("doc_id", "n_tokens", "mean_nll")
+    assert _canon(got_q) == _canon(
+        want_q.select("doc_id", "n_tokens", "mean_nll")
+    )
+
+
+def test_line_freq_sink_retry_rereads_prebatch_snapshot(spark, tmp_path):
+    """Replaying handler(b1, 1) twice must leave v=2 identical — the
+    retry reads the PRE-batch snapshot, not its own crashed attempt."""
+    from streaming_feature_store_spark.operators.text import line_freq_index
+    from streaming_feature_store_spark.streaming.dedup import (
+        line_freq_index_sink,
+    )
+
+    root = str(tmp_path / "lines")
+    handle = line_freq_index_sink(root)
+    b0 = spark.createDataFrame(_SINK_DOCS[0:3], "doc_id long, text string")
+    b1 = spark.createDataFrame(_SINK_DOCS[3:5], "doc_id long, text string")
+    handle(b0, 0)
+    handle(b1, 1)  # crashed attempt: v=2 exists
+    handle(b1, 1)  # retry must read v=1, not v=2
+    all_docs = spark.createDataFrame(
+        _SINK_DOCS[0:5], "doc_id long, text string"
+    )
+    assert _canon(spark.read.parquet(f"{root}/v=2")) == _canon(
+        line_freq_index(all_docs)
+    )
