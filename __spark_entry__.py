@@ -41,11 +41,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # its forced broadcast hint per the AQE-gate policy, VERDICT r10 #1;
 # q237: bm25_from_index grew the doc_lengths split-table input; q235/
 # q236/q238: the from-index scorers grew the validate contract guard,
-# ADVICE r10); the remaining 42 slots ROTATE THE NEXT LEGACY COHORT
-# q71-q112 through the driver (last pinned on r4-r6-era HEADs).
+# ADVICE r10); the remaining slots ROTATE THE NEXT LEGACY COHORT
+# q71-q111 through the driver (last pinned on r4-r6-era HEADs; q112
+# overflows to PARITY_sf0.01_r11.txt).
 _PRIORITY = [
-    # r11 new + changed code paths (8)
+    # r11 new + changed code paths (9)
     "q242_bm25_persisted_layout", "q243_incremental_decontamination",
+    "q244_daily_ingest_lifecycle",
     "q229_line_dedup", "q239_incremental_line_dedup",
     "q237_bm25_from_index", "q235_incremental_tfidf",
     "q236_incremental_lm_quality", "q238_incremental_dsir",

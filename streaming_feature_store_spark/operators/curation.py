@@ -974,6 +974,7 @@ def daily_ingest(
     text_col: str = "text",
     minhash_threshold: float = 0.5,
     bigrams: bool = True,
+    screen_near_dups: bool = True,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """The composed daily-ingest pipeline as ONE operator (VERDICT r10
     next-item #5 — examples/demo_incremental_ingest.py productized):
@@ -992,7 +993,9 @@ def daily_ingest(
     - ``fingerprint/`` — exact_dup_groups rows (tier-1 recrawl screen);
     - ``minhash/``     — MinHash signatures (tier-2 near-dup gate);
     - ``stats/``       — corpus_stats_index counts (quality scoring);
-    - ``postings/``    — BM25 postings + doc lengths (retrieval).
+    - ``postings/``    — BM25 postings + doc lengths (retrieval);
+    - ``reports/``     — the per-day screen report (audit artifact, and
+      the lineage cut every downstream step reads decisions from).
 
     Day 0 (no snapshots) seeds all four from the delta itself: both
     screens run against EMPTY indexes of the right schema, so in-batch
@@ -1031,6 +1034,14 @@ def daily_ingest(
     broadcasts them), stats/postings merges move vocabulary/doc-bounded
     index rows, and scoring tokenizes survivors only.  History text is
     never read.
+
+    ``screen_near_dups=False`` skips tier 2's PAIR machinery while still
+    building the delta's MinHash signatures into the index — the
+    day-0 SEEDING mode for a corpus that is already curated: re-running
+    the O(candidate-pairs) gate over a deduped base is pure waste, but
+    its signatures must land in the index or day 1 cannot match against
+    it.  Exact screening (tier 1) still applies; the report's near-dup
+    columns come back all-clear.
     """
     from streaming_feature_store_spark.cacheutil import persist_tracked
     from streaming_feature_store_spark.operators.dedup import (
@@ -1071,10 +1082,12 @@ def daily_ingest(
         delta, fp_idx, text_col, id_col
     )
     fp_screen = persist_tracked(fp_screen)
-    exact_surv = delta.join(
-        fp_screen.filter(~F.col("is_corpus_dup")).select(id_col),
-        id_col,
-        "left_semi",
+    exact_surv = persist_tracked(
+        delta.join(
+            fp_screen.filter(~F.col("is_corpus_dup")).select(id_col),
+            id_col,
+            "left_semi",
+        )
     )
 
     # tier 2: near-dup gate on the exact survivors
@@ -1083,18 +1096,69 @@ def daily_ingest(
         if vers["minhash"] is not None
         else build_minhash_index(delta.limit(0), text_col, id_col)
     )
-    mh_screen, mh_updated = minhash_index_screen(
-        exact_surv, mh_idx, text_col, id_col, threshold=minhash_threshold
-    )
-    mh_screen = persist_tracked(mh_screen)
-    keep_ids = mh_screen.filter(
-        ~F.col("is_near_dup")
-        | (
-            ~F.col("match_in_index")
-            & (F.col("best_match_id") > F.col(id_col))
+    if screen_near_dups:
+        mh_screen, mh_updated = minhash_index_screen(
+            exact_surv, mh_idx, text_col, id_col, threshold=minhash_threshold
         )
-    ).select(id_col)
-    survivors = persist_tracked(delta.join(keep_ids, id_col, "left_semi"))
+        mh_screen = persist_tracked(mh_screen)
+        keep_ids = mh_screen.filter(
+            ~F.col("is_near_dup")
+            | (
+                ~F.col("match_in_index")
+                & (F.col("best_match_id") > F.col(id_col))
+            )
+        ).select(id_col)
+    else:
+        # seeding mode: index the signatures (upsert semantics, as
+        # minhash_index_merge), skip the pair machinery entirely
+        id_type = delta.schema[id_col].dataType.simpleString()
+        new_idx = build_minhash_index(exact_surv, text_col, id_col)
+        mh_updated = mh_idx.join(
+            new_idx.select(id_col), id_col, "left_anti"
+        ).unionByName(new_idx.select(*mh_idx.columns))
+        mh_screen = exact_surv.select(
+            F.col(id_col),
+            F.lit(False).alias("is_near_dup"),
+            F.lit(None).cast(id_type).alias("best_match_id"),
+            F.lit(None).cast("double").alias("best_jaccard"),
+            F.lit(None).cast("boolean").alias("match_in_index"),
+        )
+        keep_ids = exact_surv.select(id_col)
+    # the screen REPORT is itself a state artifact: landing it under
+    # reports/v=<n> before anything consumes the decisions (a) gives the
+    # ingest an audit trail, and (b) physically CUTS the deep
+    # screen-plan lineage — every downstream action (stats/postings
+    # merges, quality scoring, the caller's consumption of survivors)
+    # re-plans a trivial parquet scan instead of re-analyzing the banded
+    # join + window + verify tree per action (measured: the repeated
+    # re-analysis dominated the composed call's wall clock)
+    screen_plan = (
+        fp_screen.select(
+            id_col,
+            "fingerprint",
+            F.col("is_corpus_dup").alias("is_exact_dup"),
+        )
+        .join(mh_screen, id_col, "left")
+        .join(keep_ids.withColumn("_kept", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "fingerprint",
+            "is_exact_dup",
+            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+            "best_match_id",
+            "best_jaccard",
+            "match_in_index",
+            F.coalesce("_kept", F.lit(False)).alias("kept"),
+        )
+    )
+    day_v = (vers["fingerprint"] or 0) + 1
+    screen_plan.write.mode("overwrite").parquet(
+        f"{state_root}/reports/v={day_v}"
+    )
+    screen = spark.read.parquet(f"{state_root}/reports/v={day_v}")
+    survivors = delta.join(
+        screen.filter(F.col("kept")).select(id_col), id_col, "left_semi"
+    )
 
     # step 3: only survivors feed the statistics indexes
     s_delta = corpus_stats_index(survivors, id_col, text_col, bigrams)
@@ -1134,23 +1198,4 @@ def daily_ingest(
             "left",
         )
 
-    screen = (
-        fp_screen.select(
-            id_col,
-            "fingerprint",
-            F.col("is_corpus_dup").alias("is_exact_dup"),
-        )
-        .join(mh_screen, id_col, "left")
-        .join(keep_ids.withColumn("_kept", F.lit(True)), id_col, "left")
-        .select(
-            id_col,
-            "fingerprint",
-            "is_exact_dup",
-            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
-            "best_match_id",
-            "best_jaccard",
-            "match_in_index",
-            F.coalesce("_kept", F.lit(False)).alias("kept"),
-        )
-    )
     return survivors, {"screen": screen, "quality": quality}

@@ -11625,3 +11625,132 @@ def q243_incremental_decontamination(
         "containment",
         "is_contaminated",
     )
+
+
+@query(
+    "q244_daily_ingest_lifecycle",
+    sql=f"""
+    WITH delta AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 != 0 AND doc_id % 7 = 1
+    ), bfp AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 != 0 GROUP BY 1
+    ), ex AS (
+      SELECT d.doc_id, (bfp.fp IS NOT NULL) AS is_exact_dup
+      FROM delta d LEFT JOIN bfp ON md5(d.text) = bfp.fp
+    ), mh_in AS (
+      SELECT doc_id, text FROM delta
+      WHERE doc_id IN (SELECT doc_id FROM ex WHERE NOT is_exact_dup)
+    ), alltok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+        UNION ALL SELECT doc_id, text FROM mh_in)
+    ), shx AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM alltok
+    ), sh AS (
+      SELECT doc_id, unnest(sh) AS s FROM shx
+    ), sizes AS (
+      SELECT doc_id, CAST(len(sh) AS INTEGER) AS nsh FROM shx
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+        ROUND(n_common / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE), 6)
+          AS jaccard
+      FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_common / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.5
+        AND (doc_a IN (SELECT doc_id FROM mh_in)
+             OR doc_b IN (SELECT doc_id FROM mh_in))
+    ), sided AS (
+      SELECT doc_a AS doc_id, doc_b AS match_id, jaccard FROM pairs
+        WHERE doc_a IN (SELECT doc_id FROM mh_in)
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS match_id, jaccard FROM pairs
+        WHERE doc_b IN (SELECT doc_id FROM mh_in)
+    ), best AS (
+      SELECT doc_id, match_id AS best_match_id, jaccard AS best_jaccard,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY jaccard DESC, match_id ASC) AS rn
+      FROM sided
+    ), scr AS (
+      SELECT e.doc_id, e.is_exact_dup,
+        (NOT e.is_exact_dup AND b2.best_match_id IS NOT NULL) AS is_near_dup,
+        CASE WHEN NOT e.is_exact_dup THEN b2.best_match_id END
+          AS best_match_id,
+        CASE WHEN NOT e.is_exact_dup THEN b2.best_jaccard END
+          AS best_jaccard,
+        CASE WHEN NOT e.is_exact_dup AND b2.best_match_id IS NOT NULL
+          THEN (b2.best_match_id % 3 != 0 AND b2.best_match_id < 200000)
+        END AS match_in_index
+      FROM ex e
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b2
+          ON e.doc_id = b2.doc_id
+    )
+    SELECT doc_id, is_exact_dup, is_near_dup, best_match_id, best_jaccard,
+      match_in_index,
+      (NOT is_exact_dup AND (best_match_id IS NULL
+        OR (NOT match_in_index AND best_match_id > doc_id))) AS kept
+    FROM scr
+    """,
+)
+def q244_daily_ingest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED daily-ingest pipeline under one oracle (VERDICT r10
+    next-item #5, ``curation.daily_ingest``): day 0 seeds the
+    fingerprint/minhash/stats/postings state from the base corpus
+    (doc_id % 3 != 0); day 1's delta mixes natural near-dups (% 3 == 0),
+    byte-identical RE-CRAWLS of base docs under new ids (+200000,
+    % 7 == 1 slice — the exact tier must kill these without shingling),
+    and novel docs.  The returned screen report carries the full
+    decision ladder per delta doc — is_exact_dup, is_near_dup,
+    best_match_id/jaccard (exact argmax, lowest-id ties),
+    match_in_index, and the final ``kept`` verdict under the
+    keep-lowest-in-batch / drop-if-indexed policy, with the exact tier
+    excluding its kills from the near-dup tier (order matters: a recrawl
+    must never consume shingle work or end up a near-dup's best match).
+    Oracle recomputes both tiers from scratch (md5 against the base
+    fingerprint set; exact all-pairs jaccard over base + surviving
+    delta).  State lives under a uuid temp root, result localized,
+    root deleted (the q224 lifecycle discipline)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from streaming_feature_store_spark.operators.curation import daily_ingest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        docs.filter(
+            (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 1)
+        ).select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"sfs_q244_{uuid.uuid4().hex}"
+    )
+    try:
+        # seed from the base corpus WITHOUT the near-dup pair machinery
+        # (screen_near_dups=False): a curated base only needs its
+        # signatures indexed; day 1 pays the real screen
+        daily_ingest(base, root, bigrams=False, screen_near_dups=False)
+        _, reports = daily_ingest(delta, root, bigrams=False)
+        out = reports["screen"].select(
+            "doc_id",
+            "is_exact_dup",
+            "is_near_dup",
+            "best_match_id",
+            "best_jaccard",
+            "match_in_index",
+            "kept",
+        )
+        # localize the delta-bounded report so the lineage no longer
+        # references the about-to-be-deleted state snapshots
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

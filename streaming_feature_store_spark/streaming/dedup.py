@@ -427,6 +427,44 @@ def ngram_df_index_sink(
     return _handle
 
 
+def decontam_hits_sink(
+    hits_root: str,
+    eval_index_path: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """``foreachBatch`` twin of ``curation.decontam_hits_merge`` — the
+    streaming decontamination ledger: training documents arrive in
+    micro-batches, each folds its n-gram collisions against the STATIC
+    persisted eval index (``curation.decontam_index`` written once to
+    ``eval_index_path``) into the versioned hit set.  The state is
+    monotone and bounded by the eval suite forever; a batch's cost is
+    shingling the batch.  Same batch-id-versioned retry-idempotence
+    discipline as the other index sinks; post-drain the newest snapshot
+    ≡ the one-shot ``decontaminate(all train, eval)`` hit pairs
+    (tests/test_r11_ops.py)."""
+    from streaming_feature_store_spark.operators.curation import (
+        decontam_hits_merge,
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        eval_index = spark.read.parquet(eval_index_path)
+        v = _latest_snapshot(hits_root, batch_id)
+        hits = spark.read.parquet(f"{hits_root}/v={v}") if v is not None else None
+        updated = decontam_hits_merge(
+            hits, batch_df, eval_index, n, id_col, text_col
+        )
+        updated.write.mode("overwrite").parquet(
+            f"{hits_root}/v={batch_id + 1}"
+        )
+
+    return _handle
+
+
 def winnow_index_sink(
     index_root: str,
     pairs_root: str,

@@ -268,6 +268,45 @@ def test_decontam_hits_merge_matches_one_shot(spark):
     assert _canon(again) == _canon(hits)
 
 
+def test_decontam_hits_stream_matches_batch(spark, tmp_path):
+    from streaming_feature_store_spark.operators.curation import (
+        decontam_index,
+        decontaminate,
+        decontaminate_from_index,
+    )
+    from streaming_feature_store_spark.streaming.dedup import (
+        _latest_snapshot,
+        decontam_hits_sink,
+    )
+
+    docs = _docs(spark, n=60, seed=7)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    eidx_path = str(tmp_path / "evalidx")
+    decontam_index(ev, n=4).write.parquet(eidx_path)
+    src = str(tmp_path / "train_src")
+    for m in (1, 2, 3, 4):
+        train.filter(F.col("doc_id") % 5 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    hroot = str(tmp_path / "hits")
+    _drain(
+        spark,
+        tmp_path,
+        decontam_hits_sink(hroot, eidx_path, n=4),
+        "ckpt_dc",
+        src,
+    )
+    v = _latest_snapshot(hroot, None)
+    got = decontaminate_from_index(
+        ev, spark.read.parquet(eidx_path), spark.read.parquet(f"{hroot}/v={v}")
+    ).select("doc_id", "n_grams", "n_shared_grams", "containment")
+    want = decontaminate(train, ev, n=4).select(
+        "doc_id", "n_grams", "n_shared_grams", "containment"
+    )
+    assert _canon(got) == _canon(want)
+
+
 # --- daily_ingest composite (VERDICT r10 #5) ---------------------------------
 
 
@@ -332,6 +371,36 @@ def test_daily_ingest_two_days(spark, tmp_path):
     assert _canon(got_q) == _canon(
         want_q.select("doc_id", "n_tokens", "mean_nll")
     )
+
+
+def test_daily_ingest_seeding_mode_skips_pairs_but_indexes(spark, tmp_path):
+    """screen_near_dups=False (day-0 seeding from a curated corpus):
+    near-dup pair machinery skipped, but signatures still land in the
+    minhash index so day 1 matches against the base."""
+    from streaming_feature_store_spark.operators.curation import daily_ingest
+
+    root = str(tmp_path / "state")
+    day0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # near/exact dup NOT screened in seeding mode
+            (3, "spark shuffles data across the cluster every night"),
+        ],
+        "doc_id long, text string",
+    )
+    s0, rep0 = daily_ingest(day0, root, bigrams=False, screen_near_dups=False)
+    # exact tier still applies within... no: both novel vs EMPTY corpus
+    # index, so seeding keeps all three (the caller vouched for the base)
+    assert sorted(r["doc_id"] for r in s0.collect()) == [1, 2, 3]
+    assert all(not r["is_near_dup"] for r in rep0["screen"].collect())
+    day1 = spark.createDataFrame(
+        [(20, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    s1, rep1 = daily_ingest(day1, root, bigrams=False)
+    assert s1.count() == 0  # matched the seeded signatures
+    row = rep1["screen"].collect()[0]
+    assert row["is_exact_dup"] and not row["kept"]
 
 
 def test_line_freq_sink_retry_rereads_prebatch_snapshot(spark, tmp_path):
