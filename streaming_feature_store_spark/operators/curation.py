@@ -178,6 +178,33 @@ def decontam_hits_merge(
     return hits.unionByName(new_hits).distinct()
 
 
+def decontam_erase_eval(
+    eval_index: DataFrame,
+    hits: DataFrame,
+    erased_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Right-to-erasure for the decontamination state: BOTH relations are
+    keyed by the eval doc, so removing an eval document is one anti-join
+    per table (no re-shingling — the `postings_index_erase` cost class).
+    Returns ``(eval_index, hits)`` purged.
+
+    The converse — erasing a TRAIN document — is intentionally NOT
+    offered: the hit ledger is monotone and does not record WHICH train
+    doc caused a collision (that's what keeps it eval-bounded at 100 TB),
+    so un-hitting would need a full recount over the retained corpus.
+    Decontamination is a one-way safety screen — an eval gram once seen
+    in ANY training text stays burned whether or not that text is later
+    deleted (the conservative reading a leaderboard wants); if a
+    deployment truly needs train-side retraction, rebuild the ledger
+    from the retained corpus (one :func:`decontam_hits_merge` over it)."""
+    ids = erased_ids.select(F.col(id_col)).distinct()
+    return (
+        eval_index.join(ids, id_col, "left_anti"),
+        hits.join(ids, id_col, "left_anti"),
+    )
+
+
 def decontaminate_from_index(
     eval_df: DataFrame,
     eval_index: DataFrame,

@@ -1814,6 +1814,44 @@ def save_postings_index(
         )
 
 
+def append_postings_index(
+    delta_index: DataFrame, name: str, id_col: str = "doc_id"
+) -> None:
+    """Fold one day's :func:`postings_index` delta into a persisted
+    :func:`save_postings_index` layout WITHOUT rewriting it — the
+    insert-into path the save docstring promises: postings merge is
+    append-shaped for disjoint doc sets (a new doc's (doc, term, tf) and
+    length rows never collide with history's), so the daily maintenance
+    of the bucketed tables is `INSERT INTO` per table.  Spark routes the
+    inserted rows through the table's OWN bucket spec (each insert adds
+    one file set per bucket), so the co-located zero-Exchange join
+    property survives every append — pinned by the parity + plan test
+    (tests/test_r11_ops.py): append(base, delta) answers BM25 exactly
+    like save(base ∪ delta), still shuffle-free on the postings side.
+
+    Contract: ``delta_index`` holds ONLY new doc ids (the
+    fingerprint-screen front-guard of the other merges); a re-ingested
+    id would duplicate rather than replace — run
+    :func:`postings_index_erase` + re-save for replacements.  Tables
+    absent from the layout (a ``layouts=('by_doc',)`` save) are
+    skipped."""
+    spark = delta_index.sparkSession
+    tf = delta_index.filter(F.col("term").isNotNull())
+    dl = delta_index.filter(F.col("term").isNull()).select(
+        id_col, F.col("n").alias("dl")
+    )
+    def _insert(frame: DataFrame, t: str) -> None:
+        # insertInto is POSITION-based: project into the table's own
+        # column order first
+        frame.select(*spark.table(t).columns).write.insertInto(t)
+
+    if spark.catalog.tableExists(f"{name}_tf_by_doc"):
+        _insert(tf, f"{name}_tf_by_doc")
+    _insert(dl, f"{name}_dl")
+    if spark.catalog.tableExists(f"{name}_tf_by_term"):
+        _insert(tf, f"{name}_tf_by_term")
+
+
 def load_postings_index(
     spark, name: str, layout: str = "by_doc"
 ) -> tuple[DataFrame, DataFrame]:

@@ -268,6 +268,84 @@ def test_decontam_hits_merge_matches_one_shot(spark):
     assert _canon(again) == _canon(hits)
 
 
+def test_append_postings_index_matches_full_save(spark, tmp_path):
+    """Daily maintenance of the bucketed layout: INSERT INTO per table.
+    append(base, delta) ≡ save(base ∪ delta) for BM25 answers, and the
+    postings-side subplan stays shuffle-free after the append."""
+    from streaming_feature_store_spark.operators.text import (
+        append_postings_index,
+        corpus_stats_index,
+        corpus_stats_index_merge,
+    )
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    name_a = f"t_app_{uuid.uuid4().hex[:8]}"
+    name_f = f"t_full_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_postings_index(
+            postings_index(base), name_a, str(tmp_path / "a"), buckets=8
+        )
+        append_postings_index(postings_index(delta), name_a)
+        save_postings_index(
+            postings_index(docs), name_f, str(tmp_path / "f"), buckets=8
+        )
+        stats = corpus_stats_index_merge(
+            corpus_stats_index(base, bigrams=False),
+            corpus_stats_index(delta, bigrams=False),
+        ).persist()
+        qdf = spark.createDataFrame(
+            [("q1", "hash join strategy"), ("q2", "the vector scan")],
+            "query_id string, query_text string",
+        )
+        tf_a, dl_a = load_postings_index(spark, name_a)
+        tf_f, dl_f = load_postings_index(spark, name_f)
+        got = bm25_from_index(tf_a, stats, qdf, k=5, doc_lengths=dl_a)
+        want = bm25_from_index(tf_f, stats, qdf, k=5, doc_lengths=dl_f)
+        assert _canon(got) == _canon(want)
+        assert _canon(got) == _canon(bm25_topk(docs, qdf, k=5))
+        # co-location survives the append: tf ⋈ dl still exchange-free
+        joined = (
+            tf_a.withColumnRenamed("n", "tf")
+            .join(dl_a, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("s"))
+        )
+        assert joined.count() > 0
+        assert _shuffles(joined) == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        drop_postings_index(spark, name_a)
+        drop_postings_index(spark, name_f)
+
+
+def test_decontam_erase_eval_purges_both_relations(spark):
+    from streaming_feature_store_spark.operators.curation import (
+        decontam_erase_eval,
+        decontam_hits_merge,
+        decontam_index,
+    )
+
+    docs = _docs(spark, n=40, seed=11)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = decontam_index(ev, n=4).persist()
+    hits = decontam_hits_merge(None, train, idx, n=4).persist()
+    victim = ev.limit(1).select("doc_id")
+    vid = victim.collect()[0]["doc_id"]
+    idx2, hits2 = decontam_erase_eval(idx, hits, victim)
+    assert idx2.filter(F.col("doc_id") == vid).count() == 0
+    assert hits2.filter(F.col("doc_id") == vid).count() == 0
+    # equals a rebuild over the surviving eval set
+    surv = ev.filter(F.col("doc_id") != vid)
+    assert _canon(idx2) == _canon(decontam_index(surv, n=4))
+    assert _canon(hits2) == _canon(
+        decontam_hits_merge(None, train, decontam_index(surv, n=4), n=4)
+    )
+
+
 def test_decontam_hits_stream_matches_batch(spark, tmp_path):
     from streaming_feature_store_spark.operators.curation import (
         decontam_index,
