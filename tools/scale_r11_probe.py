@@ -216,15 +216,80 @@ def probe_line_dedup_antijoin(spark, tmp: str, n_docs: int) -> None:
         release_cached_intermediates()
 
 
+def probe_daily_ingest(spark, tmp: str, n_docs: int) -> None:
+    """C. the composed daily path priced on the delta: seed a base corpus
+    once (screen_near_dups=False — signatures only), then ingest a 1%
+    delta day through curation.daily_ingest, vs the NAIVE day that
+    re-runs every pipeline stage over base ∪ delta from scratch (exact
+    groups + near-dup pairs + stats + postings + quality)."""
+    import pyspark.sql.functions as F
+
+    from streaming_feature_store_spark.cacheutil import (
+        release_cached_intermediates,
+    )
+    from streaming_feature_store_spark.operators.curation import daily_ingest
+    from streaming_feature_store_spark.operators.dedup import (
+        exact_dup_groups,
+        minhash_near_dups,
+    )
+    from streaming_feature_store_spark.operators.text import (
+        corpus_stats_index,
+        postings_index,
+        unigram_nll,
+    )
+
+    print(f"== C. daily_ingest at {n_docs} base docs + 1% delta ==")
+    docs = synth_docs(spark, n_docs)
+    cut = int(n_docs * 0.99)
+    base = docs.filter(F.col("doc_id") < cut)
+    delta = docs.filter(F.col("doc_id") >= cut)
+    state = f"{tmp}/ingest_state"
+    _, t_seed = timed(
+        "  one-time base seeding (signatures + indexes)",
+        lambda: daily_ingest(base, state, bigrams=False,
+                             screen_near_dups=False),
+    )
+    release_cached_intermediates()
+
+    def day():
+        survivors, reports = daily_ingest(delta, state, bigrams=False)
+        return reports["quality"].count()
+
+    _, t_inc = timed("  incremental day (screen+merge+score, ONE call)", day)
+    release_cached_intermediates()
+
+    def naive():
+        alld = base.unionByName(delta)
+        n = exact_dup_groups(alld).count()
+        n += minhash_near_dups(alld).count()
+        corpus_stats_index(alld, bigrams=False).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/naive_stats")
+        postings_index(alld).write.mode("overwrite").parquet(
+            f"{tmp}/naive_postings"
+        )
+        return n + unigram_nll(delta).count()
+
+    _, t_full = timed("  naive day (recompute every stage over corpus)", naive)
+    release_cached_intermediates()
+    print(
+        f"  daily cost priced on the delta: {t_full:.1f}s -> {t_inc:.1f}s "
+        f"({t_full / max(t_inc, 1e-9):.1f}x); seeding amortized once "
+        f"({t_seed:.1f}s)"
+    )
+
+
 def main():
     n_a = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_b = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    n_c = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
     spark = get_spark("scale-r11")
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="r11probe_")
     try:
         probe_bm25_layout(spark, tmp, n_a)
         probe_line_dedup_antijoin(spark, tmp, n_b)
+        probe_daily_ingest(spark, tmp, n_c)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
