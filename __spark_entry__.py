@@ -45,12 +45,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # q71-q111 through the driver (last pinned on r4-r6-era HEADs; q112
 # overflows to PARITY_sf0.01_r11.txt).
 _PRIORITY = [
-    # r11 new + changed code paths (9)
-    "q242_bm25_persisted_layout", "q243_incremental_decontamination",
-    "q244_daily_ingest_lifecycle",
+    # r11 new + changed code paths (9) — cheap changed paths first so the
+    # heavy self-contained lifecycle queries (q242/q244) hit a warm JVM
     "q229_line_dedup", "q239_incremental_line_dedup",
-    "q237_bm25_from_index", "q235_incremental_tfidf",
-    "q236_incremental_lm_quality", "q238_incremental_dsir",
+    "q235_incremental_tfidf", "q236_incremental_lm_quality",
+    "q238_incremental_dsir", "q237_bm25_from_index",
+    "q243_incremental_decontamination",
+    "q242_bm25_persisted_layout", "q244_daily_ingest_lifecycle",
     # legacy cohort rotation (42)
     "q71_parts_never_bulk_shipped", "q72_winnow_containment_pairs",
     "q73_small_quantity_revenue", "q74_latest_features_per_user",
