@@ -1002,6 +1002,7 @@ def daily_ingest(
     minhash_threshold: float = 0.5,
     bigrams: bool = True,
     screen_near_dups: bool = True,
+    version: int | None = None,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """The composed daily-ingest pipeline as ONE operator (VERDICT r10
     next-item #5 — examples/demo_incremental_ingest.py productized):
@@ -1069,6 +1070,16 @@ def daily_ingest(
     its signatures must land in the index or day 1 cannot match against
     it.  Exact screening (tier 1) still applies; the report's near-dup
     columns come back all-clear.
+
+    ``version`` switches to the streaming sinks' batch-id discipline
+    (used by :func:`daily_ingest_sink`): snapshots are read with version
+    <= ``version`` (NOT the newest — a retried batch must re-ingest
+    against the PRE-batch view even if its crashed attempt already wrote
+    v=version+1) and every root writes ``v=version+1``, so a replay
+    overwrites its own partial output instead of double-counting the
+    delta into the statistics.  Default (None) is the batch/daily form:
+    read newest committed, write latest+1 per root — single writer per
+    state_root, the standard ingest-job contract.
     """
     from streaming_feature_store_spark.cacheutil import persist_tracked
     from streaming_feature_store_spark.operators.dedup import (
@@ -1094,7 +1105,10 @@ def daily_ingest(
         k: f"{state_root}/{k}"
         for k in ("fingerprint", "minhash", "stats", "postings")
     }
-    vers = {k: _latest_snapshot(r, None) for k, r in roots.items()}
+    vers = {k: _latest_snapshot(r, version) for k, r in roots.items()}
+
+    def _next_v(kind: str) -> int:
+        return (version + 1) if version is not None else (vers[kind] or 0) + 1
 
     def _snap(kind):
         return spark.read.parquet(f"{roots[kind]}/v={vers[kind]}")
@@ -1178,7 +1192,7 @@ def daily_ingest(
             F.coalesce("_kept", F.lit(False)).alias("kept"),
         )
     )
-    day_v = (vers["fingerprint"] or 0) + 1
+    day_v = _next_v("fingerprint")
     screen_plan.write.mode("overwrite").parquet(
         f"{state_root}/reports/v={day_v}"
     )
@@ -1208,12 +1222,12 @@ def daily_ingest(
         ("postings", post_updated),
     ):
         updated.write.mode("overwrite").parquet(
-            f"{roots[kind]}/v={(vers[kind] or 0) + 1}"
+            f"{roots[kind]}/v={_next_v(kind)}"
         )
 
     # step 4: survivor quality read from the snapshot just written
     written_stats = spark.read.parquet(
-        f"{roots['stats']}/v={(vers['stats'] or 0) + 1}"
+        f"{roots['stats']}/v={_next_v('stats')}"
     )
     quality = unigram_nll_from_index(
         survivors, written_stats, id_col, text_col
@@ -1226,3 +1240,25 @@ def daily_ingest(
         )
 
     return survivors, {"screen": screen, "quality": quality}
+
+
+def daily_ingest_sink(state_root: str, **kwargs):
+    """``foreachBatch`` twin of :func:`daily_ingest` — the streaming
+    ingest gate as ONE handler: each micro-batch of documents runs the
+    full screen → survivors → index-merge sequence under the batch-id
+    snapshot discipline (``daily_ingest(version=batch_id)``), so a
+    retried batch re-ingests against the PRE-batch snapshots and
+    overwrites its own ``v=<id+1>`` outputs — the delta can never
+    double-count into the statistics (pytest replay case).  The per-batch
+    screen report lands under ``state_root/reports/v=<id+1>`` as the
+    audit trail; downstream consumers read survivors as
+    ``batch ⋉ report[kept]``.  ``kwargs`` pass through (thresholds,
+    bigrams, id/text columns, seeding mode for a bootstrap batch)."""
+    from pyspark.sql import DataFrame
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        daily_ingest(batch_df, state_root, version=batch_id, **kwargs)
+
+    return _handle

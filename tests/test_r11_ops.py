@@ -481,6 +481,63 @@ def test_daily_ingest_seeding_mode_skips_pairs_but_indexes(spark, tmp_path):
     assert row["is_exact_dup"] and not row["kept"]
 
 
+def test_daily_ingest_sink_stream_and_retry(spark, tmp_path):
+    """Streaming twin of the composed ingest: micro-batches run the full
+    screen -> survivors -> merge under the batch-id discipline.  Post-
+    drain the stats snapshot equals a one-shot build over the union of
+    per-batch survivors, and replaying a batch never double-counts."""
+    import os
+
+    from streaming_feature_store_spark.operators.curation import (
+        daily_ingest_sink,
+    )
+    from streaming_feature_store_spark.operators.text import (
+        corpus_stats_index,
+    )
+    from streaming_feature_store_spark.streaming.dedup import _latest_snapshot
+
+    rows_b0 = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "spark shuffles data across the cluster every night"),
+    ]
+    rows_b1 = [
+        (10, "the quick brown fox jumps over the lazy dog today"),  # recrawl
+        (11, "window functions rank rows within partitions cheaply"),
+    ]
+    rows_b2 = [
+        (20, "completely novel content about embeddings and retrieval"),
+    ]
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for rows in (rows_b0, rows_b1, rows_b2):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+    _drain(
+        spark,
+        tmp_path,
+        daily_ingest_sink(state, bigrams=False),
+        "ckpt_di",
+        src,
+    )
+    v = _latest_snapshot(f"{state}/stats", None)
+    survivors = spark.createDataFrame(
+        [r for r in rows_b0 + rows_b1 + rows_b2 if r[0] != 10],
+        "doc_id long, text string",
+    )
+    got = spark.read.parquet(f"{state}/stats/v={v}")
+    assert _canon(got) == _canon(corpus_stats_index(survivors, bigrams=False))
+    # replay the last batch (crashed-attempt retry): identical snapshot,
+    # no double counts
+    b2 = spark.createDataFrame(rows_b2, "doc_id long, text string")
+    daily_ingest_sink(state, bigrams=False)(b2, 2)
+    got2 = spark.read.parquet(f"{state}/stats/v=3")
+    assert _canon(got2) == _canon(
+        corpus_stats_index(survivors, bigrams=False)
+    )
+
+
 def test_line_freq_sink_retry_rereads_prebatch_snapshot(spark, tmp_path):
     """Replaying handler(b1, 1) twice must leave v=2 identical — the
     retry reads the PRE-batch snapshot, not its own crashed attempt."""
