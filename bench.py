@@ -137,10 +137,33 @@ def main() -> None:
     controls_per_rep = {n: per_rep[n] for n in _CONTROLS if n in per_rep}
     control_index = round(sum(controls.values()), 3) if controls else None
 
+    # self-describing artifact fields (VERDICT r11 #7): total, the commit
+    # the run measured, and the control block together let
+    # tools/bench_compare.py adjudicate a round-over-round diff from the
+    # artifacts alone, no PERFORMANCE.md prose needed
+    head = None
+    try:
+        import subprocess
+
+        head = (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        pass
+
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "catalog_total_runtime",
         "value": total,
+        "total_sec": total,
+        "head": head,
         "unit": "sec",
         "queries": times,
         "sf": sf,

@@ -62,11 +62,12 @@ def main() -> None:
     delta = docs.filter(F.col("doc_id") % 10 == 0)     # today's crawl
 
     print("== day 0: build persistent corpus state (one-time) ==")
-    # seed fingerprint/minhash/stats/postings v=1 snapshots in one call —
-    # day 0 is just daily_ingest against empty indexes
+    # seed the fingerprint/minhash/postings delta logs (d=1) + stats
+    # snapshot (v=1) in one call — day 0 is just daily_ingest against
+    # empty indexes
     base_surv, _ = daily_ingest(base, state)
     print(f"  ingest state: {base_surv.count()} base docs seeded 4 indexes "
-          f"-> {state}/{{fingerprint,minhash,stats,postings}}/v=1")
+          f"-> {state}/{{fingerprint,minhash,postings}}/d=1 + stats/v=1")
     save_ivf_index(emb, f"{tmp}/ivf", nlist=16)
     print(f"  ANN index:   16 cells persisted  -> {tmp}/ivf")
     merges = train_bpe(base, n_merges=60, sample_docs=None)
@@ -112,19 +113,29 @@ def main() -> None:
     for r in nn.orderBy("query_id", "rank").collect():
         print(f"    q{r['query_id']} -> {r['nbr_id']} "
               f"(cosine {r['cosine']:.4f}, rank {r['rank']})")
-    print("== day 2: a DSAR erasure request propagates into the indexes ==")
-    from streaming_feature_store_spark.operators.dedup import (
-        erase_from_minhash_index,
-    )
+    print("== day 2: a DSAR erasure request propagates into ALL indexes "
+          "(ONE call) ==")
+    from streaming_feature_store_spark.operators.curation import daily_erase
     from streaming_feature_store_spark.operators.similarity import (
         erase_from_ivf_index,
     )
 
-    erase_docs = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
-    idx2 = spark.read.parquet(f"{state}/minhash/v=2")
-    purged = erase_from_minhash_index(idx2, erase_docs)
-    print(f"  dedup index: {idx2.count()} -> {purged.count()} docs after "
-          f"purging {erase_docs.count()} erased ids")
+    kept_ids = {r["doc_id"] for r in base_surv.select("doc_id").collect()} | {
+        r["doc_id"] for r in survivors.select("doc_id").collect()
+    }
+    erase_docs = docs.filter(
+        (F.col("doc_id") % 97 == 0) & F.col("doc_id").isin(kept_ids)
+    )
+    retained = docs.filter(
+        (F.col("doc_id") % 97 != 0) & F.col("doc_id").isin(kept_ids)
+    )
+    # fingerprint ledger / minhash signatures / stats counts / postings —
+    # erased state commits at the next day version, THEN the pre-erase
+    # dirs are physically removed (the composed r12 daily_erase)
+    report = daily_erase(erase_docs, state, corpus=retained)
+    for r in report.orderBy("index").collect():
+        print(f"  {r['index']:<12} {r['rows_before']} -> {r['rows_after']} "
+              f"rows after purging {erase_docs.count()} erased ids")
     erase_vecs = emb.filter(F.col("vec_id") % 97 == 0).select("vec_id")
     n_cells = erase_from_ivf_index(spark, f"{tmp}/ivf", erase_vecs)
     print(f"  ANN index:   {erase_vecs.count()} vectors purged; only "
@@ -134,7 +145,9 @@ def main() -> None:
         erase_from_cluster_index,
         minhash_index_pairs,
     )
+    from streaming_feature_store_spark.streaming.dedup import read_index_log
 
+    idx2 = read_index_log(spark, f"{state}/minhash")
     pairs = minhash_index_pairs(idx2, threshold=0.5).select("doc_a", "doc_b")
     labels = dedup_clusters(pairs)
     # erase a cluster REPRESENTATIVE — the hard case: the min-id label
@@ -149,26 +162,25 @@ def main() -> None:
     print(f"  cluster labels: erased representative doc {vid}; "
           f"{labels.count()} -> {repaired.count()} rows, "
           f"{changed} relabeled (affected component re-solved only)")
-    print("== day 3: retention sweep bounds snapshot growth ==")
-    # daily_ingest (like the streaming sinks) versions every index write
-    # as <root>/v=<n> so a retried batch can re-read its pre-batch
-    # snapshot and concurrent readers keep their version.  The cost is
-    # retained history: without a sweep each root grows one full snapshot
-    # per day.  The erasure result lands as v=3; then prune.
-    from streaming_feature_store_spark.streaming.dedup import (
-        prune_snapshots,
+    print("== day 3: compaction folds the delta logs; sweep bounds "
+          "snapshot growth ==")
+    # each ingest day APPENDS a d=<n> delta dir (writes price on the
+    # delta — the r12 layout); the maintenance sweep folds the logs back
+    # into one base/v=<k> and prunes old stats snapshots (keep_last=2 —
+    # never 1, so an in-flight retry keeps its pre-batch view)
+    from streaming_feature_store_spark.operators.curation import (
+        compact_ingest_state,
     )
 
-    snap_root = f"{state}/minhash"
-    purged.write.parquet(f"{snap_root}/v=3")
-    before = sorted(d for d in os.listdir(snap_root) if d.startswith("v="))
-    pruned = prune_snapshots(snap_root, keep_last=2)
-    after = sorted(d for d in os.listdir(snap_root) if d.startswith("v="))
-    print(f"  snapshots before sweep: {before}")
-    print(f"  pruned versions {pruned} (keep_last=2 — never 1, so an "
-          f"in-flight retry of the current batch keeps its pre-batch view)")
-    print(f"  snapshots after sweep:  {after}; newest still queryable: "
-          f"{spark.read.parquet(f'{snap_root}/v=3').count()} docs")
+    post_root = f"{state}/postings"
+    before = sorted(d for d in os.listdir(post_root) if d.startswith("d="))
+    res = compact_ingest_state(spark, state)
+    after = sorted(os.listdir(post_root))
+    print(f"  postings log before sweep: {before}")
+    print(f"  compacted to base/v={res['postings']}; stats snapshots "
+          f"pruned: {res['stats_pruned']}")
+    print(f"  postings root after sweep: {after}; still queryable: "
+          f"{read_index_log(spark, post_root).count()} rows")
     print("== done: recurring cost priced on the delta; corpus state reused ==")
     spark.stop()
 

@@ -897,6 +897,7 @@ def minhash_index_merge(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    delta_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Merge a document delta into a persisted MinHash index: returns
     ``(new_pairs, updated_index)`` where ``new_pairs`` is every verified
@@ -928,9 +929,16 @@ def minhash_index_merge(
     # ReusedExchange for shared subplans, so persist the small delta
     # lineage once.  The BASE index is the caller's: pass a parquet-
     # backed (the production shape) or persisted frame, or its lineage
-    # recomputes per consumer.
-    new_index = persist_tracked(
-        build_minhash_index(new_docs, text_col, id_col, n, k, bands)
+    # recomputes per consumer.  ``delta_index`` lets a caller that
+    # ALREADY built (and persisted) the delta's signatures reuse them —
+    # the daily-ingest delta-log path builds them once for both this
+    # screen and the day's appended rows.
+    new_index = (
+        delta_index
+        if delta_index is not None
+        else persist_tracked(
+            build_minhash_index(new_docs, text_col, id_col, n, k, bands)
+        )
     )
     surviving = index.join(new_index.select(id_col), id_col, "left_anti")
     updated = surviving.unionByName(new_index.select(*index.columns))
@@ -1008,6 +1016,44 @@ def fingerprint_index_merge(
     return screen, updated
 
 
+def fingerprint_log_screen(
+    new_docs: DataFrame,
+    log: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-recrawl screen against the RAW fingerprint delta log — the
+    un-aggregated union of per-day :func:`exact_dup_groups` rows the
+    delta-log layout persists (streaming/dedup.py ``read_index_log``).
+    Same output as ``fingerprint_index_merge(...)[0]`` against the
+    aggregated ledger: one row per delta doc with its md5
+    ``fingerprint``, the corpus representative ``match_id`` (the MIN
+    ``first_doc_id`` over every day-row of that fingerprint — day-local
+    mins compose to the global min) and ``is_corpus_dup``.
+
+    The scale point of screening the log RAW: joining delta fingerprints
+    against the log and aggregating per DELTA doc keeps the one shuffle
+    |delta|-bounded.  Reconstructing snapshot-shaped ledger rows first
+    (groupBy fingerprint over base ∪ deltas) would shuffle the whole
+    corpus-sized ledger every day just to serve a delta-sized probe —
+    AQE broadcasts the delta side here, so the log is scanned, never
+    exchanged."""
+    fps = fingerprint(new_docs, text_col)
+    return (
+        fps.join(
+            log.select("fingerprint", "first_doc_id"), "fingerprint", "left"
+        )
+        .groupBy(id_col, "fingerprint")
+        .agg(F.min("first_doc_id").alias("match_id"))
+        .select(
+            id_col,
+            "fingerprint",
+            "match_id",
+            F.col("match_id").isNotNull().alias("is_corpus_dup"),
+        )
+    )
+
+
 def minhash_index_screen(
     new_docs: DataFrame,
     index: DataFrame,
@@ -1017,6 +1063,7 @@ def minhash_index_screen(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    delta_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Decision-ready form of :func:`minhash_index_merge`: one row PER
     DELTA DOC — ``(doc_id, is_near_dup, best_match_id, best_jaccard,
@@ -1035,7 +1082,8 @@ def minhash_index_screen(
     (``dedup_clusters``) and audit.
     """
     pairs, updated = minhash_index_merge(
-        new_docs, index, text_col, id_col, n, k, bands, threshold
+        new_docs, index, text_col, id_col, n, k, bands, threshold,
+        delta_index=delta_index,
     )
     delta_ids = new_docs.select(F.col(id_col)).distinct()
     sided = pairs.select(

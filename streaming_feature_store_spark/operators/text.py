@@ -555,8 +555,10 @@ def bm25_topk(
     tokenize pass builds tf per (doc, term) [persisted — it feeds doc
     lengths, document frequency, and the final score join]; N/avgdl ride
     along as a broadcast one-row aggregate (lazy crossJoin, no driver
-    action); per-(query, term) idf is a few-row frame BROADCAST against
-    tf, so the corpus-sized side never shuffles for the match — the join
+    action); per-(query, term) idf is a few-row frame AQE broadcasts
+    against tf (unhinted — the runtime size gate, so a bulk query batch
+    degrades to a shuffled join instead of shipping GBs per executor),
+    so the corpus-sized side never shuffles for the match — the join
     prunes tf to query-term postings first (the inverted-index access
     pattern, expressed relationally), and only those postings join doc
     lengths (AQE promotes the pruned side). Ranking is on the
@@ -601,8 +603,12 @@ def bm25_topk(
         tf_c * (k1 + 1.0)
         / (tf_c + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
+    # qterms carries NO broadcast hint (the AQE-gate policy): the
+    # runtime size gate broadcasts a normal query batch — same plan as
+    # the old forced hint — and falls back to a shuffled join for a
+    # bulk batch the hint would have shipped to every executor
     scored = (
-        tf.join(broadcast(qterms), "term")
+        tf.join(qterms, "term")
         .join(dl, id_col)
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum(contrib), 6).alias("score"))
@@ -1952,8 +1958,19 @@ def bm25_from_index(
         tf_c * (k1 + 1.0)
         / (tf_c + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
+    # NO broadcast hint on the query-term side (VERDICT r11 #2 — the
+    # same AQE-gate policy as the vocab joins, and the reason the
+    # by_term layout can finally serve its stated regime): a retrieval
+    # batch is tiny and AQE's runtime gate broadcasts it anyway, so the
+    # by_doc bucketing survives the join and the dl join + (query, doc)
+    # aggregation stay exchange-free; a query batch too LARGE to
+    # broadcast (bulk decontamination screens, 10^6-query eval suites)
+    # joins the term-bucketed `load_postings_index(layout='by_term')`
+    # copy with qterms shuffled to the buckets — no corpus-side Exchange
+    # (plan-pinned, tests/test_r12_ops.py).  The forced hint would have
+    # shipped the whole batch to every executor.
     scored = (
-        tf.join(broadcast(qterms), "term")
+        tf.join(qterms, "term")
         .join(dl, id_col)
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum(contrib), 6).alias("score"))

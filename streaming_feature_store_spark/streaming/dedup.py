@@ -35,6 +35,27 @@ def dedup_events(
     )
 
 
+def _versioned_dirs(
+    index_root: str, prefix: str = "v"
+) -> dict[int, bool]:
+    """List ``<prefix>=<n>`` directories under ``index_root`` →
+    ``{version: committed}`` where committed means the directory carries
+    parquet's ``_SUCCESS`` job marker.  Local-FS listing here; on a
+    cluster this is one catalog/manifest lookup."""
+    import os
+    import re
+
+    out: dict[int, bool] = {}
+    if os.path.isdir(index_root):
+        for d in os.listdir(index_root):
+            m = re.fullmatch(rf"{prefix}=(\d+)", d)
+            if m:
+                out[int(m.group(1))] = os.path.exists(
+                    os.path.join(index_root, d, "_SUCCESS")
+                )
+    return out
+
+
 def _latest_snapshot(index_root: str, batch_id: int | None) -> int | None:
     """Newest COMMITTED snapshot version ≤ batch_id.  NOT the global max:
     a crashed attempt of THIS batch may already have written v=<id+1>,
@@ -50,21 +71,35 @@ def _latest_snapshot(index_root: str, batch_id: int | None) -> int | None:
     ``<= batch_id`` filter only excludes its own retries) would treat
     the torn snapshot as newest and read a partial index.  ``_SUCCESS``
     appears only at job commit, so gating on it is exactly the
-    visibility rule a table format's manifest provides.  Local-FS
-    listing here; on a cluster this is one catalog/manifest lookup."""
-    import os
-    import re
+    visibility rule a table format's manifest provides.
 
-    versions = []
-    if os.path.isdir(index_root):
-        for d in os.listdir(index_root):
-            m = re.fullmatch(r"v=(\d+)", d)
-            if (
-                m
-                and (batch_id is None or int(m.group(1)) <= batch_id)
-                and os.path.exists(os.path.join(index_root, d, "_SUCCESS"))
-            ):
-                versions.append(int(m.group(1)))
+    Committer-config dependency (ADVICE r11): snapshots written by a
+    session with ``mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    false``, or staged by external tooling without the marker, are
+    invisible to this gate.  When ``v=`` directories exist in scope but
+    NONE is committed, that is indistinguishable from a wiped state
+    root — a daily job would silently reseed as day 0 — so this warns
+    loudly instead of returning None in silence (it still returns None:
+    a day-0 crashed attempt legitimately leaves exactly one torn dir
+    and its retry must proceed as day 0)."""
+    import warnings
+
+    dirs = _versioned_dirs(index_root)
+    in_scope = {
+        v: ok
+        for v, ok in dirs.items()
+        if batch_id is None or v <= batch_id
+    }
+    versions = [v for v, ok in in_scope.items() if ok]
+    if in_scope and not versions:
+        warnings.warn(
+            f"{index_root}: {len(in_scope)} v= snapshot dir(s) exist but "
+            "none carries a _SUCCESS marker — treating as empty (day 0). "
+            "If these snapshots were written without the marker "
+            "(marksuccessfuljobs=false or external tooling), readers and "
+            "writers cannot see them; re-commit with the marker.",
+            stacklevel=2,
+        )
     return max(versions) if versions else None
 
 
@@ -253,28 +288,165 @@ def ivf_index_sink(
 
 def prune_snapshots(index_root: str, keep_last: int = 2) -> list[int]:
     """Retention sweep for batch-id-versioned index snapshots: delete all
-    but the newest ``keep_last`` versions and return the pruned version
-    numbers.  Run it OUTSIDE the stream (a maintenance job), and keep at
-    least 2 so an in-flight retry of the current batch can still read its
-    pre-batch snapshot — pruning to 1 while batch N retries would drop
-    the version the retry needs.  Driver-side file ops (snapshots are
-    directories this process owns); a cluster deployment maps this to
-    the table format's expire-snapshots call."""
+    but the newest ``keep_last`` COMMITTED versions and return the pruned
+    version numbers.  Run it OUTSIDE the stream (a maintenance job), and
+    keep at least 2 so an in-flight retry of the current batch can still
+    read its pre-batch snapshot — pruning to 1 while batch N retries
+    would drop the version the retry needs.
+
+    Only ``_SUCCESS``-committed versions count toward ``keep_last``
+    (ADVICE r11): a torn (crashed mid-write) directory is not a snapshot
+    any reader can use, so letting it occupy a keep slot could delete
+    the last COMMITTED snapshot while two torn newer dirs survive —
+    leaving readers with no visible state.  Torn dirs OLDER than the
+    newest committed version are garbage from crashed attempts whose
+    retries have since succeeded and are swept too; torn dirs NEWER than
+    it are left alone (an in-flight writer may be mid-commit on them).
+
+    Driver-side file ops (snapshots are directories this process owns);
+    a cluster deployment maps this to the table format's
+    expire-snapshots call."""
     import os
-    import re
     import shutil
 
-    if not os.path.isdir(index_root):
-        return []
-    versions = sorted(
-        int(m.group(1))
-        for d in os.listdir(index_root)
-        if (m := re.fullmatch(r"v=(\d+)", d))
-    )
-    pruned = versions[:-keep_last] if keep_last > 0 else versions
-    for v in pruned:
+    dirs = _versioned_dirs(index_root)
+    committed = sorted(v for v, ok in dirs.items() if ok)
+    pruned = committed[:-keep_last] if keep_last > 0 else committed
+    if committed:
+        newest = committed[-1]
+        pruned += [v for v, ok in dirs.items() if not ok and v < newest]
+    for v in sorted(pruned):
         shutil.rmtree(os.path.join(index_root, f"v={v}"))
-    return pruned
+    return sorted(pruned)
+
+
+# --- delta-log index layout (VERDICT r11 next-item #1) ----------------------
+#
+# The versioned-snapshot discipline above rewrites the WHOLE index every
+# batch — fine for vocabulary-bounded state (corpus stats), O(corpus) write
+# amplification for doc-keyed state (fingerprint ledger, MinHash signatures,
+# BM25 postings: one row per doc / per (doc, term)).  Those relations are
+# append-shaped under the daily-ingest contract (doc ids unique across
+# days; recrawls are screened by fingerprint before they reach the other
+# indexes), so their persisted form is a DELTA LOG:
+#
+#   root/
+#     base/v=<k>/   optional compacted base covering days 1..k
+#     d=<n>/        day n's delta rows only
+#
+# both committed via the same ``_SUCCESS`` gate as snapshots.  The logical
+# index at version V = newest committed base k ≤ V, unioned with committed
+# deltas k < d ≤ V.  A day's write is |delta|-sized; reads scan the same
+# rows a snapshot would; compaction (a maintenance job, like
+# prune_snapshots) folds the log back into one base when file counts
+# grow.  This is the LSM/table-format shape (Iceberg append snapshots,
+# Delta add-files) expressed on plain parquet directories.
+
+
+def log_version(index_root: str, batch_id: int | None = None) -> int | None:
+    """Newest committed version of a delta-log root ≤ batch_id: the max
+    over committed ``d=<n>`` delta dirs and ``base/v=<k>`` compacted
+    bases.  Same reader/retry semantics as :func:`_latest_snapshot`
+    (``None`` scope = newest outright)."""
+    import os
+
+    deltas = _versioned_dirs(index_root, "d")
+    bases = _versioned_dirs(os.path.join(index_root, "base"), "v")
+    versions = [
+        v
+        for src in (deltas, bases)
+        for v, ok in src.items()
+        if ok and (batch_id is None or v <= batch_id)
+    ]
+    return max(versions) if versions else None
+
+
+def append_log_delta(df, index_root: str, version: int) -> None:
+    """Land one day's delta rows as ``root/d=<version>`` (mode=overwrite:
+    a retried batch overwrites its own crashed attempt — the same
+    batch-derived-path idempotence as the snapshot sinks, with
+    |delta|-sized I/O instead of an O(corpus) rewrite)."""
+    df.write.mode("overwrite").parquet(f"{index_root}/d={version}")
+
+
+def read_index_log(spark, index_root: str, version: int | None = None):
+    """Assemble the logical index at ``version`` (None = newest) from a
+    delta-log root: one multi-path parquet scan over the newest committed
+    base ≤ version plus the committed deltas above it.  Returns ``None``
+    when the log holds no readable rows (day 0, or every in-scope delta
+    was empty) — callers seed an empty-schema frame, exactly as for a
+    missing snapshot.
+
+    The union is a SCAN, not a merge: doc-keyed index rows are disjoint
+    across days by contract, so no aggregation is needed to read them.
+    (The fingerprint ledger is the one consumer that would need a
+    groupBy to reconstruct snapshot-shaped rows — its screen
+    deliberately avoids that via ``dedup.fingerprint_log_screen``, which
+    aggregates per DELTA doc, never per corpus row;
+    :func:`compact_index_log` takes the groupBy as its ``merge`` arg.)"""
+    import os
+
+    v = version if version is not None else log_version(index_root)
+    if v is None:
+        return None
+    bases = _versioned_dirs(os.path.join(index_root, "base"), "v")
+    base_k = max(
+        (k for k, ok in bases.items() if ok and k <= v), default=None
+    )
+    paths = []
+    if base_k is not None:
+        paths.append(f"{index_root}/base/v={base_k}")
+    lo = base_k if base_k is not None else 0
+    paths += [
+        f"{index_root}/d={n}"
+        for n, ok in sorted(_versioned_dirs(index_root, "d").items())
+        if ok and lo < n <= v
+    ]
+    if not paths:
+        return None
+    try:
+        return spark.read.parquet(*paths)
+    except Exception:
+        # every in-scope dir is empty (a committed write of a 0-row
+        # frame leaves _SUCCESS and no data files) — logically an
+        # empty index
+        return None
+
+
+def compact_index_log(
+    spark, index_root: str, merge=None, delete_old: bool = True
+) -> int | None:
+    """Fold a delta log back into one base: read the logical index at the
+    newest committed version V, apply ``merge`` (e.g. the fingerprint
+    ledger's groupBy-sum/min; None = plain rewrite), commit it as
+    ``base/v=V``, then delete the version-≤V dirs it subsumes.  Returns
+    V (None if the log is empty).
+
+    Crash-safe by the same gate as everything else: a torn ``base/v=V``
+    is invisible, and the moment it commits the reader rule (newest base
+    k, deltas > k) stops consulting the old dirs — deletion afterwards
+    is pure space reclamation.  Run it OUTSIDE the writer (a maintenance
+    job, like :func:`prune_snapshots`); dirs NEWER than V (an in-flight
+    day) are never touched."""
+    import os
+    import shutil
+
+    v = log_version(index_root)
+    if v is None:
+        return None
+    df = read_index_log(spark, index_root, v)
+    if df is None:
+        return None
+    out = merge(df) if merge is not None else df
+    out.write.mode("overwrite").parquet(f"{index_root}/base/v={v}")
+    if delete_old:
+        for n in _versioned_dirs(index_root, "d"):
+            if n <= v:
+                shutil.rmtree(f"{index_root}/d={n}")
+        for k in _versioned_dirs(os.path.join(index_root, "base"), "v"):
+            if k < v:
+                shutil.rmtree(f"{index_root}/base/v={k}")
+    return v
 
 
 def stats_index_sink(

@@ -439,8 +439,16 @@ def test_daily_ingest_two_days(spark, tmp_path):
     assert _canon(spark.read.parquet(f"{root}/stats/v={vs}")) == _canon(
         corpus_stats_index(all_surv, bigrams=False)
     )
-    vp = _latest_snapshot(f"{root}/postings", None)
-    assert _canon(spark.read.parquet(f"{root}/postings/v={vp}")) == _canon(
+    # postings live in the delta-log layout (r12): per-day d=<n> dirs,
+    # logically the union — still exactly the one-shot survivor build
+    from streaming_feature_store_spark.streaming.dedup import (
+        log_version,
+        read_index_log,
+    )
+
+    vp = log_version(f"{root}/postings")
+    assert vp == 2
+    assert _canon(read_index_log(spark, f"{root}/postings")) == _canon(
         postings_index(all_surv)
     )
     # survivor quality scores ≡ full recompute over the survivor corpus

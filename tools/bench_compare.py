@@ -57,6 +57,24 @@ def main():
         f"{len(regs)} regression(s), {len(imps)} improvement(s) "
         f"beyond {ratio}x (>= {min_sec}s)"
     )
+    # self-contained adjudication (VERDICT r11 #7): the artifacts carry
+    # head + controls, so the host-band correction is one division here
+    # instead of a PERFORMANCE.md investigation
+    print(f"heads: {old.get('head')} -> {new.get('head')}")
+    co, cn = old.get("control_index_sec"), new.get("control_index_sec")
+    to, tn = old.get("total_sec", old.get("value")), new.get(
+        "total_sec", new.get("value")
+    )
+    if co and cn and to and tn:
+        drift = cn / co
+        common = set(qo) & set(qn)
+        so = sum(qo[q] for q in common)
+        sn = sum(qn[q] for q in common)
+        print(
+            f"controls: {co}s -> {cn}s (host band x{drift:.2f}); "
+            f"common-{len(common)} sum {so:.1f}s -> {sn:.1f}s "
+            f"(x{sn / so:.2f} raw, x{sn / so / drift:.2f} band-corrected)"
+        )
     sys.exit(1 if regs else 0)
 
 
