@@ -33,47 +33,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # 234/234, checked name-by-name by the r9 judge), and the full catalog is
 # re-pinned per round by the committed PARITY_sf0.01_r0N.txt runs on final
 # HEAD.
-# Round 11's window (r10 verdict item #4): front slots carry this round's
-# NEW paths (q242 BM25 over the EXECUTABLE bucketed postings layout —
-# save/load_postings_index with the co-located zero-Exchange dl join;
-# q243 incremental eval-set decontamination over a persisted hit index)
-# and the r11 CHANGED paths (q229/q239: the boilerplate anti-join lost
-# its forced broadcast hint per the AQE-gate policy, VERDICT r10 #1;
-# q237: bm25_from_index grew the doc_lengths split-table input; q235/
-# q236/q238: the from-index scorers grew the validate contract guard,
-# ADVICE r10); the remaining slots ROTATE THE NEXT LEGACY COHORT
-# q71-q111 through the driver (last pinned on r4-r6-era HEADs; q112
-# overflows to PARITY_sf0.01_r11.txt).
+# Round 12's window (r11 verdict item #3): front slots carry this round's
+# NEW paths (q245 the composed daily_erase DSAR day — every ingest index
+# erased in one call, stats readout vs a from-scratch survivor rebuild;
+# q246 two delta-log ingest days + compact_ingest_state + BM25 answered
+# straight off the compacted log) and the r12 CHANGED paths (q244: the
+# daily_ingest state moved to the per-day delta-log layout with the
+# consistent min-version read, VERDICT r11 #1 + ADVICE; q242/q237/q152:
+# bm25_from_index and bm25_topk dropped the forced broadcast(qterms)
+# per the AQE-gate policy, VERDICT r11 #2); the remaining slots ROTATE
+# THE NEXT LEGACY COHORT q112-q156 through the driver (last pinned on
+# r5-r7-era HEADs; q152 rides with the changed paths).
 _PRIORITY = [
-    # r11 new + changed code paths (9) — cheap changed paths first so the
-    # heavy self-contained lifecycle queries (q242/q244) hit a warm JVM
-    "q229_line_dedup", "q239_incremental_line_dedup",
-    "q235_incremental_tfidf", "q236_incremental_lm_quality",
-    "q238_incremental_dsir", "q237_bm25_from_index",
-    "q243_incremental_decontamination",
+    # r12 new + changed code paths (6) — cheap changed paths first so the
+    # heavy self-contained lifecycle queries (q244-q246) hit a warm JVM
+    "q152_bm25_topk", "q237_bm25_from_index",
     "q242_bm25_persisted_layout", "q244_daily_ingest_lifecycle",
-    # legacy cohort rotation (42)
-    "q71_parts_never_bulk_shipped", "q72_winnow_containment_pairs",
-    "q73_small_quantity_revenue", "q74_latest_features_per_user",
-    "q75_cube_revenue", "q76_nation_trade_flows",
-    "q77_event_type_hour_pivot", "q78_solely_late_suppliers",
-    "q79_weekly_retention", "q80_churned_purchasers",
-    "q81_approx_percentiles", "q82_json_props_stats",
-    "q83_inactive_high_balance", "q84_order_count_distribution",
-    "q85_brand_revenue_share", "q86_top_supplier_revenue",
-    "q87_large_orders", "q88_tfidf_top_terms",
-    "q89_min_unit_price_supplier", "q90_event_transitions",
-    "q91_knn_label_agreement", "q92_rolling_distinct_users",
-    "q93_new_vs_returning", "q94_column_profile",
-    "q95_per_source_quota", "q96_next_click_after_purchase",
-    "q97_regional_supplier_revenue", "q98_returned_items_customers",
-    "q99_supplier_nation_year_revenue", "q100_disjunctive_predicates",
-    "q101_unigram_logprob", "q102_bigram_collocations",
-    "q103_first_touch_attribution", "q104_iqr_outlier_gate",
-    "q105_market_share", "q106_value_decile_lift",
-    "q107_ordered_funnel_depth", "q108_sketch_rollup",
-    "q109_audience_overlap", "q110_kll_quantile_rollup",
-    "q111_heavy_hitters", "q112_sequence_packing",
+    "q245_daily_erase_lifecycle", "q246_compacted_ingest_bm25",
+    # legacy cohort rotation (44)
+    "q112_sequence_packing", "q113_scd2_history",
+    "q114_winsorized_stats", "q115_value_histogram",
+    "q116_source_overlap", "q117_cluster_cohesion",
+    "q118_order_value_gini", "q119_brand_basket_lift",
+    "q120_last_touch_attribution", "q121_user_adoption_curve",
+    "q122_session_bounce_rate", "q123_payload_stats",
+    "q124_grouping_sets_stats", "q125_supplier_top_part",
+    "q126_value_percent_rank", "q127_mad_by_group",
+    "q128_locf_gap_fill", "q129_complete_users",
+    "q130_priority_shipment_classes", "q131_part_supplier_counts",
+    "q132_concentrated_suppliers", "q133_post_purchase_activity",
+    "q134_linear_interpolation", "q135_weighted_sample",
+    "q136_nation_pagerank", "q137_user_event_sequences",
+    "q138_negative_samples", "q139_feature_correlations",
+    "q140_categorical_entropy", "q141_benford_digits",
+    "q142_feature_association", "q143_cusum_changepoint",
+    "q144_feature_service_read", "q145_fuzzy_name_pairs",
+    "q146_data_quality_report", "q147_returnflag_price_regression",
+    "q148_decay_attribution", "q149_quarantine_rows",
+    "q150_bpe_merges", "q151_bpe_token_counts",
+    "q153_dsir_weights", "q154_k_anonymize",
+    "q155_snapshot_diff", "q156_kmeans_lloyd_step",
 ]
 
 

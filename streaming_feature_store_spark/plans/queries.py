@@ -11754,3 +11754,183 @@ def q244_daily_ingest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q245_daily_erase_lifecycle",
+    sql="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0
+    ), toks AS (
+      SELECT doc_id, tok AS term
+      FROM corpus,
+        UNNEST(string_split_regex(
+          lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS u(tok)
+      WHERE tok <> ''
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT 'docs' AS kind, CAST(NULL AS VARCHAR) AS term,
+           CAST(COUNT(*) AS BIGINT) AS n FROM corpus
+    UNION ALL
+    SELECT 'df' AS kind, term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tf GROUP BY term
+    UNION ALL
+    SELECT 'uni' AS kind, term, CAST(SUM(c) AS BIGINT) AS n
+    FROM tf GROUP BY term
+    """,
+)
+def q245_daily_erase_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed DSAR day under one oracle (VERDICT r11 next-item #5,
+    ``curation.daily_erase``): the whole documents table seeds a
+    daily_ingest state, then every ``doc_id % 13 == 0`` document is
+    erased in ONE call — minhash/postings anti-joined, the stats index
+    count-SUBTRACTED (``corpus_stats_index_erase``), the fingerprint
+    ledger's affected groups recomputed over the retained corpus — with
+    the erased state committed at the next day version before the
+    pre-erase dirs (which still hold the erased rows) are physically
+    removed.  Returned readout: the post-erase STATS index, the
+    subtlest of the four (subtraction, not an anti-join); the oracle
+    recomputes (docs/df/uni) counts from scratch over the surviving
+    documents — erase ≡ rebuild-over-survivors, the governance
+    contract.  State under a uuid temp root, vocabulary-bounded result
+    localized, root deleted (the q224 lifecycle discipline)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from streaming_feature_store_spark.operators.curation import (
+        daily_erase,
+        daily_ingest,
+    )
+    from streaming_feature_store_spark.streaming.dedup import (
+        _latest_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = os.path.join(
+        tempfile.gettempdir(), f"sfs_q245_{uuid.uuid4().hex}"
+    )
+    try:
+        daily_ingest(docs, root, bigrams=False, screen_near_dups=False)
+        erased = docs.filter(F.col("doc_id") % 13 == 0)
+        retained = docs.filter(F.col("doc_id") % 13 != 0)
+        daily_erase(erased, root, corpus=retained)
+        v = _latest_snapshot(f"{root}/stats", None)
+        out = spark.read.parquet(f"{root}/stats/v={v}").select(
+            "kind", "term", "n"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q246_compacted_ingest_bm25",
+    sql=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text || ' zuniqz' AS text
+      FROM documents
+    ),
+    q(query_id, query_text) AS (VALUES
+      ('q1', 'hash join strategy'), ('q2', 'window batch stream'),
+      ('q3', 'customer order data'), ('q4', 'vector scan filter')),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(
+        lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+      FROM corpus
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS dfr FROM tf GROUP BY 1),
+    qt AS (
+      SELECT DISTINCT query_id, unnest(string_split_regex(
+        lower(regexp_replace(query_text, '[^A-Za-z ]', ' ', 'g')), ' +')) AS term
+      FROM q
+    ),
+    qi AS (
+      SELECT query_id, term,
+        ln(1.0 + (n_docs - dfr + 0.5) / (dfr + 0.5)) AS idf, avgdl
+      FROM qt JOIN dfreq USING (term) CROSS JOIN stats
+      WHERE term <> ''
+    ),
+    sc AS (
+      SELECT query_id, doc_id,
+        ROUND(SUM(idf * (tf * 2.2)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+      FROM tf JOIN qi USING (term) JOIN dl USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM sc)
+    WHERE rank <= 5
+    """,
+)
+def q246_compacted_ingest_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two ingest days through the r12 DELTA-LOG state, compacted, then
+    BM25 answered straight off the compacted log — pinning the full
+    write path (per-day d=<n> appends), ``compact_ingest_state`` (the
+    logs folded into one base/v=<k>, stats snapshots pruned), and the
+    from-log read (``read_index_log``) against a from-scratch oracle.
+    Day 1 seeds from the documents table; day 2 ingests a suffixed copy
+    (doc_id+500000, text || ' zuniqz') in seeding mode too — the day-2
+    docs are deliberate near-copies of day 1, so running the near-dup
+    gate would empty the delta; what this query pins is the LOG
+    machinery, and the screen ladder has its own oracle (q244).  The
+    oracle recomputes BM25 over the union corpus from scratch: append ∘
+    compact ∘ read ≡ one-shot postings + stats build.  State under a
+    uuid temp root, bounded k×4 result localized, root deleted."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from streaming_feature_store_spark.operators.curation import (
+        compact_ingest_state,
+        daily_ingest,
+    )
+    from streaming_feature_store_spark.operators.text import (
+        bm25_from_index,
+    )
+    from streaming_feature_store_spark.streaming.dedup import (
+        _latest_snapshot,
+        read_index_log,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    day2 = docs.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zuniqz")).alias("text"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"sfs_q246_{uuid.uuid4().hex}"
+    )
+    try:
+        daily_ingest(docs, root, bigrams=False, screen_near_dups=False)
+        daily_ingest(day2, root, bigrams=False, screen_near_dups=False)
+        compact_ingest_state(spark, root)
+        postings = read_index_log(spark, f"{root}/postings")
+        v = _latest_snapshot(f"{root}/stats", None)
+        stats = spark.read.parquet(f"{root}/stats/v={v}")
+        qdf = spark.createDataFrame(
+            [
+                ("q1", "hash join strategy"),
+                ("q2", "window batch stream"),
+                ("q3", "customer order data"),
+                ("q4", "vector scan filter"),
+            ],
+            "query_id string, query_text string",
+        )
+        out = bm25_from_index(postings, stats, qdf, k=5)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
