@@ -1272,8 +1272,18 @@ def daily_ingest(
         )
     p_delta = postings_index(survivors, id_col, text_col)
 
+    # r12 opt (guide §1.2 — don't compute things twice): the day's ledger
+    # rows re-aggregate the CACHED fp_screen (one row per delta doc with
+    # its fingerprint already computed) instead of re-running the md5
+    # fingerprint scan over the delta text a second time.  Identical to
+    # exact_dup_groups(delta) under the unique-ids-per-day contract the
+    # delta-log layout already requires (test_r12_ops pins the ledger
+    # parity).
     append_log_delta(
-        exact_dup_groups(delta, text_col, id_col),
+        fp_screen.groupBy("fingerprint").agg(
+            F.count("*").alias("dup_count"),
+            F.min(id_col).alias("first_doc_id"),
+        ),
         roots["fingerprint"],
         day_v,
     )

@@ -854,18 +854,48 @@ def _verify_from_index(
     cands: DataFrame, index: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact-Jaccard verify candidate pairs against a one-row-per-doc
-    index: semi-join the index down to candidate docs FIRST, then explode
-    shingle arrays — the explode (the expensive fanout) prices on
-    |candidate docs|, never the corpus."""
-    cand_docs = (
-        cands.select(F.col("doc_a").alias(id_col))
-        .union(cands.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+    index, entirely on the stored arrays: two joins attach each side's
+    ``shingles`` array + ``nsh`` to the (small) pair list and the
+    intersection is ``size(array_intersect(...))`` in codegen.
+
+    r12 opt (guide §2.4/§3): the previous form semi-joined the index to
+    candidate docs, EXPLODED their shingle arrays and re-counted the
+    intersection with a (pair, shingle) join + groupBy + two size
+    re-aggregations — 5 Exchanges and an |candidate-docs|·|shingles|
+    fanout per screen.  Arrays are sets (collect_set upstream), so
+    ``size(array_intersect)`` ≡ the exploded co-occurrence count, and
+    ``nsh`` is already materialized in the index; the pair side is
+    near-dup-bounded, so AQE broadcasts it and the index is scanned
+    (never shuffled) twice.  Pairs with zero overlap drop either way
+    (threshold > 0)."""
+    a = index.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("shingles").alias("_sh_a"),
+        F.col("nsh").alias("_nsh_a"),
     )
-    idx = index.join(cand_docs, id_col, "left_semi").select(
-        F.col(id_col), F.explode("shingles").alias("sh")
+    b = index.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("shingles").alias("_sh_b"),
+        F.col("nsh").alias("_nsh_b"),
     )
-    return _verify_candidates(cands, idx, id_col, threshold)
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_n_common", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_n_common")
+                / (
+                    F.col("_nsh_a") + F.col("_nsh_b") - F.col("_n_common")
+                ).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def minhash_index_pairs(
@@ -1081,22 +1111,40 @@ def minhash_index_screen(
     :func:`minhash_index_merge` for cluster construction
     (``dedup_clusters``) and audit.
     """
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
     pairs, updated = minhash_index_merge(
         new_docs, index, text_col, id_col, n, k, bands, threshold,
         delta_index=delta_index,
     )
+    # r12 opt: the pair list feeds BOTH orientations of the decision view.
+    # The old two-select union re-executed the banded-join + exact-verify
+    # lineage once per branch (measured at sf0.1: the whole screen 10.4 s
+    # -> 6.0 s from this hunk); now the |near-dup-pairs|-bounded result is
+    # persisted once and both orientations come from ONE pass (explode of
+    # the two struct orientations — identical row multiset to the union).
+    pairs = persist_tracked(pairs)
     delta_ids = new_docs.select(F.col(id_col)).distinct()
-    sided = pairs.select(
-        F.col("doc_a").alias(id_col),
-        F.col("doc_b").alias("match_id"),
-        "jaccard",
-    ).unionByName(
+    sided = (
         pairs.select(
-            F.col("doc_b").alias(id_col),
-            F.col("doc_a").alias("match_id"),
-            "jaccard",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias(id_col),
+                        F.col("doc_b").alias("match_id"),
+                        F.col("jaccard").alias("jaccard"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias(id_col),
+                        F.col("doc_a").alias("match_id"),
+                        F.col("jaccard").alias("jaccard"),
+                    ),
+                )
+            ).alias("_s")
         )
-    ).join(delta_ids, id_col, "left_semi")
+        .select("_s.*")
+        .join(delta_ids, id_col, "left_semi")
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(

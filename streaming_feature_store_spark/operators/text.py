@@ -1460,20 +1460,39 @@ def corpus_stats_index(
     docs = df.agg(F.count("*").alias("n")).select(
         F.lit(None).cast("string").alias("term"), "n"
     )
-    dl = cpu_partitioned(df).select(F.col(id_col).alias("_id"), toks.alias("l"))
+    # r12 opt: the unigram tf is built through alpha_tokens in the
+    # CANONICAL (id, term, c) shape the from-index scorers and
+    # postings_index use — since this tf is the one that gets persisted,
+    # Spark's CacheManager substitutes it into every later identical
+    # subplan, so a composed caller (daily_ingest: stats + postings +
+    # NLL scoring over the same survivors) tokenizes the delta ONCE
+    # instead of once per consumer.  Row-identical to the old
+    # array-then-explode form (both drop empty tokens).
     tf = _persist_tracked(
-        dl.select("_id", F.explode("l").alias("term"))
-        .groupBy("_id", "term")
+        alpha_tokens(df, id_col, text_col)
+        .groupBy(id_col, "term")
         .agg(F.count("*").alias("c"))
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("n"))
-    uni = tf.groupBy("term").agg(F.sum("c").alias("n"))
-    out = (
-        _tag(docs, "docs")
-        .unionByName(_tag(dfreq, "df"))
-        .unionByName(_tag(uni, "uni"))
+    # r12 opt: 'df' and 'uni' share ONE aggregation of tf — the old two
+    # separate groupBys each shuffled the full (doc, term) relation by
+    # term; now one Exchange carries it and a stack() generator splits
+    # the combined row into the two (kind, term, n) forms (identical row
+    # multiset: every tf term has count ≥ 1 and sum ≥ 1, no null terms).
+    dfuni = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("_df"), F.sum("c").alias("_uni"))
+        .select(
+            F.expr("stack(2, 'df', _df, 'uni', _uni) AS (kind, n)"),
+            "term",
+        )
+        .select("kind", "term", F.col("n").cast("long").alias("n"))
     )
+    out = _tag(docs, "docs").unionByName(dfuni)
     if bigrams:
+        # the bigram pass needs token ADJACENCY, so it keeps its own
+        # array-form tokenize (no id column — bigram counts are corpus
+        # totals); built only when requested
+        dl = cpu_partitioned(df).select(toks.alias("l"))
         bi = (
             dl.filter(F.size("l") >= 2)
             .select(
@@ -1722,10 +1741,17 @@ def postings_index(
     Disjoint-doc merge is union + sum (:func:`postings_index_merge`);
     under daily ingest the index is APPEND-shaped — a delta's rows never
     collide with history's."""
+    # r12 opt: the aggregate is built with the CANONICAL (doc, term, c)
+    # shape shared by corpus_stats_index / unigram_nll_from_index and the
+    # cast lives in a projection above it — when a composed caller
+    # (daily_ingest) has already persisted that tf for the stats build,
+    # Spark's CacheManager substitutes the cached relation here and the
+    # survivors tokenize ONCE per day instead of once per index
     tf = (
         alpha_tokens(df, id_col, text_col)
         .groupBy(id_col, "term")
-        .agg(F.count("*").cast("long").alias("n"))
+        .agg(F.count("*").alias("c"))
+        .select(id_col, "term", F.col("c").cast("long").alias("n"))
     )
     dl = (
         tf.groupBy(id_col)

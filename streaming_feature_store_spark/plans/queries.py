@@ -11530,13 +11530,18 @@ def q242_bm25_persisted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sfs_q242_{uuid.uuid4().hex[:12]}"
     path = os.path.join(tempfile.gettempdir(), f"{name}_data")
     try:
+        # r12 opt: register the stats build FIRST — corpus_stats_index
+        # persists the canonical (doc, term, c) tf, and the postings
+        # writes below then reuse that cached tokenize via CacheManager
+        # subplan substitution (one corpus tokenize for the whole
+        # lifecycle instead of three: by_doc write, dl write, stats)
+        stats = persist_tracked(corpus_stats_index(docs, bigrams=False))
         # broadcast-query retrieval only reads the by_doc copy; skipping
         # the by_term twin halves the one-time layout write
         save_postings_index(
             postings_index(docs), name, path, layouts=("by_doc",)
         )
         tf, dl = load_postings_index(spark, name)
-        stats = persist_tracked(corpus_stats_index(docs, bigrams=False))
         qdf = spark.createDataFrame(
             [
                 ("q1", "hash join strategy"),
