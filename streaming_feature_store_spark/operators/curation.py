@@ -1279,18 +1279,31 @@ def daily_ingest(
     # exact_dup_groups(delta) under the unique-ids-per-day contract the
     # delta-log layout already requires (test_r12_ops pins the ledger
     # parity).
-    append_log_delta(
-        fp_screen.groupBy("fingerprint").agg(
-            F.count("*").alias("dup_count"),
-            F.min(id_col).alias("first_doc_id"),
-        ),
-        roots["fingerprint"],
-        day_v,
+    ledger_delta = fp_screen.groupBy("fingerprint").agg(
+        F.count("*").alias("dup_count"),
+        F.min(id_col).alias("first_doc_id"),
     )
-    append_log_delta(mh_delta, roots["minhash"], day_v)
-    stats_updated.write.mode("overwrite").parquet(
-        f"{roots['stats']}/v={day_v}"
+    # r12 opt (guide §2.6 — overlap independent jobs): the fingerprint,
+    # minhash and stats writes land different roots from disjoint (or
+    # already-cached) lineage, so they are submitted from a small driver
+    # thread pool and the scheduler back-fills one write's task tail
+    # with the next's (the composed day is many small jobs; their
+    # latencies previously added up serially).  The POSTINGS append
+    # stays sequential-after: its tf subplan is cache-substituted with
+    # the tf the stats build persists, so running it after the stats
+    # write turns its tokenize into a cache read instead of a duplicate
+    # concurrent tokenize.
+    from concurrent.futures import ThreadPoolExecutor
+
+    stats_path = f"{roots['stats']}/v={day_v}"
+    writes = (
+        lambda: stats_updated.write.mode("overwrite").parquet(stats_path),
+        lambda: append_log_delta(mh_delta, roots["minhash"], day_v),
+        lambda: append_log_delta(ledger_delta, roots["fingerprint"], day_v),
     )
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        for fut in [pool.submit(w) for w in writes]:
+            fut.result()
     append_log_delta(p_delta, roots["postings"], day_v)
 
     # step 4: survivor quality read from the snapshot just written

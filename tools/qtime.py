@@ -17,6 +17,8 @@ import statistics
 import sys
 import time
 
+import pandas as _pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -38,7 +40,6 @@ def main() -> None:
         else:
             names.append(args[i]); i += 1
 
-    import pandas as _pd
     from pyspark.sql.functions import col as F_col, pandas_udf as _pudf
 
     from streaming_feature_store_spark.plans.queries import QUERIES
