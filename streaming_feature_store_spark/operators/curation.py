@@ -1368,16 +1368,28 @@ def compact_ingest_state(
             F.min("first_doc_id").alias("first_doc_id"),
         )
 
-    return {
-        "fingerprint": compact_index_log(
+    # r12 opt (guide §2.6): the three log compactions rewrite disjoint
+    # roots — run them concurrently from a driver pool; the stats prune
+    # is pure filesystem work and rides in the same round
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = {
+        "fingerprint": lambda: compact_index_log(
             spark, f"{state_root}/fingerprint", merge=_fp_merge
         ),
-        "minhash": compact_index_log(spark, f"{state_root}/minhash"),
-        "postings": compact_index_log(spark, f"{state_root}/postings"),
-        "stats_pruned": prune_snapshots(
+        "minhash": lambda: compact_index_log(
+            spark, f"{state_root}/minhash"
+        ),
+        "postings": lambda: compact_index_log(
+            spark, f"{state_root}/postings"
+        ),
+        "stats_pruned": lambda: prune_snapshots(
             f"{state_root}/stats", keep_last=keep_stats
         ),
     }
+    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        futs = {k: pool.submit(t) for k, t in tasks.items()}
+        return {k: f.result() for k, f in futs.items()}
 
 
 def daily_erase(
@@ -1466,30 +1478,25 @@ def daily_erase(
     day_v = base_v + 1
     ids = persist_tracked(erased_docs.select(F.col(id_col)).distinct())
     erased = persist_tracked(erased_docs.select(id_col, text_col).distinct())
-    report_rows: list[tuple[str, int, int]] = []
+    fps_e = persist_tracked(
+        fingerprint(erased, text_col).select("fingerprint").distinct()
+    )
+    # materialize the shared erased-side frames ONCE before the pool
+    # below — concurrent first-touch of a lazily-cached frame computes
+    # it in every thread (correct but wasteful); fps_e's lineage pulls
+    # ids/erased through, so one tiny job warms all three
+    fps_e.count()
 
-    def _erase_log(kind: str, purge) -> None:
+    def _erase_log(kind: str, purge) -> tuple[str, int, int]:
         log = read_index_log(spark, roots[kind], base_v)
         if log is None:
-            report_rows.append((kind, 0, 0))
-            return
+            return (kind, 0, 0)
         out = purge(log)
         out.write.mode("overwrite").parquet(
             f"{roots[kind]}/base/v={day_v}"
         )
         written = spark.read.parquet(f"{roots[kind]}/base/v={day_v}")
-        report_rows.append((kind, log.count(), written.count()))
-
-    # phase 1: commit every root's erased state at day_v (order-free —
-    # the consistent min-version read makes any crash point re-runnable)
-    _erase_log("minhash", lambda log: erase_from_minhash_index(log, ids, id_col))
-    _erase_log(
-        "postings", lambda log: postings_index_erase(log, ids, id_col)
-    )
-
-    fps_e = persist_tracked(
-        fingerprint(erased, text_col).select("fingerprint").distinct()
-    )
+        return (kind, log.count(), written.count())
 
     def _purge_fingerprint(log: DataFrame) -> DataFrame:
         kept = log.join(fps_e, "fingerprint", "left_anti")
@@ -1505,17 +1512,36 @@ def daily_erase(
         )
         return kept.unionByName(recomputed.select(*log.columns))
 
-    _erase_log("fingerprint", _purge_fingerprint)
-
-    stats_v = _latest_snapshot(roots["stats"], base_v)
-    if stats_v is not None:
+    def _erase_stats() -> tuple[str, int, int]:
+        stats_v = _latest_snapshot(roots["stats"], base_v)
+        if stats_v is None:
+            return ("stats", 0, 0)
         snap = spark.read.parquet(f"{roots['stats']}/v={stats_v}")
         out = corpus_stats_index_erase(snap, erased, id_col, text_col)
         out.write.mode("overwrite").parquet(f"{roots['stats']}/v={day_v}")
         written = spark.read.parquet(f"{roots['stats']}/v={day_v}")
-        report_rows.append(("stats", snap.count(), written.count()))
-    else:
-        report_rows.append(("stats", 0, 0))
+        return ("stats", snap.count(), written.count())
+
+    # phase 1: commit every root's erased state at day_v (order-free —
+    # the consistent min-version read makes any crash point re-runnable).
+    # r12 opt (guide §2.6): the four roots are independent writes over
+    # disjoint state plus the pre-materialized erased-side caches, so
+    # they run concurrently from a driver pool instead of paying ~12
+    # small job latencies serially (each root is a write + two counts).
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = (
+        lambda: _erase_log(
+            "minhash", lambda log: erase_from_minhash_index(log, ids, id_col)
+        ),
+        lambda: _erase_log(
+            "postings", lambda log: postings_index_erase(log, ids, id_col)
+        ),
+        lambda: _erase_log("fingerprint", _purge_fingerprint),
+        _erase_stats,
+    )
+    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        report_rows = [f.result() for f in [pool.submit(t) for t in tasks]]
 
     # phase 2: physically remove every dir that still holds erased rows
     # — subsumed log dirs AND pre-erase stats snapshots (retention would
