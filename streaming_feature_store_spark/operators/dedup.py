@@ -244,6 +244,15 @@ def minhash_near_dups(
     found with ONE self-join on (band_idx, band_hash) after exploding the
     band array. At 100 TB the band groupBy/join is the only wide op over the
     full corpus; exact-Jaccard verification runs only on candidates.
+
+    (r12 examined, deliberately left on the exploded-index shape: routing
+    this through build_minhash_index + the array verify was measured and
+    REVERTED — the collect_set index build shuffles the whole shingle-set
+    payload where this path's shingle index is shuffle-free mapInPandas
+    output, and the two array joins move the payload twice more; isolated
+    q39 went 1.7 s → 4.7 s and q40 5.4 s → 14.7 s.  The array verify
+    wins only where candidates are delta-bounded and the index is
+    already persisted — the minhash_index_* family.)
     """
     from pyspark import StorageLevel
 
@@ -427,7 +436,11 @@ def simhash_near_dups(
     backstop signatures and the verification stage; verification touches
     candidates only. ``minhash_backstop=False`` reverts to pure
     fixed-radius SimHash retrieval (the right mode when the workload really
-    is fingerprint dedup — near-identical pages, Hamming ≤ 3)."""
+    is fingerprint dedup — near-identical pages, Hamming ≤ 3).
+
+    (r12 examined, deliberately left on the exploded-index shape — see
+    the minhash_near_dups note: the array-index rewrite was measured at
+    q40 5.4 s → 14.7 s and reverted.)"""
     from pyspark import StorageLevel
 
     idx = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
