@@ -88,3 +88,57 @@ def test_sliding_window_membership(spark):
     starts = sorted(r["window_start_s"] for r in rows)
     base_s = int(BASE.timestamp())
     assert starts == [base_s - 240, base_s - 180, base_s - 120, base_s - 60, base_s]
+
+
+def test_sliding_pane_form_equals_generator_form(spark):
+    """r12: sliding_stats computes 5m/1m windows as two-level slide panes
+    (pre-agg per 1-min bin, decomposed combine per window).  Pin pane ≡
+    generator on a frame that exercises nulls, multi-event bins, bin
+    boundaries and multiple keys — and pin the fallback path for a
+    non-divisible spec."""
+    import random
+
+    from streaming_feature_store_spark.operators.windows import sliding_stats
+
+    rng = random.Random(12)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                i,
+                rng.randrange(5),
+                BASE + dt.timedelta(seconds=rng.randrange(0, 3600)),
+                None if i % 17 == 0 else round(rng.uniform(-50, 500), 2),
+                "a",
+            )
+        )
+    ev = _events(spark, rows)
+
+    def generator_form(df):
+        from streaming_feature_store_spark.functions.exprs import dsum
+
+        return (
+            df.groupBy(
+                F.col("user_id"), F.window("ts", "5 minutes", "1 minute").alias("w")
+            )
+            .agg(
+                F.count("*").alias("event_count"),
+                dsum("value").alias("value_sum"),
+                F.max("value").alias("value_max"),
+            )
+            .withColumn("window_start_s", F.col("w.start").cast("long"))
+            .drop("w")
+        )
+
+    pane = sliding_stats(ev, "user_id")
+    gen = generator_form(ev)
+    assert pane.columns == gen.columns
+    assert [f.dataType for f in pane.schema] == [f.dataType for f in gen.schema]
+    canon = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())  # noqa: E731
+    assert canon(pane) == canon(gen)
+
+    # non-divisible spec falls back to the generator plan (same results by
+    # construction; just pin that it still answers)
+    odd = sliding_stats(ev, "user_id", window="90 seconds", slide="1 minute")
+    assert odd.columns == pane.columns
+    assert odd.count() > 0
