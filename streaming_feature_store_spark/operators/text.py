@@ -1829,7 +1829,17 @@ def save_postings_index(
     dl = index.filter(F.col("term").isNull()).select(
         id_col, F.col("n").alias("dl")
     )
-    if "by_doc" in layouts:
+
+    # r12 opt (guide §2.6 — overlap independent jobs): the table writes
+    # land distinct tables/paths from shared-or-disjoint lineage, so they
+    # are submitted from a driver pool and the scheduler back-fills one
+    # write's task tail with the next's (measured on the q242 kernel,
+    # interleaved A/B: sequential min 3.14 s / median 3.38 -> pooled
+    # 2.20 / 2.51).  A caller that persisted the index (or whose tf rides
+    # a cached canonical subplan, as in q242's stats-first discipline)
+    # tokenizes once either way; an unpersisted index recomputes per
+    # write exactly as the sequential form did.
+    def _w_by_doc() -> None:
         (
             tf.write.mode("overwrite")
             .bucketBy(buckets, id_col)
@@ -1837,14 +1847,17 @@ def save_postings_index(
             .option("path", f"{path}/tf_by_doc")
             .saveAsTable(f"{name}_tf_by_doc")
         )
-    (
-        dl.write.mode("overwrite")
-        .bucketBy(buckets, id_col)
-        .sortBy(id_col)
-        .option("path", f"{path}/dl")
-        .saveAsTable(f"{name}_dl")
-    )
-    if "by_term" in layouts:
+
+    def _w_dl() -> None:
+        (
+            dl.write.mode("overwrite")
+            .bucketBy(buckets, id_col)
+            .sortBy(id_col)
+            .option("path", f"{path}/dl")
+            .saveAsTable(f"{name}_dl")
+        )
+
+    def _w_by_term() -> None:
         (
             tf.write.mode("overwrite")
             .bucketBy(buckets, "term")
@@ -1852,6 +1865,17 @@ def save_postings_index(
             .option("path", f"{path}/tf_by_term")
             .saveAsTable(f"{name}_tf_by_term")
         )
+
+    writes = [_w_dl]
+    if "by_doc" in layouts:
+        writes.append(_w_by_doc)
+    if "by_term" in layouts:
+        writes.append(_w_by_term)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        for fut in [pool.submit(w) for w in writes]:
+            fut.result()
 
 
 def append_postings_index(
