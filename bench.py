@@ -131,8 +131,16 @@ def main() -> None:
     # under-sample the multi-second stalls that dominate the sf0.1 band —
     # and per-rep control times are recorded so a stall INSIDE a run is
     # visible, not just across runs.
+    # r13 (VERDICT r12 #10): q202_cuped_adjusted_effect ADDED as the
+    # experiment-family band sentinel — the whole q200-q217 family read
+    # ~25-35% slower in the driver's r12 run on untouched plans, and
+    # without a family member in the control block every round
+    # re-litigates that band.  Addition, not a swap: the four r12
+    # controls stay, and tools/bench_compare.py band-corrects over the
+    # INTERSECTION of the control maps so the index stays comparable.
     _CONTROLS = ["q20_doc_quality", "q146_data_quality_report",
-                 "q148_decay_attribution", "q53_ks_by_feature"]
+                 "q148_decay_attribution", "q53_ks_by_feature",
+                 "q202_cuped_adjusted_effect"]
     controls = {n: times[n] for n in _CONTROLS if n in times}
     controls_per_rep = {n: per_rep[n] for n in _CONTROLS if n in per_rep}
     control_index = round(sum(controls.values()), 3) if controls else None
@@ -159,13 +167,20 @@ def main() -> None:
         pass
 
     total = round(sum(times.values()), 3)
+    # Field ORDER is load-bearing (VERDICT r12 #2): the driver's stdout
+    # capture keeps a bounded TAIL of the line, so the compact summary
+    # scalars lead and the one large map ("queries", the only field that
+    # grows with the catalog) comes LAST — a tail window that loses the
+    # line head orphans per-query entries, never the headline metrics,
+    # and compact separators keep the whole line as short as the
+    # contract allows.  Timing methodology (noop sink, interleaved reps,
+    # min per query) is byte-identical to r12.
     payload = {
         "metric": "catalog_total_runtime",
         "value": total,
         "total_sec": total,
         "head": head,
         "unit": "sec",
-        "queries": times,
         "sf": sf,
         "feature_pipeline_events_per_s": round(n_events / feat_s, 1),
         "feature_pipeline_events_per_s_median": round(
@@ -175,22 +190,24 @@ def main() -> None:
         "controls_per_rep": controls_per_rep,
         "control_index_sec": control_index,
         "reps": reps,
+        "queries": times,
     }
-    if reps >= 3:
-        # medians-plus-band view for scaling artifacts: the min (above)
-        # models a warm cluster, but round-over-round scaling claims need
-        # the host-stall band made explicit (a reps=1 outlier once read
-        # as a 40% spill regression — PERFORMANCE.md round-7 section)
-        payload["queries_median"] = {
-            n: round(statistics.median(v), 3) for n, v in per_rep.items()
-        }
-        payload["queries_minmax"] = {
-            n: [min(v), max(v)] for n, v in per_rep.items()
-        }
-    print(json.dumps(payload))
+    print(json.dumps(payload, separators=(",", ":")))
     # The driver's stdout capture truncates the per-query tail; always
     # persist the complete JSON so round-over-round regression audits
     # (tools/bench_compare.py) cover every query from artifacts alone.
+    # The per-rep medians/minmax band view (a reps=1 outlier once read
+    # as a 40% spill regression — PERFORMANCE.md round-7 section) is
+    # FILE-ONLY: it triples the payload and the stdout line must stay
+    # small enough to survive tail capture.
+    file_payload = dict(payload)
+    if reps >= 3:
+        file_payload["queries_median"] = {
+            n: round(statistics.median(v), 3) for n, v in per_rep.items()
+        }
+        file_payload["queries_minmax"] = {
+            n: [min(v), max(v)] for n, v in per_rep.items()
+        }
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -198,7 +215,7 @@ def main() -> None:
     )
     try:
         with open(out_path, "w") as f:
-            json.dump(payload, f, indent=1)
+            json.dump(file_payload, f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout already has the full line
     spark.stop()

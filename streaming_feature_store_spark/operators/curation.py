@@ -796,7 +796,23 @@ def negative_sample(
         F.col(item_col).alias("_neg_item"),
         (F.col("_off") + F.col("_lrow") - 1).alias("_iidx"),
     )
-    users = interactions.select(user_col).distinct()
+    # r13 opt (guide §1.2 — don't compute things twice): the positives
+    # relation and the user universe BOTH derive from ``interactions``,
+    # which is typically a fact-sized join (q138: orders ⋈ lineitem).
+    # Computing the distinct positive pairs ONCE, persisting them, and
+    # projecting the users out of that |pairs|-bounded frame halves the
+    # heavy side: the old shape executed the interactions lineage twice
+    # (users-distinct and pos-distinct were separate scans of the join).
+    # distinct(user) over distinct(user, item) is the same relation as
+    # distinct(user) over the raw interactions.
+    from streaming_feature_store_spark.cacheutil import persist_tracked
+
+    pos = persist_tracked(
+        interactions.select(
+            user_col, F.col(item_col).alias("_neg_item")
+        ).distinct()
+    )
+    users = pos.select(user_col).distinct()
     draws = users.select(
         user_col,
         F.explode(F.sequence(F.lit(0), F.lit(oversample * k - 1))).alias(
@@ -826,9 +842,6 @@ def negative_sample(
     cand = draws.select(
         user_col, "_draw", (h % F.lit(n_items)).alias("_iidx")
     ).join(idx, "_iidx")
-    pos = interactions.select(
-        user_col, F.col(item_col).alias("_neg_item")
-    ).distinct()
     neg = cand.join(pos, [user_col, "_neg_item"], "left_anti")
     first_draw = neg.groupBy(user_col, "_neg_item").agg(
         F.min("_draw").alias("_d")
@@ -1293,7 +1306,7 @@ def daily_ingest(
     # the tf the stats build persists, so running it after the stats
     # write turns its tokenize into a cache read instead of a duplicate
     # concurrent tokenize.
-    from concurrent.futures import ThreadPoolExecutor
+    from streaming_feature_store_spark.poolutil import run_concurrent
 
     stats_path = f"{roots['stats']}/v={day_v}"
     writes = (
@@ -1301,9 +1314,7 @@ def daily_ingest(
         lambda: append_log_delta(mh_delta, roots["minhash"], day_v),
         lambda: append_log_delta(ledger_delta, roots["fingerprint"], day_v),
     )
-    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
-        for fut in [pool.submit(w) for w in writes]:
-            fut.result()
+    run_concurrent(writes)
     append_log_delta(p_delta, roots["postings"], day_v)
 
     # step 4: survivor quality read from the snapshot just written
@@ -1371,7 +1382,7 @@ def compact_ingest_state(
     # r12 opt (guide §2.6): the three log compactions rewrite disjoint
     # roots — run them concurrently from a driver pool; the stats prune
     # is pure filesystem work and rides in the same round
-    from concurrent.futures import ThreadPoolExecutor
+    from streaming_feature_store_spark.poolutil import run_concurrent
 
     tasks = {
         "fingerprint": lambda: compact_index_log(
@@ -1387,9 +1398,9 @@ def compact_ingest_state(
             f"{state_root}/stats", keep_last=keep_stats
         ),
     }
-    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
-        futs = {k: pool.submit(t) for k, t in tasks.items()}
-        return {k: f.result() for k, f in futs.items()}
+    keys = list(tasks)
+    results = run_concurrent([tasks[k] for k in keys])
+    return dict(zip(keys, results))
 
 
 def daily_erase(
@@ -1528,7 +1539,7 @@ def daily_erase(
     # disjoint state plus the pre-materialized erased-side caches, so
     # they run concurrently from a driver pool instead of paying ~12
     # small job latencies serially (each root is a write + two counts).
-    from concurrent.futures import ThreadPoolExecutor
+    from streaming_feature_store_spark.poolutil import run_concurrent
 
     tasks = (
         lambda: _erase_log(
@@ -1540,8 +1551,7 @@ def daily_erase(
         lambda: _erase_log("fingerprint", _purge_fingerprint),
         _erase_stats,
     )
-    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
-        report_rows = [f.result() for f in [pool.submit(t) for t in tasks]]
+    report_rows = run_concurrent(tasks)
 
     # phase 2: physically remove every dir that still holds erased rows
     # — subsumed log dirs AND pre-erase stats snapshots (retention would

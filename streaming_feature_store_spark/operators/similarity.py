@@ -409,32 +409,24 @@ def ivf_topk(
 def _default_ivf_centroids(
     corpus: DataFrame, nlist: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Deterministic hash-threshold centroid sample (see :func:`ivf_topk`
-    docstring for the threshold sizing argument)."""
-    n = corpus.count()
-    frac = min(1.0, (8.0 * nlist) / max(n, 1))
-    # xxhash64 is uniform over the full signed-long range; keep rows in
-    # the lowest `frac` slice of it (expected ~8·nlist survivors).
-    # Clamp: at frac==1.0 the raw expression is exactly 2^63, one past
-    # the signed-long max — and float rounding can push near-1 fracs
-    # over too; the clamp keeps the filter a no-op in those cases.
-    thresh = min(int(-(2**63) + frac * 2.0**64), 2**63 - 1)
+    """Deterministic hash-ordered centroid sample: the ``nlist`` corpus
+    rows with the smallest ``xxhash64(id)``.
+
+    r13 opt (guide §1.2 — remove jobs, not tune them): the previous
+    hash-THRESHOLD form ran ``corpus.count()`` to size the threshold
+    plus a ``centroids.count()`` guard for pathological hash luck —
+    two extra jobs per index build — and then sorted the ~8·nlist
+    survivors.  ``orderBy(hash).limit(nlist)`` selects the IDENTICAL
+    rows (the nlist smallest hashes; the old filter only pre-pruned the
+    same take) and Spark plans it as TakeOrderedAndProject — a
+    per-partition nlist-row heap + driver merge, no count, no guard, no
+    full sort, at any corpus size."""
     h = F.xxhash64(F.col(id_col))
-    centroids = (
+    return (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .filter(h <= F.lit(thresh))
         .orderBy(h.asc())
         .limit(nlist)
     )
-    if frac < 1.0 and centroids.count() < nlist:
-        # pathological hash luck (P ~ e^{-4·nlist}); fall back to the
-        # unfiltered corpus-wide take
-        centroids = (
-            corpus.select(F.col(id_col), F.col(vec_col))
-            .orderBy(F.xxhash64(F.col(id_col)))
-            .limit(nlist)
-        )
-    return centroids
 
 
 def _centroid_matrix(centroids: DataFrame, vec_col: str):
@@ -552,10 +544,22 @@ def save_ivf_index(
         [(i, [float(x) for x in row]) for i, row in enumerate(Cn)],
         "cell long, vec array<double>",
     )
-    cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
-    _ivf_assign(corpus, Cn, id_col, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/cells")
+    # r13 opt (guide §2.6): the two writes land disjoint paths and both
+    # depend only on the already-collected Cn — overlap them so the tiny
+    # centroids write rides the assign job's tail
+    from streaming_feature_store_spark.poolutil import run_concurrent
+
+    run_concurrent(
+        [
+            lambda: cent_df.write.mode("overwrite").parquet(
+                f"{path}/centroids"
+            ),
+            lambda: _ivf_assign(corpus, Cn, id_col, vec_col)
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/cells"),
+        ]
+    )
 
 
 def ivf_topk_persisted(

@@ -467,7 +467,18 @@ def cpu_partitioned(df: DataFrame) -> DataFrame:
     # count: df.rdd wraps exactly this RDD).  cpu_partitioned sits on
     # every tokenize/shingle path, so composed callers paid it several
     # times per day.  No job is run either way.
-    n = df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+    try:
+        # private API (Spark 3.x/4.x internals): fall back to the public
+        # (slower, semantically identical) df.rdd probe if a Spark
+        # upgrade moves it (VERDICT r12 item #7)
+        n = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .execute()
+            .getNumPartitions()
+        )
+    except Exception:
+        n = df.rdd.getNumPartitions()
     if n < par:
         return df.repartition(par)
     return df
@@ -1871,11 +1882,9 @@ def save_postings_index(
         writes.append(_w_by_doc)
     if "by_term" in layouts:
         writes.append(_w_by_term)
-    from concurrent.futures import ThreadPoolExecutor
+    from streaming_feature_store_spark.poolutil import run_concurrent
 
-    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
-        for fut in [pool.submit(w) for w in writes]:
-            fut.result()
+    run_concurrent(writes)
 
 
 def append_postings_index(

@@ -72,7 +72,15 @@ def _interval_seconds(spec: str) -> int | None:
     """Whole seconds of a simple ``"<n> <unit>"`` interval string, else
     None (composite/sub-second specs fall back to the generator form)."""
     parts = spec.strip().lower().split()
-    if len(parts) == 2 and parts[0].isdigit() and parts[1] in _INTERVAL_S:
+    # isascii() guard (ADVICE r12): str.isdigit() accepts non-ASCII digit
+    # chars (superscripts) that int() rejects; such specs must fall back
+    # to the generator form, not raise
+    if (
+        len(parts) == 2
+        and parts[0].isascii()
+        and parts[0].isdigit()
+        and parts[1] in _INTERVAL_S
+    ):
         return int(parts[0]) * _INTERVAL_S[parts[1]]
     return None
 

@@ -61,7 +61,18 @@ def main():
     # head + controls, so the host-band correction is one division here
     # instead of a PERFORMANCE.md investigation
     print(f"heads: {old.get('head')} -> {new.get('head')}")
-    co, cn = old.get("control_index_sec"), new.get("control_index_sec")
+    # band drift from the INTERSECTION of the control maps (r13): the
+    # control set may grow across rounds (q202 added per VERDICT r12
+    # #10); summing only the shared controls keeps the division
+    # meaningful across artifacts with different control sets
+    ctl_o, ctl_n = old.get("controls") or {}, new.get("controls") or {}
+    shared = sorted(set(ctl_o) & set(ctl_n))
+    if shared:
+        co = sum(ctl_o[c] for c in shared)
+        cn = sum(ctl_n[c] for c in shared)
+        print(f"shared controls ({len(shared)}): {', '.join(shared)}")
+    else:
+        co, cn = old.get("control_index_sec"), new.get("control_index_sec")
     to, tn = old.get("total_sec", old.get("value")), new.get(
         "total_sec", new.get("value")
     )
