@@ -913,21 +913,23 @@ def build_minhash_index(
     """
     r = k // bands
     idx = _shingle_index(df, text_col, id_col, n)
+    # expr-string form (r13, as in _minhash_from_index/_minhash_band_pairs
+    # — the three MUST stay expression-identical for the delta-parity
+    # guarantee): one py4j call per aggregate/band instead of one per op
     agg = idx.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh_{i}") for i in range(k)],
+        *[F.expr(f"min(xxhash64(sh, {i})) AS mh_{i}") for i in range(k)],
         F.collect_set("sh").alias("shingles"),
     )
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",", *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]
-                ),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
+    band_terms = ", ".join(
+        "xxhash64(concat_ws(',', {cols}), {b})".format(
+            cols=", ".join(
+                f"cast(mh_{b * r + j} as string)" for j in range(r)
+            ),
+            b=b,
+        )
+        for b in range(bands)
     )
+    band_hashes = F.expr(f"array({band_terms})")
     return agg.select(
         F.col(id_col),
         band_hashes.alias("bands"),

@@ -75,6 +75,7 @@ def _exact_map(df):
     dim=st.sampled_from([8, 16, 32]),
     k=st.integers(min_value=1, max_value=3),
 )
+@pytest.mark.slow
 def test_ivf_full_probe_equals_brute_force(spark, seed, n_clusters, per, dim, k):
     """nprobe == nlist means IVF scans every cell — the index must be a
     pure re-bucketing of the exact computation, bit-identical after the
@@ -105,6 +106,7 @@ def test_ivf_full_probe_equals_brute_force(spark, seed, n_clusters, per, dim, k)
     dim=st.sampled_from([8, 16]),
     k=st.integers(min_value=1, max_value=3),
 )
+@pytest.mark.slow
 def test_lsh_results_are_sound_subsets(spark, seed, dim, k):
     """Approximation may MISS neighbors, never fabricate or mis-score
     them: every (query, nbr, cosine) an ANN path reports must carry the
@@ -163,6 +165,7 @@ def test_near_tie_resolution_matches_exactly(spark):
     assert exact[(0, 1)][1] == exact[(0, 2)][1]  # genuinely rounded-tied
 
 
+@pytest.mark.slow
 def test_planted_cluster_recall_floor(spark):
     """Deterministic recall floor on planted near-duplicate clusters:
     hyperplanes/centroids are deterministic given the data, so these

@@ -54,6 +54,7 @@ def test_replicated_skew_join_left_outer_keeps_unmatched(spark):
     assert tags[99] is None and tags[10] == "x"
 
 
+@pytest.mark.slow
 def test_welch_ttest_matches_closed_form(spark):
     from streaming_feature_store_spark.operators.drift import welch_ttest
 

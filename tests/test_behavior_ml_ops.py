@@ -65,6 +65,7 @@ def test_global_row_number_is_dense_and_ordered(spark):
 # ------------------------------------------------------------- cohorts
 
 
+@pytest.mark.slow
 def test_cohort_retention_weekly(spark):
     from streaming_feature_store_spark.operators.behavior import (
         cohort_retention,
@@ -93,6 +94,7 @@ def test_cohort_retention_weekly(spark):
     assert ("W1", 1) not in out  # user 3 never returns
 
 
+@pytest.mark.slow
 def test_rfm_scores_shape(spark):
     from streaming_feature_store_spark.operators.behavior import rfm_scores
 
@@ -220,6 +222,7 @@ def _naive_triangles(edges):
         list(itertools.combinations(range(5), 2)),  # K5: C(4,2)=6 each
     ],
 )
+@pytest.mark.slow
 def test_triangle_counts_vs_naive(spark, edges):
     from streaming_feature_store_spark.operators.graph import triangle_counts
 
@@ -471,6 +474,7 @@ def test_distributed_percent_rank_single_row_group(spark):
 # ------------------------------------------------- mixture planning ops
 
 
+@pytest.mark.slow
 def test_largest_remainder_alloc_vs_replay(spark):
     from streaming_feature_store_spark.operators.curation import (
         largest_remainder_alloc,
@@ -542,6 +546,7 @@ def test_calibration_bins_vs_pandas(spark):
     assert out[10]["pos_rate"] > out[1]["pos_rate"]
 
 
+@pytest.mark.slow
 def test_semantic_dedup_kernels_agree(spark):
     """join (oracled baseline) and arrow (GEMM scale path) kernels must
     produce identical drop sets away from threshold knife-edges."""
@@ -720,6 +725,7 @@ def test_impossible_travel_known_answer(spark):
     assert len(flagged2) == 1  # the zero-gap jump
 
 
+@pytest.mark.slow
 def test_semantic_dedup_mega_cluster_guard(spark):
     """r7 verdict item #3: a mode-collapsed embedding space (every vector
     in one cluster) must raise an actionable error BEFORE the quadratic

@@ -2,6 +2,7 @@
 cap), MinHash-LSH recall on an obvious near-dup, SimHash determinism +
 locality + banded Hamming retrieval."""
 
+import pytest
 import pyspark.sql.functions as F
 
 from streaming_feature_store_spark.operators.dedup import (
@@ -52,6 +53,7 @@ def test_minhash_finds_near_dups(spark):
     assert (1, 2) in pairs  # identical docs always collide in every band
 
 
+@pytest.mark.slow
 def test_jaccard_max_df_drops_stop_shingles(spark):
     """A boilerplate prefix shared by EVERY doc is a stop-shingle: with the
     cap it must not manufacture pairs (the d² join blowup), while genuine
@@ -82,6 +84,7 @@ def test_jaccard_max_df_drops_stop_shingles(spark):
     assert (3, 4) in full
 
 
+@pytest.mark.slow
 def test_simhash_banded_retrieval(spark):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
@@ -97,6 +100,7 @@ def test_simhash_banded_retrieval(spark):
     assert not any(4 in p for p in near)
 
 
+@pytest.mark.slow
 def test_simhash_deterministic_and_local(spark):
     a = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
     b = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
@@ -181,6 +185,7 @@ def test_dedup_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 11: 1, 40: 40, 50: 40}
 
 
+@pytest.mark.slow
 def test_winnow_containment_catches_shared_passage(spark):
     """A long passage embedded in two otherwise-different documents:
     whole-document Jaccard dilutes below threshold, substring containment
@@ -281,6 +286,7 @@ def test_minhash_index_pairs_equals_full_recompute(spark):
     assert full == viaidx and len(full) > 0
 
 
+@pytest.mark.slow
 def test_minhash_index_merge_delta_equals_full(spark):
     """THE incremental contract: index(base) + merge(delta) ≡ full
     recompute over base ∪ delta — pair-for-pair, jaccard-for-jaccard;
@@ -349,6 +355,7 @@ def test_minhash_index_merge_replaces_reingested_ids(spark):
     assert j[(3, 4)] == 1.0
 
 
+@pytest.mark.slow
 def test_minhash_index_merge_property_random_corpora(spark):
     """Property: for ARBITRARY corpora and ANY base/delta split,
     pairs(index(base)) ∪ merge(delta).pairs == minhash_near_dups(all) —
@@ -446,6 +453,7 @@ def test_fingerprint_index_merge(spark):
     assert have[[k for k, v in have.items() if v[1] == 1][0]] == (3, 1)
 
 
+@pytest.mark.slow
 def test_minhash_index_screen_decision_form(spark):
     """Per-doc gate: jaccard ties break to the LOWEST match id; novel
     docs pass with NULLs; in-batch dups match each other."""
@@ -525,6 +533,7 @@ def test_erase_from_minhash_index_equals_rebuild(spark):
     assert all(a % 4 != 0 and b % 4 != 0 for a, b in got)
 
 
+@pytest.mark.slow
 def test_fingerprint_index_merge_property_random_corpora(spark):
     """Property: for arbitrary corpora/splits, every screen flag matches
     a brute-force text comparison and the upserted index equals a fresh

@@ -36,6 +36,7 @@ def _exact_t_sf2(t: float, nu: float) -> float:
     return float(2 * np.sum(wu * pdf * jac))
 
 
+@pytest.mark.slow
 def test_t_sf2_accuracy_vs_exact_tail(spark):
     """Pins the docstring's accuracy ladder: |err| < 5e-4 at nu=2,
     < 5e-5 at nu=3, < 1e-5 for nu >= 5 — evaluated through the actual
@@ -118,6 +119,7 @@ def _rows(specs):
 
 @_slow
 @given(specs=_groups())
+@pytest.mark.slow
 def test_grouped_ztest_degenerate_groups_null(spark, specs):
     from streaming_feature_store_spark.operators.experiment import (
         grouped_ztest,
@@ -141,6 +143,7 @@ def test_grouped_ztest_degenerate_groups_null(spark, specs):
 
 @_slow
 @given(specs=_groups())
+@pytest.mark.slow
 def test_welch_ttest_degenerate_groups_null(spark, specs):
     from streaming_feature_store_spark.operators.drift import welch_ttest
 
@@ -169,6 +172,7 @@ def test_welch_ttest_degenerate_groups_null(spark, specs):
     n_units=st.integers(min_value=1, max_value=3),
     vals=st.lists(_value, min_size=3, max_size=3),
 )
+@pytest.mark.slow
 def test_ratio_metric_delta_single_unit_group_null_ci(spark, n_units, vals):
     """The exact site the r7 judge flagged (experiment.py:285): one unit
     -> NULL variance -> the CI must be NULL, not zero-width."""
@@ -193,6 +197,7 @@ def test_ratio_metric_delta_single_unit_group_null_ci(spark, n_units, vals):
 
 @_slow
 @given(specs=_groups())
+@pytest.mark.slow
 def test_diff_in_diff_degenerate_cells_null(spark, specs):
     from streaming_feature_store_spark.operators.experiment import (
         diff_in_diff,
@@ -253,6 +258,7 @@ def test_mde_degenerate_groups_null(spark, specs):
     n_units_a=st.integers(min_value=0, max_value=2),
     n_units_b=st.integers(min_value=0, max_value=2),
 )
+@pytest.mark.slow
 def test_cuped_degenerate_arms_null(spark, n_units_a, n_units_b):
     from streaming_feature_store_spark.operators.experiment import (
         cuped_adjusted_effect,
@@ -329,6 +335,7 @@ def _bool_groups(draw):
 
 @_slow
 @given(specs=_bool_groups())
+@pytest.mark.slow
 def test_proportions_ztest_degenerate_arms_null(spark, specs):
     """Empty arms (including all-NULL success columns) and degenerate
     pooled rates (0 or 1) must yield NULL z/p — never an ANSI
@@ -364,6 +371,7 @@ def test_proportions_ztest_degenerate_arms_null(spark, specs):
 
 @_slow
 @given(specs=_groups())
+@pytest.mark.slow
 def test_always_valid_pvalue_degenerate_arms_null(spark, specs):
     from streaming_feature_store_spark.operators.experiment import (
         always_valid_pvalue,
@@ -418,6 +426,7 @@ def test_rate_ratio_zero_event_arms_null(spark, ca, cb):
     n_units=st.integers(min_value=1, max_value=3),
     vals=st.lists(_value, min_size=3, max_size=3),
 )
+@pytest.mark.slow
 def test_jackknife_ratio_se_single_unit_null(spark, n_units, vals):
     """One unit => every leave-one-out denominator hits zero => zero
     defined pseudo-values => NULL se, never a zero-width readout."""

@@ -18,6 +18,7 @@ runs the identical ``asof_join`` chain.  Sets must match exactly — and a
 replayed partial must change nothing.
 """
 
+import pytest
 import datetime as dt
 import os
 
@@ -88,6 +89,7 @@ def _training_read(labels, feat_a, feat_b):
     )
 
 
+@pytest.mark.slow
 def test_streaming_feature_service_read_matches_batch(spark, tmp_path):
     src = str(tmp_path / "src")
     ev_log = str(tmp_path / "event_view")

@@ -1,6 +1,7 @@
 """JSON decode + DLQ routing (S5/T8) and the stream-stream device
 enrichment join (J2 — the reference declared it, we implement it)."""
 
+import pytest
 import datetime as dt
 import os
 
@@ -40,6 +41,7 @@ def test_decode_json_with_dlq(spark, tmp_path):
     assert spark.read.parquet(dlq).count() == 1  # the garbage row
 
 
+@pytest.mark.slow
 def test_device_stream_join(spark, tmp_path):
     tx_schema = StructType(
         [

@@ -4,6 +4,7 @@ materialize (latest + log) → get_online (freshness) → get_historical
 score. The reference spreads this across Feast + Redis + training
 scripts; here every stage resolves through the same engine."""
 
+import pytest
 import datetime as dt
 
 import pyspark.sql.functions as F
@@ -25,6 +26,7 @@ from streaming_feature_store_spark.store import (
 SF_DIR = "/root/testdata/sf0.01"
 
 
+@pytest.mark.slow
 def test_full_lifecycle(spark, tmp_path):
     from streaming_feature_store_spark.sources.file import load_table
 

@@ -156,6 +156,7 @@ def test_train_with_categoricals(spark):
 
 
 @pytest.mark.parametrize("algo", ["lr", "rf", "gbt"])
+@pytest.mark.slow
 def test_train_evaluate_score(spark, algo):
     df = impute_median(_dataset(spark), ["f3"])
     cfg = TrainConfig(feature_cols=["f1", "f2", "f3"], algorithm=algo)
@@ -193,6 +194,7 @@ def test_fill_defaults(spark):
     assert (0.0, -1.0, 9.9) in vals and (1.0, 2.0, 9.9) in vals
 
 
+@pytest.mark.slow
 def test_cross_validate_and_persistence(spark, tmp_path):
     from streaming_feature_store_spark.ml.training import (
         cross_validate,

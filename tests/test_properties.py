@@ -2,6 +2,7 @@
 with trivially-correct pure-Python oracles on arbitrary small inputs —
 stronger than the reference's fixed-assertion suites (SURVEY §5)."""
 
+import pytest
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings, strategies as st
 
@@ -29,6 +30,7 @@ SLOW = settings(
 
 @given(feats=EVENTS, labels=EVENTS)
 @SLOW
+@pytest.mark.slow
 def test_asof_matches_naive(spark, feats, labels):
     fdf = spark.createDataFrame(
         [(k, t, i, float(v)) for i, (k, t, v) in enumerate(feats)],
@@ -85,6 +87,7 @@ def test_sessionize_matches_gaps_and_islands(spark, events):
 
 @given(events=EVENTS, buckets=st.integers(min_value=1, max_value=8))
 @SLOW
+@pytest.mark.slow
 def test_salted_agg_matches_plain(spark, events, buckets):
     df = spark.createDataFrame(
         [(k, float(v)) for k, _, v in events], "user_id long, value double"
@@ -115,6 +118,7 @@ def test_salted_agg_matches_plain(spark, events, buckets):
 
 @given(feats=EVENTS, labels=EVENTS)
 @SLOW
+@pytest.mark.slow
 def test_asof_forward_matches_naive(spark, feats, labels):
     fdf = spark.createDataFrame(
         [(k, t, i, float(v)) for i, (k, t, v) in enumerate(feats)],
@@ -239,6 +243,7 @@ WORDS = st.lists(
 
 @given(words=WORDS, k=st.integers(min_value=1, max_value=2))
 @SLOW
+@pytest.mark.slow
 def test_edit_distance_pairs_matches_brute_force(spark, words, k):
     """SymSpell deletion-key blocking must find EXACTLY the pairs the
     quadratic levenshtein join finds — blocking is a completeness
@@ -293,6 +298,7 @@ GRAPHS = st.lists(
 
 @given(edges=GRAPHS, iters=st.integers(min_value=1, max_value=4))
 @SLOW
+@pytest.mark.slow
 def test_pagerank_conserves_mass_and_matches_naive(spark, edges, iters):
     """Total rank mass must stay exactly 1 (±FP) every configuration, and
     the distributed fixed point must match a dict-based reference
@@ -344,6 +350,7 @@ PAIR_LISTS = st.lists(
 
 @given(pairs=PAIR_LISTS)
 @SLOW
+@pytest.mark.slow
 def test_dedup_clusters_both_paths_match_transitive_closure(spark, pairs):
     """Both physical strategies — the driver union-find fast path AND the
     distributed min-label/pointer-jumping loop (forced with
@@ -389,6 +396,7 @@ DOCS = st.lists(
 
 @given(docs=DOCS, thr=st.sampled_from([0.3, 0.5, 0.9]))
 @SLOW
+@pytest.mark.slow
 def test_winnow_containment_matches_quadratic(spark, docs, thr):
     """The inverted-index pair join must produce EXACTLY the pairs and
     scores of quadratic containment over per-doc fingerprint sets, and
@@ -468,6 +476,7 @@ def test_winnow_containment_matches_quadratic(spark, docs, thr):
     n_dups=st.integers(min_value=1, max_value=3),
 )
 @SLOW
+@pytest.mark.slow
 def test_minhash_guarantees_exact_duplicates_and_verified_scores(
     spark, docs, n_dups
 ):
@@ -533,6 +542,7 @@ def test_minhash_guarantees_exact_duplicates_and_verified_scores(
     k=st.integers(min_value=1, max_value=3),
 )
 @SLOW
+@pytest.mark.slow
 def test_cosine_topk_matches_numpy(spark, vecs, k):
     """Both exact cosine kernels — the codegen expression form
     (cosine_topk) and the Arrow GEMM form (cosine_topk_blas) — must
@@ -594,6 +604,7 @@ def test_cosine_topk_matches_numpy(spark, vecs, k):
     ),
 )
 @SLOW
+@pytest.mark.slow
 def test_interval_join_matches_quadratic(spark, events, spans):
     """The equi-key + residual-range interval join must match the
     quadratic filter, including the half-open [start, end) boundaries."""
@@ -626,6 +637,7 @@ def test_interval_join_matches_quadratic(spark, events, spans):
     tol=st.integers(min_value=0, max_value=5_000),
 )
 @SLOW
+@pytest.mark.slow
 def test_asof_tolerance_gates_per_column(spark, feats, labels, tol):
     """asof_join's tolerance must null out a value exactly when the row
     that SUPPLIED it is farther than tolerance_us — matching a naive
@@ -858,6 +870,7 @@ def test_chunk_documents_covers_every_token(spark, toks, chunk_size, stride):
     seed=st.integers(min_value=0, max_value=5),
 )
 @SLOW
+@pytest.mark.slow
 def test_stratified_split_contracts(spark, n_pos, n_neg, seed):
     """The documented split contracts on arbitrary class balances:
     (1) the three splits partition the input exactly (disjoint ids,
@@ -913,6 +926,7 @@ def test_stratified_split_contracts(spark, n_pos, n_neg, seed):
     ),
 )
 @SLOW
+@pytest.mark.slow
 def test_funnel_features_match_naive_sessions(spark, events):
     """funnel_features must agree with a naive gaps-and-islands replay:
     per-type counts, guarded conversion rate, decimal-exact value sum
@@ -988,6 +1002,7 @@ def test_funnel_features_match_naive_sessions(spark, events):
     k=st.integers(min_value=1, max_value=5),
 )
 @SLOW
+@pytest.mark.slow
 def test_sample_exact_per_group_quota_and_determinism(spark, rows, k):
     """Exact-quota sampling contracts: exactly min(k, |group|) rows per
     stratum, selection is the md5-of-id order prefix (engine-independent
@@ -1039,6 +1054,7 @@ _SESS_EVENTS = st.lists(
 @given(base=_SESS_EVENTS, delta=_SESS_EVENTS, cut=st.integers(0, 2000),
        gap=st.integers(30, 400))
 @SLOW
+@pytest.mark.slow
 def test_session_index_merge_matches_full_recompute(
     spark, base, delta, cut, gap
 ):
@@ -1099,6 +1115,7 @@ _CORPUS = st.lists(
 
 @given(corpus=_CORPUS, min_docs=st.integers(2, 4))
 @SLOW
+@pytest.mark.slow
 def test_line_dedup_matches_naive(spark, corpus, min_docs):
     """line_dedup on random small corpora ≡ the obvious pure-Python
     screen: line survival is corpus-global, reassembly preserves order,
@@ -1130,6 +1147,7 @@ def test_line_dedup_matches_naive(spark, corpus, min_docs):
     n_bins=st.integers(2, 8),
 )
 @SLOW
+@pytest.mark.slow
 def test_quantile_edges_match_naive(spark, vals, n_bins):
     """quantile_edges ≡ the sorted-list definition: edge_i = the element
     at 1-based position ceil(i*N/n_bins)."""
@@ -1158,6 +1176,7 @@ DOCS = st.lists(
 
 @given(texts=DOCS, split=st.integers(min_value=1, max_value=11))
 @SLOW
+@pytest.mark.slow
 def test_corpus_stats_merge_matches_full_and_python_oracle(
     spark, texts, split
 ):
@@ -1203,6 +1222,7 @@ def test_corpus_stats_merge_matches_full_and_python_oracle(
 
 @given(texts=DOCS, split=st.integers(min_value=1, max_value=11))
 @SLOW
+@pytest.mark.slow
 def test_postings_and_linefreq_merges_match_full(spark, texts, split):
     """Same merge algebra, the doc-keyed (postings) and distinct-doc
     (line frequency) variants: any disjoint split merges to the full

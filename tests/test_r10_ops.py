@@ -3,6 +3,7 @@
 merge(index(base), index(delta)) == index(base UNION delta) for disjoint
 doc sets, with delta-only scoring equal to the full recompute."""
 
+import pytest
 import random
 
 import pyspark.sql.functions as F
@@ -144,6 +145,7 @@ def test_postings_index_has_one_length_row_per_tokenized_doc(spark):
     assert tot_tf == tot_dl
 
 
+@pytest.mark.slow
 def test_three_way_merge_is_order_independent(spark):
     docs = _docs(spark, n=90)
     a = docs.filter(F.col("doc_id") % 3 == 0)

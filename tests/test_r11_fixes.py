@@ -66,6 +66,7 @@ def test_validate_default_off_silently_drops(spark, corpora):
 # --- validate=True is a no-op on a correctly merged delta -------------------
 
 
+@pytest.mark.slow
 def test_validate_passes_and_preserves_results_on_merged(spark, corpora):
     base, delta, _ = corpora
     merged = corpus_stats_index_merge(

@@ -7,6 +7,7 @@ import random
 import uuid
 
 import pyspark.sql.functions as F
+import pytest
 
 from streaming_feature_store_spark.operators.text import (
     bm25_from_index,
@@ -178,6 +179,7 @@ def _doc_source(spark, tmp_path):
     return src, spark.createDataFrame(_SINK_DOCS, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_line_freq_and_ngram_df_index_streams_match_batch(spark, tmp_path):
     from streaming_feature_store_spark.operators.text import (
         line_freq_index,
@@ -203,6 +205,7 @@ def test_line_freq_and_ngram_df_index_streams_match_batch(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_winnow_index_stream_matches_batch(spark, tmp_path):
     from streaming_feature_store_spark.operators.text import (
         build_winnow_index,
@@ -268,6 +271,7 @@ def test_decontam_hits_merge_matches_one_shot(spark):
     assert _canon(again) == _canon(hits)
 
 
+@pytest.mark.slow
 def test_append_postings_index_matches_full_save(spark, tmp_path):
     """Daily maintenance of the bucketed layout: INSERT INTO per table.
     append(base, delta) ≡ save(base ∪ delta) for BM25 answers, and the
@@ -346,6 +350,7 @@ def test_decontam_erase_eval_purges_both_relations(spark):
     )
 
 
+@pytest.mark.slow
 def test_decontam_hits_stream_matches_batch(spark, tmp_path):
     from streaming_feature_store_spark.operators.curation import (
         decontam_index,
@@ -388,6 +393,7 @@ def test_decontam_hits_stream_matches_batch(spark, tmp_path):
 # --- daily_ingest composite (VERDICT r10 #5) ---------------------------------
 
 
+@pytest.mark.slow
 def test_daily_ingest_two_days(spark, tmp_path):
     from streaming_feature_store_spark.operators.curation import daily_ingest
     from streaming_feature_store_spark.operators.text import (
@@ -459,6 +465,7 @@ def test_daily_ingest_two_days(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_daily_ingest_seeding_mode_skips_pairs_but_indexes(spark, tmp_path):
     """screen_near_dups=False (day-0 seeding from a curated corpus):
     near-dup pair machinery skipped, but signatures still land in the
@@ -489,6 +496,7 @@ def test_daily_ingest_seeding_mode_skips_pairs_but_indexes(spark, tmp_path):
     assert row["is_exact_dup"] and not row["kept"]
 
 
+@pytest.mark.slow
 def test_daily_ingest_sink_stream_and_retry(spark, tmp_path):
     """Streaming twin of the composed ingest: micro-batches run the full
     screen -> survivors -> merge under the batch-id discipline.  Post-

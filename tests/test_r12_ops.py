@@ -86,6 +86,7 @@ def _df(spark, rows):
 # --- delta-priced writes (VERDICT r11 #1) ------------------------------------
 
 
+@pytest.mark.slow
 def test_daily_ingest_writes_are_delta_sized(spark, tmp_path):
     """Each day lands ONLY its delta rows in the doc-keyed logs — the
     O(corpus)-per-day snapshot rewrite is gone.  d=2's postings rows
@@ -115,6 +116,7 @@ def test_daily_ingest_writes_are_delta_sized(spark, tmp_path):
     assert _canon(agg) == _canon(want)
 
 
+@pytest.mark.slow
 def test_daily_ingest_default_mode_crash_retry(spark, tmp_path):
     """The ADVICE r11 medium scenario: day 2 crashes AFTER the
     fingerprint ledger commits but BEFORE stats/postings/minhash do.
@@ -161,6 +163,7 @@ def test_daily_ingest_default_mode_crash_retry(spark, tmp_path):
         assert _canon(agg(r)) == _canon(agg(c))
 
 
+@pytest.mark.slow
 def test_daily_ingest_rerun_of_complete_day_is_harmless(spark, tmp_path):
     """Re-running an already-complete day: the ledger flags the whole
     delta as recrawls, zero survivors reach the statistics."""
@@ -175,6 +178,7 @@ def test_daily_ingest_rerun_of_complete_day_is_harmless(spark, tmp_path):
     assert _canon(spark.read.parquet(f"{root}/stats/v=3")) == before
 
 
+@pytest.mark.slow
 def test_compact_ingest_state_preserves_answers(spark, tmp_path):
     """Folding the logs into base/v=k answers identically — and day 3
     still screens recrawls against the compacted state."""
@@ -200,6 +204,7 @@ def test_compact_ingest_state_preserves_answers(spark, tmp_path):
     assert log_version(f"{root}/postings") == 3
 
 
+@pytest.mark.slow
 def test_daily_ingest_bigram_flag_guard(spark, tmp_path):
     """ADVICE r11: merging bigrams=True into a bigrams=False state must
     raise, not silently mix delta-only bigram counts into the index."""
@@ -367,6 +372,7 @@ def test_minhash_screen_prebuilt_delta_index(spark):
 # --- daily_erase (VERDICT r11 #5) --------------------------------------------
 
 
+@pytest.mark.slow
 def test_daily_erase_equals_rebuild_over_survivors(spark, tmp_path):
     root = str(tmp_path / "state")
     day1, day2 = _df(spark, _DAY1), _df(spark, _DAY2)
@@ -431,6 +437,7 @@ def test_daily_erase_equals_rebuild_over_survivors(spark, tmp_path):
     assert scr[31]["is_exact_dup"] is True
 
 
+@pytest.mark.slow
 def test_daily_erase_quality_scores_match_rebuild(spark, tmp_path):
     """Post-erase stats serve from-index scoring identically to a
     from-scratch survivor corpus — the erased doc's counts are gone."""
@@ -458,6 +465,7 @@ def test_daily_erase_quality_scores_match_rebuild(spark, tmp_path):
 # --- multi-day sink soak (VERDICT r11 #6) ------------------------------------
 
 
+@pytest.mark.slow
 def test_daily_ingest_sink_multiday_soak_with_replays(spark, tmp_path):
     """N batches through the sink with an injected mid-soak crash retry
     AND an out-of-order redelivery of an old batch: final state must

@@ -225,3 +225,38 @@ def test_ks_drift_report_matches_single_sort_form(spark):
     want = sorted(map(tuple, single_sort_reference(li, cols, "grp").collect()))
     assert got == want
     release_all()
+
+
+# -- random_projection expr-string form ≡ Column-DSL form --------------------
+
+
+def test_random_projection_matches_column_dsl_form(spark):
+    import math
+
+    from streaming_feature_store_spark.operators.similarity import (
+        _dot,
+        as_double_vec,
+        projection_signs,
+        random_projection,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    out_dim = 16
+
+    def column_dsl_reference(df):
+        signs = projection_signs(dim, out_dim, 0)
+        inv = 1.0 / math.sqrt(out_dim)
+        v = as_double_vec(df, "embedding")
+        comps = [
+            (_dot(F.col("embedding"), F.lit(s)) * inv).alias(f"_p{j}")
+            for j, s in enumerate(signs)
+        ]
+        return v.select(F.col("vec_id"), *comps).select(
+            "vec_id",
+            F.array(*[f"_p{j}" for j in range(out_dim)]).alias("embedding"),
+        )
+
+    got = {r["vec_id"]: r["embedding"] for r in random_projection(emb, dim, out_dim).collect()}
+    want = {r["vec_id"]: r["embedding"] for r in column_dsl_reference(emb).collect()}
+    assert got == want  # bit-identical doubles: same fold expression

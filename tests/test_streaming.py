@@ -3,6 +3,7 @@ windows → foreachBatch (latest view + feature log); late-data drop across
 restarts; type fidelity through the sink (FIXTURES.md §4.4 — the reference's
 Redis sink stringified everything; ours must keep native types)."""
 
+import pytest
 import datetime as dt
 import os
 
@@ -375,6 +376,7 @@ def test_trending_topk_stream_matches_batch(spark, tmp_path):
         assert len(rows) == len({r[0] for r in rows})  # one rank each
 
 
+@pytest.mark.slow
 def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
     """VERDICT r3 item #6: per-micro-batch HLL sketch partials appended in
     foreachBatch, merged at read time, must equal the batch q108-style
@@ -502,6 +504,7 @@ def test_streaming_kll_quantile_matches_batch(spark, tmp_path):
     assert replayed[0]["est"] == batch
 
 
+@pytest.mark.slow
 def test_streaming_priority_sample_matches_batch(spark, tmp_path):
     """The Sequential-Poisson sample is a mergeable summary: per-batch
     top-k candidate partials re-ranked at read time must select the
@@ -567,6 +570,7 @@ def test_streaming_priority_sample_matches_batch(spark, tmp_path):
     assert got2 == want
 
 
+@pytest.mark.slow
 def test_streaming_daily_metric_feeds_cusum(spark, tmp_path):
     """The monitor feed: per-batch (day, count) partials merged at read
     time must give the same CUSUM series as drift.cusum_changepoint over
@@ -632,6 +636,7 @@ def test_streaming_daily_metric_feeds_cusum(spark, tmp_path):
     assert got2 == batch_truth
 
 
+@pytest.mark.slow
 def test_streaming_algebraic_partials_match_batch(spark, tmp_path):
     """r7 verdict item #7: the incremental state-merge family (q194)
     carries the same stream ≡ batch replay proof as the sketches —
@@ -731,6 +736,7 @@ def test_streaming_algebraic_partials_match_batch(spark, tmp_path):
     assert view() == batch_truth
 
 
+@pytest.mark.slow
 def test_minhash_index_stream_matches_batch(spark, tmp_path):
     """Streaming incremental dedup twin (round 9): documents arrive in
     micro-batches, each foreachBatch merges against the persisted MinHash
@@ -886,6 +892,7 @@ def test_prune_snapshots_keeps_newest(spark, tmp_path):
     assert prune_snapshots(str(tmp_path / "absent")) == []
 
 
+@pytest.mark.slow
 def test_streaming_histogram_partials_match_batch(spark, tmp_path):
     """Round-9: the persisted drift baseline (q225 family) carries the
     same stream ≡ batch replay proof as the sketch/algebraic logs —
@@ -948,6 +955,7 @@ def test_streaming_histogram_partials_match_batch(spark, tmp_path):
     assert [r["psi"] for r in psi_rows] == [0.0]
 
 
+@pytest.mark.slow
 def test_streaming_session_index_matches_batch(spark, tmp_path):
     """Round-9 session 2: the persisted session table maintained by
     session_index_sink over event-time-ordered micro-batches must equal
@@ -1037,6 +1045,7 @@ def _rand_vecs(n, dim=4, seed=11, offset=0):
     ]
 
 
+@pytest.mark.slow
 def test_ivf_index_stream_matches_batch_build(spark, tmp_path):
     """Streaming IVF maintenance (round 10): vectors arrive in
     micro-batches; the first batch trains centroids and seeds snapshot
@@ -1124,6 +1133,7 @@ def test_ivf_index_sink_retry_rereads_prebatch_snapshot(spark, tmp_path):
     assert sorted(ids) == sorted(set(ids)) and len(ids) == 14
 
 
+@pytest.mark.slow
 def test_stats_and_postings_index_streams_match_batch(spark, tmp_path):
     """Streaming maintenance of the corpus-statistics and postings
     indexes (round 10): documents arrive in micro-batches; post-drain,

@@ -2,6 +2,7 @@
 BPE paper's canonical corpus), lossless round-trip, and the distributed
 apply pinned against an independent pure-Python reference."""
 
+import pytest
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings, strategies as st
 
@@ -90,6 +91,7 @@ def test_bpe_encode_distributed_matches_reference(spark):
     n_merges=st.integers(min_value=0, max_value=12),
 )
 @SLOW
+@pytest.mark.slow
 def test_bpe_property_lossless_and_engine_agrees(spark, docs, n_merges):
     """On arbitrary corpora: (1) concatenating a word's BPE tokens and
     stripping the end-of-word marker reconstructs the word (losslessness
