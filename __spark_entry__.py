@@ -45,34 +45,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # THE NEXT LEGACY COHORT q112-q156 through the driver (last pinned on
 # r5-r7-era HEADs; q152 rides with the changed paths).
 _PRIORITY = [
-    # r12 new + changed code paths (6) — cheap changed paths first so the
-    # heavy self-contained lifecycle queries (q244-q246) hit a warm JVM
-    "q152_bm25_topk", "q237_bm25_from_index",
-    "q242_bm25_persisted_layout", "q244_daily_ingest_lifecycle",
-    "q245_daily_erase_lifecycle", "q246_compacted_ingest_bm25",
-    # legacy cohort rotation (44)
-    "q112_sequence_packing", "q113_scd2_history",
-    "q114_winsorized_stats", "q115_value_histogram",
-    "q116_source_overlap", "q117_cluster_cohesion",
-    "q118_order_value_gini", "q119_brand_basket_lift",
-    "q120_last_touch_attribution", "q121_user_adoption_curve",
-    "q122_session_bounce_rate", "q123_payload_stats",
-    "q124_grouping_sets_stats", "q125_supplier_top_part",
-    "q126_value_percent_rank", "q127_mad_by_group",
-    "q128_locf_gap_fill", "q129_complete_users",
-    "q130_priority_shipment_classes", "q131_part_supplier_counts",
-    "q132_concentrated_suppliers", "q133_post_purchase_activity",
-    "q134_linear_interpolation", "q135_weighted_sample",
-    "q136_nation_pagerank", "q137_user_event_sequences",
-    "q138_negative_samples", "q139_feature_correlations",
-    "q140_categorical_entropy", "q141_benford_digits",
-    "q142_feature_association", "q143_cusum_changepoint",
-    "q144_feature_service_read", "q145_fuzzy_name_pairs",
-    "q146_data_quality_report", "q147_returnflag_price_regression",
-    "q148_decay_attribution", "q149_quarantine_rows",
-    "q150_bpe_merges", "q151_bpe_token_counts",
-    "q153_dsir_weights", "q154_k_anonymize",
-    "q155_snapshot_diff", "q156_kmeans_lloyd_step",
+    # r13 changed code paths (24) — every query whose operator internals
+    # were touched this optimization round (arrow shingle kernel,
+    # expr-string aggregate forms, distributed KS CDF, positives reuse,
+    # IVF centroid take + pooled writes, parquet-move localization),
+    # plus q53 (the untouched KS bench control, sampled to pin its
+    # plan's stability).  Cheap paths first so the heavy self-contained
+    # lifecycle queries (q244-q246) hit a warm JVM.
+    "q22_jaccard_near_dups", "q39_minhash_near_dups",
+    "q40_simhash_near_dups", "q41_lsh_cosine_topk",
+    "q53_ks_by_feature", "q54_ks_drift_report",
+    "q57_embedding_near_dups", "q58_ivf_topk",
+    "q60_dedup_survivors", "q61_curated_corpus",
+    "q67_dedup_clusters", "q72_winnow_containment_pairs",
+    "q138_negative_samples", "q158_random_projection",
+    "q221_incremental_minhash", "q222_incremental_exact_screen",
+    "q223_incremental_neardup_screen", "q224_ivf_persisted_lifecycle",
+    "q231_incremental_clusters", "q242_bm25_persisted_layout",
+    "q244_daily_ingest_lifecycle", "q245_daily_erase_lifecycle",
+    "q246_compacted_ingest_bm25", "q202_cuped_adjusted_effect",
+    # legacy cohort rotation (26): q157-q182 — the window the driver
+    # has not sampled since their build rounds (r12 covered q112-q156)
+    "q157_zorder_key", "q159_cohort_retention",
+    "q160_rfm_segments", "q161_target_encoding",
+    "q162_embargo_split", "q163_part_triangles",
+    "q164_user_value_ewma", "q165_semantic_dedup",
+    "q166_hashed_feature_buckets", "q167_mad_outliers",
+    "q168_naive_bayes_langid", "q169_value_percent_rank",
+    "q170_temperature_mixture", "q171_token_budget_alloc",
+    "q172_calibration_bins", "q173_cdc_apply",
+    "q174_user_value_twap", "q175_retention_survival",
+    "q176_table_checksums", "q177_impossible_travel",
+    "q178_grouped_auc", "q179_weighted_median_price",
+    "q180_event_transitions", "q181_nearest_event_value",
+    "q182_hourly_anomaly_rates", "q183_price_size_frontier",
 ]
 
 
