@@ -108,11 +108,14 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
             ids = batch.column(id_col)
             valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
             toks = pc.split_pattern(pc.fill_null(texts, ""), " ")
+            # lens MUST stay consistent with list_flatten's layout (the
+            # filled "" of a null doc contributes one token there), so
+            # null docs are suppressed via their GRAM COUNT only —
+            # zeroing lens itself would shift every later doc's offset
             lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
-            # a null text has no tokens (the filled "" split gives [""];
-            # zero it so null docs emit nothing, like the loop form did)
-            lens = np.where(valid, lens, 0)
-            gcounts = np.maximum(lens - (n - 1), 0)
+            gcounts = np.where(
+                valid, np.maximum(lens - (n - 1), 0), 0
+            )
             total = int(gcounts.sum())
             if total == 0:
                 yield pa.RecordBatch.from_arrays(

@@ -57,6 +57,41 @@ def test_shingle_kernel_matches_python_reference(spark, n):
     assert got == want
 
 
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_shingle_kernel_null_doc_mid_batch(spark, n):
+    """Regression pin: a null text FOLLOWED by real docs in the SAME
+    Arrow batch must not shift the later docs' gram offsets (the filled
+    '' of a null doc still occupies a slot in the flattened token
+    buffer; the first kernel draft zeroed its length and misaligned
+    every subsequent doc).  coalesce(1) forces one batch."""
+    from streaming_feature_store_spark.operators.dedup import _shingle_index
+
+    # enough docs that EVERY post-repartition Arrow batch interleaves
+    # null and non-null texts (cpu_partitioned round-robins small
+    # inputs across the core count, so a handful of rows would land one
+    # doc per batch and never exercise the offset math)
+    docs = []
+    for i in range(600):
+        if i % 3 == 0:
+            docs.append((i, None))
+        elif i % 3 == 1:
+            docs.append((i, ""))
+        else:
+            docs.append((i, f"tok{i} alpha beta gamma w{i % 7} delta"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["sh"])
+        for r in _shingle_index(df, "text", "doc_id", n).collect()
+    }
+    ref_pairs = sorted(_python_reference_pairs(docs, n))
+    ref_df = spark.createDataFrame(ref_pairs, "doc_id long, gram string")
+    want = {
+        (r["doc_id"], r["sh"])
+        for r in ref_df.select("doc_id", F.xxhash64("gram").alias("sh")).collect()
+    }
+    assert got == want
+
+
 def test_shingle_kernel_matches_reference_on_corpus(spark, tmp_path):
     """Same pin over the real sf0.001 documents table (natural text,
     id distribution, parquet-sourced batches)."""
